@@ -1,0 +1,202 @@
+"""Typed configuration for every workload.
+
+The reference hardcodes all of these as module globals / magic constants
+(survey §5.6): ``Model.py:17-21`` (DEVICE/BATCH_SIZE/MODEL_NAME/dirs),
+``FCT.py:214-218`` (att_heads/filters/stochastic depth), ``UNet.py:8``
+(init_features), recovered ``AE_32K.py`` (latent shapes, lr, batch), and
+call-site hyperparameters (``FCT.py:411``, ``Model.py:212``).
+
+Here they are first-class, typed, and serializable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DTypePolicy:
+    """Mixed-precision policy: fp32 params, bf16 compute by default on TPU."""
+
+    param_dtype: Any = jnp.float32
+    compute_dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def fp32() -> "DTypePolicy":
+        return DTypePolicy(compute_dtype=jnp.float32)
+
+    @staticmethod
+    def bf16() -> "DTypePolicy":
+        return DTypePolicy(compute_dtype=jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AutoEncoderConfig:
+    """Plain conv AE (reference ``AutoEncoder.py:73-134``).
+
+    ``filters`` default mirrors ``AutoEncoder.py:76``; the notebook variant
+    (ipynb cell 4 L72) uses ``(8, 16, 32, 64, 128, 512)`` giving the
+    (B, 4, 4, 512) latent recorded in the notebook's golden output.
+    """
+
+    filters: Sequence[int] = (8, 16, 32, 64, 128)
+    out_channels: int = 3
+    dropout_rate: float = 0.3
+
+    @staticmethod
+    def notebook_variant() -> "AutoEncoderConfig":
+        return AutoEncoderConfig(filters=(8, 16, 32, 64, 128, 512))
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Classic 4-down/4-up UNet (reference ``UNet.py:6-66``)."""
+
+    in_channels: int = 3
+    out_channels: int = 1
+    init_features: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class FCTConfig:
+    """Fully Convolutional Transformer (reference ``FCT.py:210-254``)."""
+
+    att_heads: int = 2
+    filters: Sequence[int] = (8, 16, 32, 64, 128, 64, 32, 16, 8)
+    stochastic_depth_rate: float = 0.0  # FCT.py:217 (computed, rate 0.0)
+    dropout_rate: float = 0.3  # FCT.py:146,176
+    out_channels: int = 1
+    attn_impl: str = "xla"  # "xla" | "flash"
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetAEConfig:
+    """ResNet-bottleneck AE family (recovered ``AE_32K.py`` / ``AE_64_4k.py``).
+
+    ``layers`` mirrors ``Encoder_32K(Bottleneck, [3, 4])`` (AE_32K L177).
+    ``output_type`` switches the decoder head: "image" -> 3ch+ReLU,
+    "mask" -> 1ch+sigmoid (AE_32K L151-158).
+    ``token_latent``: reshape latent (B, H', W', 8) -> (B, 8, H'*W') token
+    sequence as in AE_256_32K L118-119.
+    ``vae``: the dead ``reparameterize`` hook (AE_256_32K L141-147),
+    exposed as an optional flag per survey §7.5, default off.
+    """
+
+    layers: Sequence[int] = (3, 4)
+    stem_features: int = 64
+    squeeze_features: Sequence[int] = (128, 64, 16, 8)
+    output_type: str = "image"
+    dropout_rate: float = 0.3
+    token_latent: bool = False
+    vae: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    """From-scratch temporal transformer (recovered ``TransformerEncoder.py``).
+
+    ``relu_qkv`` reproduces the reference's unusual ReLU on projected
+    q/k/v (TransformerEncoder.py L17, L70). ``scale_out`` reproduces the
+    x sqrt(0.5) output scaling (L122). The reference's always-on dropout in
+    eval (L123) is NOT reproduced (survey §7.5 quirk registry) — dropout is
+    deterministic in eval mode here.
+    """
+
+    input_dim: int = 4096
+    hidden_dim: int = 2048
+    num_layers: int = 2
+    num_heads: int = 8
+    dropout_rate: float = 0.1
+    relu_qkv: bool = True
+    scale_out: bool = True
+    attn_impl: str = "xla"  # "xla" | "flash" | "windowed"
+    window_size: int = 0  # 0 = full attention; >0 = overlapping windows
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoModelConfig:
+    """Flagship video pipeline: CNN encoder -> temporal transformer -> decoder.
+
+    Capability-equivalent to the reference's latent video pipeline
+    (survey §3.5: Encoder_32K per frame -> TransformerEncoder over frame
+    latents -> Decoder_32K), redesigned TPU-first: frames folded into the
+    batch for convs, flash-attention over temporal tokens, optional
+    windowing for long/streaming clips.
+    """
+
+    encoder: ResNetAEConfig = dataclasses.field(
+        default_factory=lambda: ResNetAEConfig(token_latent=True)
+    )
+    temporal: TransformerConfig = dataclasses.field(
+        default_factory=TransformerConfig
+    )
+    output_type: str = "image"
+    use_posenc: bool = True
+    tokens_per_frame: int = 8  # latent channels become tokens (AE_256_32K L118)
+
+
+# ---------------------------------------------------------------------------
+# Data / training configs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """CSV-manifest data layer (reference ``Dataloader.py`` / ``dataset.py``)."""
+
+    train_csv: str = "Datasets/image2image/train.csv"
+    val_csv: str = "Datasets/image2image/valid.csv"
+    test_csv: str = "Datasets/image2image/test.csv"
+    image_size: int = 256
+    batch_size: int = 64  # Model.py:19
+    training_type: str = "unsupervised"  # "supervised" | "unsupervised" | "sequential"
+    clip_len: int = 8
+    shuffle: bool = True
+    drop_last: bool = True  # replaces dataset.py L21-22 len-truncation quirk
+    data_fraction: float = 1.0  # DATA_SIZE cap (dataset.py L12)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Denoising-AE augmentations (reference ``Model.py:44-53,106-109``)."""
+
+    hflip_prob: float = 0.5
+    noise_prob: float = 0.2
+    noise_std: float = 0.05
+    max_blackout_patches: int = 3
+    blackout_size: int = 16
+    test_blackout_size: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 250  # Model.py:212
+    lr: float = 1e-3  # Model.py:212, FCT.py:293 default
+    weight_decay: float = 0.01  # torch AdamW default (FCT.py:305, Model.py:153)
+    batch_size: int = 64
+    loss: str = "mixed"  # "mixed" | "dice" | "mse"
+    mixed_alpha: float = 0.5  # Model.py:156
+    mixed_beta: float = 0.5
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "runs"
+    sample_dir: str = "saved_samples"
+    model_name: str = "IMAGE2IMAGE"  # Model.py:20
+    save_every: int = 5  # Model.py:184
+    seed: int = 0
+    mesh_axes: Tuple[str, ...] = ("data",)
+    sync_batch_norm: bool = True
+    dtype: str = "bfloat16"  # compute dtype for the jitted step
+
+
+def dtype_policy(cfg: TrainConfig) -> DTypePolicy:
+    return DTypePolicy(
+        compute_dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    )

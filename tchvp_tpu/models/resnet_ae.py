@@ -1,0 +1,271 @@
+"""ResNet-bottleneck autoencoder family (recovered reference ``AE_32K.py`` /
+``AE_256_32K.py`` / ``AE_64_4k.py``, disassembled from ``__pycache__``).
+
+* ``Encoder32K``: 7x7/s2 stem -> Bottleneck stages [3, 4] (second stride 2)
+  -> 512->128->64->16->8 squeeze chain -> (B, H/4, W/4, 8) latent
+  ("32K" = 8*64*64 at 256^2 input; AE_32K L57-115). ``token_latent``
+  reshapes to the (B, 8, H/4*W/4) token sequence of AE_256_32K L118-119.
+* ``Decoder32K``: conv chain 8->16->64->128->256, two ConvTranspose(k2,s2)
+  upsamples, head switch ``output_type`` "image" (3ch+ReLU) / "mask"
+  (1ch+sigmoid) (AE_32K L121-168).
+* ``Autoencoder32K`` / ``Autoencoder4K``: encode -> decode
+  (AE_32K L174-186, AE_64_4k L203-216). ``Autoencoder4K`` squeezes to a
+  flat 4096-d latent for 64^2 inputs (AE_64_4k L62-81, L118).
+
+The dead VAE ``reparameterize`` hook (AE_256_32K L141-147) is exposed as an
+optional ``vae`` flag, default off (survey §7.5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tchvp_tpu.config import ResNetAEConfig
+from tchvp_tpu.ops.blocks import BatchNorm, Bottleneck
+
+
+class Encoder32K(nn.Module):
+    """ResNet-style spatial compressor to an 8-channel latent map."""
+
+    config: ResNetAEConfig = ResNetAEConfig()
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        dt, pdt = self.dtype, self.param_dtype
+
+        def bn(name: str):
+            return BatchNorm(
+                use_running_average=not train,
+                axis_name=self.bn_axis_name,
+                name=name,
+                dtype=dt,
+                param_dtype=pdt,
+            )
+
+        # 7x7/s2 stem (AE_32K L65).
+        h = nn.Conv(
+            cfg.stem_features,
+            kernel_size=(7, 7),
+            strides=(2, 2),
+            padding="SAME",
+            use_bias=False,
+            name="stem_conv",
+            dtype=dt,
+            param_dtype=pdt,
+        )(x)
+        h = nn.relu(bn("stem_bn")(h))
+
+        # Bottleneck stages: planes 64 (stride 1), 128 (stride 2)
+        # — ResNet-50-style _make_layer (AE_32K L68-69, L92).
+        planes = cfg.stem_features
+        for stage, blocks in enumerate(cfg.layers):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                first = b == 0
+                h = Bottleneck(
+                    planes=planes,
+                    stride=stride if first else 1,
+                    downsample=first,
+                    bn_axis_name=self.bn_axis_name,
+                    name=f"layer{stage + 1}_block{b}",
+                    dtype=dt,
+                    param_dtype=pdt,
+                )(h, train=train)
+            planes *= 2
+
+        # Squeeze chain to the latent channel count (AE_32K L71-81).
+        for i, feat in enumerate(cfg.squeeze_features):
+            h = nn.Conv(
+                feat,
+                kernel_size=(3, 3),
+                padding="SAME",
+                use_bias=False,
+                name=f"squeeze{i}_conv",
+                dtype=dt,
+                param_dtype=pdt,
+            )(h)
+            h = bn(f"squeeze{i}_bn")(h)
+            if i < len(cfg.squeeze_features) - 1:
+                h = nn.relu(h)
+
+        # Channel-wise dropout == torch Dropout2d (AE_32K L84).
+        h = nn.Dropout(cfg.dropout_rate, broadcast_dims=(1, 2))(
+            h, deterministic=deterministic
+        )
+        return h
+
+
+class Decoder32K(nn.Module):
+    """Latent map -> image/mask decoder (AE_32K L121-168)."""
+
+    output_type: str = "image"  # "image" | "mask" (AE_32K L151-158)
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dt, pdt = self.dtype, self.param_dtype
+
+        def bn(name: str):
+            return BatchNorm(
+                use_running_average=not train,
+                axis_name=self.bn_axis_name,
+                name=name,
+                dtype=dt,
+                param_dtype=pdt,
+            )
+
+        # conv-BN chain 8->16->64->128->256 (AE_32K L127-137).
+        for i, feat in enumerate((16, 64, 128, 256)):
+            x = nn.Conv(
+                feat, (3, 3), padding="SAME", use_bias=False,
+                name=f"conv{i}", dtype=dt, param_dtype=pdt,
+            )(x)
+            x = nn.relu(bn(f"bn{i}")(x))
+
+        # Two ConvTranspose(k2, s2) upsamples: 256->384, 384->192 (L139-143).
+        for i, feat in enumerate((384, 192)):
+            x = nn.ConvTranspose(
+                feat, (2, 2), strides=(2, 2),
+                name=f"upconv{i}", dtype=dt, param_dtype=pdt,
+            )(x)
+            x = nn.relu(bn(f"up_bn{i}")(x))
+
+        # conv 192->64->8 (L145-149).
+        for i, feat in enumerate((64, 8)):
+            x = nn.Conv(
+                feat, (3, 3), padding="SAME", use_bias=False,
+                name=f"post_conv{i}", dtype=dt, param_dtype=pdt,
+            )(x)
+            x = nn.relu(bn(f"post_bn{i}")(x))
+
+        if self.output_type == "mask":
+            x = nn.Conv(1, (3, 3), padding="SAME", name="head_conv",
+                        dtype=dt, param_dtype=pdt)(x)
+            x = bn("head_bn")(x)
+            return nn.sigmoid(x)  # mask head (L155-158)
+        x = nn.Conv(3, (3, 3), padding="SAME", name="head_conv",
+                    dtype=dt, param_dtype=pdt)(x)
+        x = bn("head_bn")(x)
+        return nn.relu(x)  # image head (L151-154)
+
+
+def latent_to_tokens(latent: jnp.ndarray) -> jnp.ndarray:
+    """(B, H', W', C) -> (B, C, H'*W'): channels become tokens, spatial
+    flattens to the embedding dim (AE_256_32K L118-119)."""
+    b, h, w, c = latent.shape
+    return jnp.transpose(latent, (0, 3, 1, 2)).reshape(b, c, h * w)
+
+
+def tokens_to_latent(tokens: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """(B, C, H'*W') -> (B, H', W', C) (AE_256_32K L194 inverse reshape)."""
+    b, c, _ = tokens.shape
+    h, w = hw
+    return jnp.transpose(tokens.reshape(b, c, h, w), (0, 2, 3, 1))
+
+
+class Autoencoder32K(nn.Module):
+    """encode -> decode; returns (latent, reconstruction).
+
+    With ``config.vae=True`` the latent is reparameterized from per-channel
+    mu/logvar heads (the reference's dead hook, made functional)."""
+
+    config: ResNetAEConfig = ResNetAEConfig()
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder32K(
+            config=self.config,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        self.decoder = Decoder32K(
+            output_type=self.config.output_type,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if self.config.vae:
+            self.mu_head = nn.Conv(
+                self.config.squeeze_features[-1], (1, 1), name="mu",
+                dtype=self.dtype, param_dtype=self.param_dtype)
+            self.logvar_head = nn.Conv(
+                self.config.squeeze_features[-1], (1, 1), name="logvar",
+                dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        latent = self.encoder(x, train=train, deterministic=deterministic)
+        if self.config.vae:
+            mu = self.mu_head(latent)
+            logvar = self.logvar_head(latent)
+            eps = jax.random.normal(self.make_rng("vae"), mu.shape, mu.dtype)
+            latent = mu + jnp.exp(0.5 * logvar) * eps
+        recon = self.decoder(latent, train=train)
+        if self.config.token_latent:
+            return latent_to_tokens(latent), recon
+        return latent, recon
+
+
+class Autoencoder4K(nn.Module):
+    """Flat-4096-latent AE for 64^2 inputs (recovered ``AE_64_4k.py``).
+
+    Encoder squeezes to 16 channels at 16x16 -> flat 4096-d vector (L118);
+    decoder reshapes back to (16, 16, 16) (L193) and upsamples x4."""
+
+    output_type: str = "image"
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = ResNetAEConfig(
+            squeeze_features=(64, 32, 16),  # AE_64_4k L62-81
+            dropout_rate=0.1,  # AE_64_4k Dropout2d 0.1
+            output_type=self.output_type,
+        )
+        self.encoder = Encoder32K(
+            config=cfg,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        self.decoder = Decoder32K(
+            output_type=self.output_type,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        latent_map = self.encoder(x, train=train, deterministic=deterministic)
+        b, h, w, c = latent_map.shape
+        latent = latent_map.reshape(b, h * w * c)  # flat 4096-d (L118)
+        recon = self.decoder(latent.reshape(b, h, w, c), train=train)
+        return latent, recon

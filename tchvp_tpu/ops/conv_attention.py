@@ -1,0 +1,159 @@
+"""FCT building blocks: conv-projection attention, Wide-Focus FFN, transformer.
+
+Capability-equivalent to reference ``FCT.py:24-132``, redesigned NHWC:
+* depthwise 3x3 conv q/k/v projections + LayerNorm (``FCT.py:31-36,41-57``),
+* H*W spatial tokens with C-dim embedding through MHA (``FCT.py:69-75``),
+* explicit (H, W) reshape instead of the reference's sqrt(H*W) square-image
+  assumption (``FCT.py:77``; survey §7.4) — numerically identical for square
+  inputs, and non-square inputs now work too,
+* multi-dilation conv FFN ("Wide_Focus", ``FCT.py:107-132``),
+* attention -> conv -> residual -> LayerNorm -> FFN -> residual block
+  (``FCT.py:84-102``).
+
+The reference's ``conv_k``/``conv_v`` receive ``padding=stride_kv`` (int 1)
+while ``conv_q`` gets ``"same"`` (``FCT.py:31-35``) — identical padding math
+for kernel 3 / stride 1, so a single 'SAME' depthwise conv covers all three
+(survey §7.5 quirk registry).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tchvp_tpu.ops.attention import TorchMultiheadAttention
+
+
+class ConvProjAttention(nn.Module):
+    """Conv-projected spatial self-attention over NHWC feature maps."""
+
+    channels: int
+    num_heads: int
+    attn_impl: str = "xla"
+    use_bias: bool = True  # attention_bias (FCT.py:25)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _projection(self, x: jnp.ndarray, name: str) -> jnp.ndarray:
+        c = self.channels
+        x = nn.Conv(
+            c,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            feature_group_count=c,  # depthwise, groups=channels (FCT.py:31)
+            use_bias=self.use_bias,
+            name=f"conv_{name}",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        x = nn.relu(x)
+        return nn.LayerNorm(
+            epsilon=1e-5,
+            name=f"layernorm_{name}",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        q = self._projection(x, "q").reshape(b, h * w, c)
+        k = self._projection(x, "k").reshape(b, h * w, c)
+        v = self._projection(x, "v").reshape(b, h * w, c)
+        out = TorchMultiheadAttention(
+            features=c,
+            num_heads=self.num_heads,
+            use_bias=self.use_bias,
+            impl=self.attn_impl,
+            name="attention",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(q, k, v)
+        return out.reshape(b, h, w, c)
+
+
+class WideFocus(nn.Module):
+    """Multi-dilation conv FFN (reference ``FCT.py:107-132``)."""
+
+    features: int
+    dropout_rate: float = 0.1  # FCT.py:115
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        def branch(dilation: int, name: str) -> jnp.ndarray:
+            y = nn.Conv(
+                self.features,
+                kernel_size=(3, 3),
+                padding="SAME",
+                kernel_dilation=(dilation, dilation),
+                name=name,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
+            y = jax.nn.gelu(y, approximate=False)
+            return nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+        added = branch(1, "conv1") + branch(2, "conv2") + branch(3, "conv3")
+        out = nn.Conv(
+            self.features,
+            kernel_size=(3, 3),
+            padding="SAME",
+            name="conv4",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(added)
+        out = jax.nn.gelu(out, approximate=False)
+        return nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+
+
+class SpatialTransformer(nn.Module):
+    """Attention -> conv -> residual -> LayerNorm -> WideFocus -> residual.
+
+    Reference ``FCT.py:84-102`` (in_channels == out_channels at every call
+    site, ``FCT.py:144,174``).
+    """
+
+    channels: int
+    num_heads: int
+    attn_impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x1 = ConvProjAttention(
+            channels=self.channels,
+            num_heads=self.num_heads,
+            attn_impl=self.attn_impl,
+            name="attention_output",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        x1 = nn.Conv(
+            self.channels,
+            kernel_size=(3, 3),
+            padding="SAME",
+            name="conv1",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x1)
+        x2 = x1 + x  # residual (FCT.py:96)
+        x3 = nn.LayerNorm(
+            epsilon=1e-5,
+            name="layernorm",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x2)
+        x3 = WideFocus(
+            features=self.channels,
+            name="wide_focus",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x3, deterministic=deterministic)
+        return x2 + x3  # residual (FCT.py:101)

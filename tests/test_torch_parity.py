@@ -1,0 +1,181 @@
+"""Numerical parity against PyTorch on the exact ops the reference uses.
+
+These tests copy weights between torch modules (the reference's building
+blocks) and tchvp_tpu flax modules and assert output agreement, pinning
+conv padding math, attention numerics, GELU flavor, and loss values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from tchvp_tpu.ops.attention import TorchMultiheadAttention
+
+KEY = jax.random.PRNGKey(0)
+torch.manual_seed(0)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def test_multihead_attention_matches_torch():
+    """tchvp TorchMultiheadAttention == torch.nn.MultiheadAttention
+    (the core of every FCT block, FCT.py:37,75)."""
+    d, heads, b, s = 16, 2, 2, 12
+    tmha = tnn.MultiheadAttention(embed_dim=d, num_heads=heads, bias=True, batch_first=True)
+    q = torch.randn(b, s, d)
+    k = torch.randn(b, s, d)
+    v = torch.randn(b, s, d)
+    with torch.no_grad():
+        t_out, _ = tmha(q, k, v, need_weights=False)
+
+    m = TorchMultiheadAttention(features=d, num_heads=heads)
+    variables = m.init(KEY, jnp.ones((b, s, d)), jnp.ones((b, s, d)), jnp.ones((b, s, d)))
+
+    w_in = tmha.in_proj_weight.detach().numpy()  # (3d, d)
+    b_in = tmha.in_proj_bias.detach().numpy()
+    params = {
+        "q_proj": {"kernel": w_in[:d].T, "bias": b_in[:d]},
+        "k_proj": {"kernel": w_in[d : 2 * d].T, "bias": b_in[d : 2 * d]},
+        "v_proj": {"kernel": w_in[2 * d :].T, "bias": b_in[2 * d :]},
+        "out_proj": {
+            "kernel": tmha.out_proj.weight.detach().numpy().T,
+            "bias": tmha.out_proj.bias.detach().numpy(),
+        },
+    }
+    params = jax.tree.map(jnp.asarray, params)
+    j_out = m.apply({"params": params}, jnp.asarray(_np(q)), jnp.asarray(_np(k)), jnp.asarray(_np(v)))
+    np.testing.assert_allclose(_np(j_out), t_out.numpy(), atol=2e-5)
+
+
+def test_depthwise_conv_same_matches_torch():
+    """Depthwise 3x3 'same' conv == the reference q/k/v projections
+    (FCT.py:31-35; conv_k/v's padding=1 equals 'same' for k3/s1)."""
+    c, b, h, w = 8, 2, 10, 10
+    tconv = tnn.Conv2d(c, c, 3, 1, padding="same", bias=True, groups=c)
+    x = torch.randn(b, c, h, w)
+    with torch.no_grad():
+        t_out = tconv(x)
+
+    import flax.linen as nn
+
+    m = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c, use_bias=True)
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    variables = m.init(KEY, x_j)
+    # torch weight (C_out, 1, kh, kw) -> flax HWIO (kh, kw, 1, C_out)
+    kernel = tconv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    params = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(tconv.bias.detach().numpy())}
+    j_out = m.apply({"params": params}, x_j)
+    np.testing.assert_allclose(
+        _np(j_out).transpose(0, 3, 1, 2), t_out.numpy(), atol=1e-5
+    )
+
+
+def test_dilated_conv_same_matches_torch():
+    """Dilated 3x3 'same' convs == the Wide_Focus branches (FCT.py:110-112)."""
+    cin, cout, b, h, w, dil = 4, 6, 1, 12, 12, 3
+    tconv = tnn.Conv2d(cin, cout, 3, 1, padding="same", dilation=dil)
+    x = torch.randn(b, cin, h, w)
+    with torch.no_grad():
+        t_out = tconv(x)
+
+    import flax.linen as nn
+
+    m = nn.Conv(cout, (3, 3), padding="SAME", kernel_dilation=(dil, dil))
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    kernel = tconv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    params = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(tconv.bias.detach().numpy())}
+    j_out = m.apply({"params": params}, x_j)
+    np.testing.assert_allclose(
+        _np(j_out).transpose(0, 3, 1, 2), t_out.numpy(), atol=1e-5
+    )
+
+
+def test_convtranspose_matches_torch():
+    """ConvTranspose(k2,s2) == UNet upconvs (UNet.py:21-27) and the
+    Decoder_32K upsamples (AE_32K L139-143)."""
+    cin, cout = 4, 3
+    tconv = tnn.ConvTranspose2d(cin, cout, kernel_size=2, stride=2)
+    x = torch.randn(1, cin, 7, 7)
+    with torch.no_grad():
+        t_out = tconv(x)
+
+    import flax.linen as nn
+
+    m = nn.ConvTranspose(cout, (2, 2), strides=(2, 2))
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    # torch weight (C_in, C_out, kh, kw) -> flax (kh, kw, C_in, C_out),
+    # spatially flipped: torch's transposed conv is the gradient of a conv
+    # (implicit kernel flip); flax's is a fractionally-strided conv.
+    kernel = tconv.weight.detach().numpy().transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    params = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(tconv.bias.detach().numpy())}
+    j_out = m.apply({"params": params}, x_j)
+    assert j_out.shape == (1, 14, 14, cout)
+    np.testing.assert_allclose(
+        _np(j_out).transpose(0, 3, 1, 2), t_out.numpy(), atol=1e-5
+    )
+
+
+def test_gelu_flavor_matches_torch():
+    """torch nn.GELU default is exact erf — assert we match (FCT.py:114)."""
+    x = torch.linspace(-3, 3, 101)
+    with torch.no_grad():
+        t_out = tnn.GELU()(x)
+    j_out = jax.nn.gelu(jnp.asarray(x.numpy()), approximate=False)
+    np.testing.assert_allclose(_np(j_out), t_out.numpy(), atol=1e-6)
+
+
+def test_dice_loss_matches_reference_math():
+    """Dice == reference Metrics.py:14-22 computed with torch."""
+    from tchvp_tpu.losses import dice_loss
+
+    pred = torch.rand(2, 3, 8, 8)
+    true = torch.rand(2, 3, 8, 8)
+    p = pred[:, 0].reshape(-1)
+    t = true[:, 0].reshape(-1)
+    inter = (p * t).sum()
+    expected = 1.0 - (2 * inter + 1.0) / (p.sum() + t.sum() + 1.0)
+
+    # NCHW -> NHWC for tchvp
+    got = dice_loss(
+        jnp.asarray(pred.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(true.numpy().transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(float(got), float(expected), atol=1e-6)
+
+
+def test_psnr_matches_reference_math():
+    """PSNR == reference Model.py:30 computed with torch."""
+    from tchvp_tpu.losses import psnr
+
+    a = torch.rand(2, 3, 8, 8)
+    b = torch.rand(2, 3, 8, 8)
+    expected = 20 * torch.log10(1.0 / torch.sqrt(torch.nn.functional.mse_loss(a, b)))
+    got = psnr(jnp.asarray(a.numpy()), jnp.asarray(b.numpy()))
+    np.testing.assert_allclose(float(got), float(expected), rtol=1e-5)
+
+
+def test_layernorm_matches_torch():
+    """Channel-last LayerNorm eps 1e-5 == reference FCT.py:32-36 usage."""
+    import flax.linen as nn
+
+    c = 8
+    tln = tnn.LayerNorm(c, eps=1e-5)
+    with torch.no_grad():
+        tln.weight.copy_(torch.randn(c))
+        tln.bias.copy_(torch.randn(c))
+    x = torch.randn(2, 5, 5, c)
+    with torch.no_grad():
+        t_out = tln(x)
+
+    m = nn.LayerNorm(epsilon=1e-5)
+    params = {
+        "scale": jnp.asarray(tln.weight.detach().numpy()),
+        "bias": jnp.asarray(tln.bias.detach().numpy()),
+    }
+    j_out = m.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(_np(j_out), t_out.numpy(), atol=1e-5)
