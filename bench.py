@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: flagship video pipeline inference on the real chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures the BASELINE north-star config: 16-frame 224x224 clips, bf16,
+batch 8, frames/sec/chip through VideoHybridNet (per-frame CNN encoder ->
+temporal transformer -> CNN decoder), fused on-device uint8 preprocessing
+included. Baseline = the BASELINE.json target of 2,000 frames/sec/chip
+(the reference publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tchvp_tpu.config import flagship_video_config
+from tchvp_tpu.data.pipeline import preprocess_clip
+from tchvp_tpu.models import VideoHybridNet
+
+BASELINE_FPS = 2000.0  # BASELINE.json north star, v5e chip
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
+SIZE = int(os.environ.get("BENCH_SIZE", "224"))
+ATTN = os.environ.get("BENCH_ATTN", "xla")
+
+
+def main() -> None:
+    cfg = flagship_video_config(image_size=SIZE, attn_impl=ATTN)
+    model = VideoHybridNet(config=cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    clip_u8 = jnp.asarray(
+        rng.integers(0, 256, (BATCH, FRAMES, SIZE, SIZE, 3), dtype=np.uint8)
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, SIZE, SIZE, 3)))
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    # The axon tunnel's block_until_ready is async-ish and each host
+    # readback costs ~30 ms, so the loop runs INSIDE one jit and a single
+    # scalar readback ends the measurement. The per-iteration input
+    # perturbation depends on the loop index so XLA cannot hoist the model
+    # call out of the loop.
+    @jax.jit
+    def bench_loop(variables, raw):
+        clip = preprocess_clip(raw, SIZE, dtype=jnp.bfloat16)
+
+        def body(i, acc):
+            perturbed = clip + (i * jnp.bfloat16(1e-6))
+            tokens, recon = model.apply(variables, perturbed)
+            return acc + recon.mean().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    verbose = os.environ.get("BENCH_VERBOSE")
+    if verbose:
+        print(f"[bench] compiling ({BATCH}x{FRAMES}x{SIZE}, {iters} iters)...", file=sys.stderr)
+        t0 = time.perf_counter()
+    _ = float(bench_loop(variables, clip_u8))  # compile + warm
+    if verbose:
+        print(f"[bench] compile+first run {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(bench_loop(variables, clip_u8))
+        reps.append((time.perf_counter() - t0) / iters)
+
+    med = float(np.median(reps))
+    fps = BATCH * FRAMES / med
+    print(
+        json.dumps(
+            {
+                "metric": f"frames/sec/chip {SIZE}x{SIZE}x{FRAMES}f bf16 inference (batch {BATCH})",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "p50_clip_latency_ms": round(med / BATCH * 1000, 2),
+                "device": str(jax.devices()[0]),
+                "attn_impl": ATTN,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

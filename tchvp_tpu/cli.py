@@ -1,0 +1,171 @@
+"""Explicit CLI entry points.
+
+Replaces the reference's run-training-on-import side effects
+(``FCT.py:410-412``, ``Model.py:211-212``, ``AutoEncoder.py:138-143``;
+survey §7.5 quirk registry) with one argparse driver:
+
+    python -m tchvp_tpu.cli denoise --train-csv ... --epochs 250 --lr 1e-3
+    python -m tchvp_tpu.cli segment --train-csv ... --epochs 70
+    python -m tchvp_tpu.cli video   --train-csv ... --clip-len 8
+    python -m tchvp_tpu.cli transfer --pretrained checkpoints/IMAGE2IMAGE ...
+
+With ``--synthetic N`` each workload runs hermetically on generated data
+(smoke/bench mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--train-csv", default=None)
+    p.add_argument("--val-csv", default=None)
+    p.add_argument("--test-csv", default=None)
+    p.add_argument("--synthetic", type=int, default=0, help="batches of synthetic data")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--loss", default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--data-parallel", action="store_true")
+
+
+def _mesh(args):
+    if args.data_parallel:
+        from tchvp_tpu.parallel import make_mesh
+
+        return make_mesh(("data",))
+    return None
+
+
+def _image_data(args, supervised: bool):
+    if args.synthetic:
+        from tchvp_tpu.data.synthetic import SyntheticImageMasks, SyntheticImages
+
+        cls = SyntheticImageMasks if supervised else SyntheticImages
+        mk = lambda seed: cls(args.batch_size, args.image_size, args.synthetic, seed)  # noqa: E731
+        return mk(0), mk(1), mk(2)
+    if not args.train_csv:
+        raise SystemExit("provide --train-csv or --synthetic N")
+    from tchvp_tpu.data.manifest import ImageDataset, ImageMaskDataset
+
+    cls = ImageMaskDataset if supervised else ImageDataset
+    mk = lambda csv, seed: (  # noqa: E731
+        cls(csv, args.batch_size, args.image_size, seed=seed) if csv else None
+    )
+    return mk(args.train_csv, 0), mk(args.val_csv, 1), mk(args.test_csv, 2)
+
+
+def cmd_denoise(args) -> None:
+    from tchvp_tpu.config import TrainConfig
+    from tchvp_tpu.train.loops import DenoisingFlow
+
+    cfg = TrainConfig(
+        loss=args.loss or "mixed",
+        lr=args.lr,
+        checkpoint_dir=args.checkpoint_dir,
+        batch_size=args.batch_size,
+    )
+    train, val, test = _image_data(args, supervised=False)
+    flow = DenoisingFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
+    flow.fit(train, val or train, test, epochs=args.epochs, lr=args.lr)
+
+
+def cmd_segment(args) -> None:
+    from tchvp_tpu.config import TrainConfig
+    from tchvp_tpu.train.loops import SegmentationFlow
+
+    cfg = TrainConfig(
+        model_name="FCT",
+        loss=args.loss or "dice",
+        lr=args.lr,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    train, _, test = _image_data(args, supervised=True)
+    flow = SegmentationFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
+    flow.train(train, test, epochs=args.epochs, lr=args.lr)
+
+
+def cmd_video(args) -> None:
+    from tchvp_tpu.config import TrainConfig, flagship_video_config
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train.loops import VideoFlow
+
+    if args.synthetic:
+        from tchvp_tpu.data.synthetic import SyntheticClips
+
+        data = SyntheticClips(
+            args.batch_size, args.clip_len, args.image_size, args.synthetic
+        )
+    else:
+        if not args.train_csv:
+            raise SystemExit(
+                "video: provide --train-csv (a clip manifest) or --synthetic N"
+            )
+        from tchvp_tpu.data.manifest import ClipDataset
+
+        data = ClipDataset(
+            args.train_csv, args.batch_size, args.image_size, args.clip_len
+        )
+    cfg = TrainConfig(
+        model_name="video",
+        loss=args.loss or ("mse" if args.image_size <= 160 else "mixed"),
+        lr=args.lr,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    model = VideoHybridNet(config=flagship_video_config(args.image_size))
+    flow = VideoFlow(model, cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
+    start = flow.resume(args.clip_len) if args.resume else 0
+    flow.train(
+        data,
+        epochs=args.epochs,
+        clip_len=args.clip_len,
+        start_epoch=start,
+        save_every=args.save_every,
+    )
+
+
+def cmd_transfer(args) -> None:
+    from tchvp_tpu.config import TrainConfig
+    from tchvp_tpu.train.loops import TransferFlow
+
+    cfg = TrainConfig(
+        model_name="latent_to_mask",
+        loss="dice",
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    train, _, _ = _image_data(args, supervised=True)
+    flow = TransferFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
+    flow.init_from_pretrained(args.pretrained, lr=args.lr)
+    flow.train(train, epochs=args.epochs)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser("tchvp_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name, fn in (
+        ("denoise", cmd_denoise),
+        ("segment", cmd_segment),
+        ("video", cmd_video),
+        ("transfer", cmd_transfer),
+    ):
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.set_defaults(fn=fn)
+        if name == "video":
+            p.add_argument("--clip-len", type=int, default=8)
+            p.add_argument("--resume", action="store_true")
+            p.add_argument("--save-every", type=int, default=10)
+        if name == "transfer":
+            p.add_argument("--pretrained", default=None)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

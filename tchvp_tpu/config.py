@@ -121,6 +121,32 @@ class TransformerConfig:
     window_size: int = 0  # 0 = full attention; >0 = overlapping windows
 
 
+def flagship_video_config(
+    image_size: int = 224,
+    num_heads: int = 8,
+    hidden_dim: int = 2048,
+    num_layers: int = 2,
+    attn_impl: str = "xla",
+    window_size: int = 0,
+) -> "VideoModelConfig":
+    """The benchmark flagship: per-frame CNN encoder -> temporal transformer
+    -> decoder at the BASELINE 224x224x16-frame operating point. The token
+    embedding dim is the flattened latent map, (image_size/4)^2."""
+    d = (image_size // 4) ** 2
+    if d % num_heads:
+        raise ValueError(f"latent dim {d} not divisible by {num_heads} heads")
+    return VideoModelConfig(
+        temporal=TransformerConfig(
+            input_dim=d,
+            hidden_dim=hidden_dim,
+            num_layers=num_layers,
+            num_heads=num_heads,
+            attn_impl=attn_impl,
+            window_size=window_size,
+        )
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class VideoModelConfig:
     """Flagship video pipeline: CNN encoder -> temporal transformer -> decoder.

@@ -1,0 +1,351 @@
+"""Pallas TPU flash attention (build-new component ⊕B).
+
+Blockwise-softmax attention with O(S) memory for the two quadratic hot
+spots the reference materializes in full:
+
+* FCT's spatial attention over H*W tokens (``FCT.py:69-75`` —
+  ``nn.MultiheadAttention`` over up to 16K tokens, whose S^2 logits would
+  be ~1 GB at 128x128 resolution);
+* the temporal attention of the recovered ``TransformerEncoder.py`` L49-61.
+
+Design (canonical TPU flash pattern):
+* grid = (B*H, q_blocks, k_blocks); the innermost grid dim iterates
+  sequentially on TPU, so running max / sum / output accumulators live in
+  VMEM scratch, initialized at j==0 and finalized at j==last via pl.when.
+* q/k/v blocks stream HBM->VMEM through BlockSpecs (double-buffered by the
+  pipeline); VMEM residency is O(block^2), independent of S.
+* fp32 softmax and accumulation regardless of input dtype; MXU matmuls via
+  jax.lax.dot_general with preferred_element_type=float32.
+* custom VJP: forward saves the log-sum-exp; backward runs two Pallas
+  kernels (dq; dk+dv) that recompute probabilities blockwise, so the
+  backward is O(S) memory too.
+
+Sequence lengths are zero-padded to block multiples with -inf masking of
+the padded key columns.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                scale: float, seq_len: int, block_k: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (bq, dh)
+    k = k_ref[0].astype(jnp.float32)  # (bk, dh)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+
+    # Mask padded key columns (zero-padded tail of the sequence).
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < seq_len, s, NEG_INF)
+
+    m_prev = m_scr[:]  # (bq, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)  # (bq, bk)
+    alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+
+    m_scr[:] = m_new
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0].astype(jnp.float32)  # (bk, dh)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _final():
+        l = l_scr[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows (padding)
+        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:] + jnp.log(safe_l))[:, 0]
+
+
+def _flash_fwd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    block_q: int, block_k: int, interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q,k,v: (BH, S, Dh) -> (out (BH, S, Dh), lse (BH, S))."""
+    bh, s, dh = q.shape
+    bq = min(block_q, max(8, s))
+    bk = min(block_k, max(8, s))
+    s_pad_q = _cdiv(s, bq) * bq
+    s_pad_k = _cdiv(s, bk) * bk
+    if s_pad_q != s:
+        q = jnp.pad(q, ((0, 0), (0, s_pad_q - s), (0, 0)))
+    if s_pad_k != s:
+        k = jnp.pad(k, ((0, 0), (0, s_pad_k - s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, s_pad_k - s), (0, 0)))
+
+    grid = (bh, s_pad_q // bq, s_pad_k // bk)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, seq_len=s, block_k=bk
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad_q, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :s], lse[:, :s]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               acc_scr, *, scale: float, seq_len: int, block_k: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]  # (bq, 1)
+    delta = delta_ref[0][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < seq_len, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    acc_scr[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _final():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *,
+                scale: float, seq_len: int, block_k: int):
+    i = pl.program_id(2)  # q block index (innermost)
+    nq = pl.num_programs(2)
+    j = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < seq_len, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (bq, bk)
+
+    # dv += p^T @ dO
+    dv_scr[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale  # (bq, bk)
+    # dk += ds^T @ q
+    dk_scr[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == nq - 1)
+    def _final():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(
+    q, k, v, out, lse, do, scale: float, block_q: int, block_k: int,
+    interpret: bool,
+):
+    bh, s, dh = q.shape
+    bq = min(block_q, max(8, s))
+    bk = min(block_k, max(8, s))
+    s_pad_q = _cdiv(s, bq) * bq
+    s_pad_k = _cdiv(s, bk) * bk
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    def padq(x, val=0.0):
+        return jnp.pad(x, ((0, 0), (0, s_pad_q - s)) + ((0, 0),) * (x.ndim - 2),
+                       constant_values=val)
+
+    def padk(x):
+        return jnp.pad(x, ((0, 0), (0, s_pad_k - s)) + ((0, 0),) * (x.ndim - 2))
+
+    qp, dop, lsep, deltap = padq(q), padq(do), padq(lse, 1.0), padq(delta)
+    kp, vp = padk(k), padk(v)
+
+    q_spec = pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, bq), lambda b, i, j: (b, i),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, seq_len=s, block_k=bk),
+        grid=(bh, s_pad_q // bq, s_pad_k // bk),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, row_spec, row_spec],
+        out_specs=[q_spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, s_pad_q, dh), q.dtype)],
+        scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)[0][:, :s]
+
+    # dk/dv: swap loop order — k blocks outer, q blocks inner (sequential).
+    q_spec2 = pl.BlockSpec((1, bq, dh), lambda b, j, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    k_spec2 = pl.BlockSpec((1, bk, dh), lambda b, j, i: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec2 = pl.BlockSpec((1, bq), lambda b, j, i: (b, i),
+                             memory_space=pltpu.VMEM)
+
+    def _dkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+             dk_ref, dv_ref, dk_scr, dv_scr):
+        # program_id(1) = k block, program_id(2) = q block.
+        _dkv_kernel(
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+            dk_ref, dv_ref, dk_scr, dv_scr,
+            scale=scale, seq_len=s, block_k=bk,
+        )
+
+    dk, dv = pl.pallas_call(
+        _dkv,
+        grid=(bh, s_pad_k // bk, s_pad_q // bq),
+        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, row_spec2, row_spec2],
+        out_specs=[k_spec2, k_spec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad_k, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad_k, dh), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, dh), jnp.float32),
+            pltpu.VMEM((bk, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+    return dq, dk[:, :s], dv[:, :s]
+
+
+# ---------------------------------------------------------------------------
+# Public API with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def _flash_attention(q, k, v, scale, block_q, block_k, interpret):
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_attention_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_attention_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v, out, lse = res
+    dq, dk, dv = _flash_bwd(
+        q, k, v, out, lse, do, scale, block_q, block_k, interpret
+    )
+    return dq, dk, dv
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash attention over (B, H, S, Dh); drop-in for
+    :func:`tchvp_tpu.ops.attention.sdpa_xla` (no mask/dropout path)."""
+    b, h, s, dh = q.shape
+    scale = 1.0 / math.sqrt(dh) if scale is None else scale
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qf = q.reshape(b * h, s, dh)
+    kf = k.reshape(b * h, s, dh)
+    vf = v.reshape(b * h, s, dh)
+    out = _flash_attention(qf, kf, vf, scale, block_q, block_k, interpret)
+    return out.reshape(b, h, s, dh)

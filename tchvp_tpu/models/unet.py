@@ -23,7 +23,11 @@ class UNet(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, deterministic: bool = True
+    ) -> jnp.ndarray:
+        # ``deterministic`` accepted for train-step uniformity; UNet has no
+        # stochastic layers (reference UNet.py has no dropout either).
         f = self.config.init_features
         dt, pdt = self.dtype, self.param_dtype
 

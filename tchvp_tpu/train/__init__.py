@@ -1,1 +1,21 @@
-"""Subpackage placeholder — populated in this build."""
+"""Training flows: states, jitted steps, checkpointing, logging, loops."""
+
+from tchvp_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    human_param_count,
+    make_optimizer,
+    param_count,
+)
+from tchvp_tpu.train import checkpoint, logging, steps
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "human_param_count",
+    "make_optimizer",
+    "param_count",
+    "checkpoint",
+    "logging",
+    "steps",
+]

@@ -1,0 +1,92 @@
+"""Checkpoint / resume / transfer (survey §5.4).
+
+Capability-equivalent to the reference's two ``torch.save`` formats:
+* full training-state dict ``{epoch, model, optimizer, loss}``
+  (``FCT.py:368-373``, recovered AE_32K L301-306) -> :func:`save_state` /
+  :func:`restore_state`;
+* weights-only state_dict (``Model.py:182,186``) -> :func:`save_params` /
+  :func:`restore_params`;
+plus the transfer interface: partial (subtree) restore so a pretrained
+encoder can seed a new model whose decoder trains from scratch
+(AE_32K L233-245), combined with ``make_optimizer(frozen_prefixes=...)``.
+
+Backed by orbax (step-tagged directories, atomic writes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_state(
+    directory: str,
+    step: int,
+    params: Any,
+    opt_state: Any = None,
+    batch_stats: Any = None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Save a full training state under ``directory/step_{step}``."""
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    payload = {"params": _to_host(params), "step": step}
+    if opt_state is not None:
+        payload["opt_state"] = _to_host(opt_state)
+    if batch_stats is not None:
+        payload["batch_stats"] = _to_host(batch_stats)
+    if extra:
+        payload["extra"] = _to_host(extra)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, payload, force=True)
+    return path
+
+
+def restore_state(path: str, template: Optional[Any] = None) -> Dict[str, Any]:
+    """Restore a full training state saved by :func:`save_state`."""
+    ckpt = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckpt.restore(path, item=template)
+    return ckpt.restore(path)
+
+
+def save_params(directory: str, name: str, params: Any) -> str:
+    """Weights-only save (the Model.py:182 best-checkpoint pattern)."""
+    path = os.path.join(os.path.abspath(directory), name)
+    ocp.PyTreeCheckpointer().save(path, _to_host(params), force=True)
+    return path
+
+
+def restore_params(path: str) -> Any:
+    return ocp.PyTreeCheckpointer().restore(path)
+
+
+def restore_subtree(path: str, keys: Sequence[str]) -> Dict[str, Any]:
+    """Partial restore: load only the named top-level param subtrees
+    (e.g. ``("encoder",)``) — the AE_32K L233-236 encoder-transfer load."""
+    full = restore_params(path)
+    params = full.get("params", full)
+    return {k: params[k] for k in keys}
+
+
+def latest_step_dir(directory: str) -> Optional[str]:
+    """Most recent ``step_*`` checkpoint under ``directory`` for resume
+    (the reference's manual ``start`` epoch rewiring, FCT.py:312)."""
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        return None
+    steps = [
+        (int(d.split("_", 1)[1]), d)
+        for d in os.listdir(directory)
+        if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+    ]
+    if not steps:
+        return None
+    return os.path.join(directory, max(steps)[1])

@@ -1,0 +1,454 @@
+"""Training/eval/inference flows (survey layer L5).
+
+Four flows mirroring the reference's semantics, rebuilt around jitted
+steps, orbax checkpoints, TensorBoard-compatible logging, and mesh
+sharding:
+
+* :class:`DenoisingFlow`   — ``Model.fit/train/validate/test``
+  (``Model.py:24-207``): denoising AE, best-val-PSNR checkpoint, every-5-
+  epoch checkpoint + blackout-inpainting test with side-by-side sample dump.
+* :class:`SegmentationFlow` — ``FCT_FLOW.train/infer`` (``FCT.py:273-406``):
+  dice training with per-epoch sneak-peek dumps, best-train-loss full
+  checkpoint; working inference with on-device Sobel edge visualization
+  (the reference's ``infer`` is broken as written — survey §7.5).
+* :class:`TransferFlow`    — recovered AE_32K L222-326: load a pretrained
+  image AE, freeze the encoder, train a fresh mask decoder.
+* :class:`VideoFlow`       — recovered AE_256_32K/AE_64_4k train: noisy-
+  input clip reconstruction, periodic step-tagged checkpoints, resume.
+
+All flows accept any iterable dataset yielding uint8 numpy batches
+(CSV-manifest loaders or synthetic generators) and an optional
+``jax.sharding.Mesh`` for data parallelism. Run-on-import side effects
+(``FCT.py:410-412``, ``Model.py:211-212``) are replaced by the explicit
+CLI in :mod:`tchvp_tpu.cli`.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tchvp_tpu import losses
+from tchvp_tpu.config import AugmentConfig, TrainConfig
+from tchvp_tpu.models import FCT, AutoEncoder, Autoencoder32K, Decoder32K
+from tchvp_tpu.ops.sobel import sobel_edges
+from tchvp_tpu.parallel import make_mesh, replicate, shard_batch
+from tchvp_tpu.train import checkpoint as ckpt
+from tchvp_tpu.train import steps as steps_lib
+from tchvp_tpu.train.logging import SummaryWriter
+from tchvp_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    human_param_count,
+    make_optimizer,
+    param_count,
+)
+from tchvp_tpu.utils.imaging import save_sample_triplet, save_side_by_side
+
+
+def _mean_of(metric_sums: dict, n: int) -> dict:
+    return {k: v / max(n, 1) for k, v in metric_sums.items()}
+
+
+class _FlowBase:
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.writer: Optional[SummaryWriter] = None
+
+    def _writer(self) -> SummaryWriter:
+        if self.writer is None:
+            self.writer = SummaryWriter(
+                os.path.join(self.cfg.log_dir, self.cfg.model_name)
+            )
+        return self.writer
+
+    def _shard(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return jax.tree.map(jnp.asarray, batch)
+
+    def _replicate(self, state):
+        return replicate(state, self.mesh) if self.mesh is not None else state
+
+    def _log(self, tag: str, value: float, step: int):
+        self._writer().add_scalar(tag, value, step)
+
+
+class DenoisingFlow(_FlowBase):
+    """Image->image denoising/inpainting AE training (Model.py semantics)."""
+
+    def __init__(
+        self,
+        model: Optional[Any] = None,
+        cfg: TrainConfig = TrainConfig(),
+        image_size: int = 256,
+        aug: AugmentConfig = AugmentConfig(),
+        mesh=None,
+    ):
+        super().__init__(cfg, mesh)
+        self.model = model if model is not None else AutoEncoder()
+        self.image_size = image_size
+        self.aug = aug
+        self.state: Optional[TrainState] = None
+        self._train_step = steps_lib.make_denoising_train_step(
+            image_size, aug, cfg.loss, cfg.mixed_alpha, cfg.mixed_beta
+        )
+        self._eval_step = steps_lib.make_denoising_eval_step(image_size)
+        self._test_step = steps_lib.make_inpainting_test_step(image_size, aug)
+
+    def init_state(self, lr: Optional[float] = None) -> TrainState:
+        cfg = self.cfg
+        tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0)
+        example = jnp.zeros((1, self.image_size, self.image_size, 3))
+        self.state = self._replicate(
+            create_train_state(
+                self.model, example, tx, jax.random.PRNGKey(cfg.seed)
+            )
+        )
+        return self.state
+
+    def fit(
+        self,
+        train_data: Iterable,
+        val_data: Iterable,
+        test_data: Optional[Iterable] = None,
+        epochs: Optional[int] = None,
+        lr: Optional[float] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        if self.state is None:
+            self.init_state(lr)
+        print(f"Total parameters: {human_param_count(param_count(self.state.params))}")
+
+        best_val_psnr = -float("inf")
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            sums, n = {"loss": 0.0, "psnr": 0.0}, 0
+            for batch in train_data:
+                self.state, m = self._train_step(self.state, self._shard(batch))
+                sums = {k: sums[k] + float(m[k]) for k in sums}
+                n += 1
+            train_m = _mean_of(sums, n)
+
+            val_psnr = self.validate(val_data)
+            self._log("Loss/Train", train_m["loss"], epoch)
+            self._log("PSNR/Train", train_m["psnr"], epoch)
+            self._log("PSNR/Val", val_psnr, epoch)
+            print(
+                f"Epoch {epoch}: loss {train_m['loss']:.4f} "
+                f"train PSNR {train_m['psnr']:.2f} val PSNR {val_psnr:.2f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+
+            if val_psnr > best_val_psnr:  # best-val ckpt (Model.py:181-182)
+                best_val_psnr = val_psnr
+                ckpt.save_params(
+                    cfg.checkpoint_dir, cfg.model_name, self.state.params
+                )
+            if epoch % cfg.save_every == 0:  # periodic ckpt + test (Model.py:184-188)
+                ckpt.save_state(
+                    cfg.checkpoint_dir,
+                    epoch,
+                    self.state.params,
+                    self.state.opt_state,
+                    self.state.batch_stats,
+                    extra={"best_val_psnr": best_val_psnr},
+                )
+                if test_data is not None:
+                    test_psnr = self.test(test_data, epoch)
+                    self._log("PSNR/Test", test_psnr, epoch)
+        return self.state
+
+    def validate(self, val_data: Iterable) -> float:
+        total, n = 0.0, 0
+        for batch in val_data:
+            m = self._eval_step(self.state, self._shard(batch))
+            total += float(m["psnr"])
+            n += 1
+        return total / max(n, 1)
+
+    def test(self, test_data: Iterable, epoch: int = 0) -> float:
+        """Blackout-inpainting eval + stacked sample (Model.py:96-135)."""
+        total, n = 0.0, 0
+        rng = jax.random.PRNGKey(self.cfg.seed + epoch)
+        sample_at = max(len(test_data) // 2, 0) if hasattr(test_data, "__len__") else 0
+        for i, batch in enumerate(test_data):
+            rng, k = jax.random.split(rng)
+            m, corrupted, pred = self._test_step(self.state, self._shard(batch), k)
+            total += float(m["psnr"])
+            n += 1
+            if i == sample_at:
+                save_side_by_side(
+                    [np.asarray(corrupted[0]), np.asarray(pred[0])],
+                    os.path.join(
+                        self.cfg.sample_dir, self.cfg.model_name, f"{epoch}.jpg"
+                    ),
+                )
+        return total / max(n, 1)
+
+    def infer(self, batch: np.ndarray) -> np.ndarray:
+        """uint8 (B,H,W,3) -> reconstruction float (B,H,W,3)."""
+        from tchvp_tpu.data import pipeline
+
+        clean = pipeline.preprocess_images(jnp.asarray(batch), self.image_size)
+        out, _ = steps_lib._apply(self.state, self.state.params, clean, train=False)
+        return np.asarray(out[1])
+
+
+class SegmentationFlow(_FlowBase):
+    """Image->mask training + working inference (FCT_FLOW semantics)."""
+
+    def __init__(
+        self,
+        model: Optional[Any] = None,
+        cfg: TrainConfig = TrainConfig(model_name="FCT", loss="dice", lr=1e-3),
+        image_size: int = 256,
+        mesh=None,
+    ):
+        super().__init__(cfg, mesh)
+        self.model = model if model is not None else FCT()
+        self.image_size = image_size
+        self.state: Optional[TrainState] = None
+        self._train_step = steps_lib.make_segmentation_train_step(image_size, cfg.loss)
+        self._eval_step = steps_lib.make_segmentation_eval_step(image_size, cfg.loss)
+
+    def init_state(self, lr: Optional[float] = None) -> TrainState:
+        cfg = self.cfg
+        tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0)
+        example = jnp.zeros((1, self.image_size, self.image_size, 3))
+        self.state = self._replicate(
+            create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))
+        )
+        return self.state
+
+    def train(
+        self,
+        train_data: Iterable,
+        test_data: Optional[Iterable] = None,
+        epochs: int = 70,
+        lr: Optional[float] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state(lr)
+        best_loss = float("inf")
+        rng = np.random.default_rng(cfg.seed)
+        for epoch in range(1, epochs + 1):
+            sums, n = {"loss": 0.0, "iou": 0.0}, 0
+            nbatches = len(train_data) if hasattr(train_data, "__len__") else None
+            sneak = rng.integers(0, nbatches) if nbatches else 0
+            for i, batch in enumerate(train_data):
+                sharded = self._shard(batch)
+                self.state, m = self._train_step(self.state, sharded)
+                sums = {k: sums[k] + float(m[k]) for k in sums}
+                n += 1
+                if i == sneak:  # per-epoch sneak-peek (FCT.py:339-340)
+                    self._save_sneakpeek(epoch, batch)
+            train_m = _mean_of(sums, n)
+            self._log("Training Loss", sums["loss"], epoch)  # FCT.py:356 (sum)
+            print(
+                f"Epoch {epoch}: dice loss {train_m['loss']:.4f} IoU {train_m['iou']:.3f}"
+            )
+            if sums["loss"] < best_loss:  # best-train-loss ckpt (FCT.py:366-373)
+                best_loss = sums["loss"]
+                ckpt.save_state(
+                    cfg.checkpoint_dir,
+                    epoch,
+                    self.state.params,
+                    self.state.opt_state,
+                    self.state.batch_stats,
+                    extra={"loss": sums["loss"]},
+                )
+        return self.state
+
+    def _save_sneakpeek(self, epoch: int, batch) -> None:
+        from tchvp_tpu.data import pipeline
+
+        image_u8, mask_u8 = batch
+        x = pipeline.preprocess_images(jnp.asarray(image_u8[:1]), self.image_size)
+        y = pipeline.preprocess_images(jnp.asarray(mask_u8[:1]), self.image_size)
+        pred, _ = steps_lib._apply(self.state, self.state.params, x, train=False)
+        save_sample_triplet(
+            os.path.join(self.cfg.sample_dir, self.cfg.model_name),
+            epoch,
+            np.asarray(x),
+            np.asarray(y),
+            np.asarray(pred),
+        )
+
+    def restore(self, path: str) -> None:
+        restored = ckpt.restore_state(path)
+        self.init_state()
+        self.state = self.state.replace(params=restored["params"])
+
+    def infer(self, batch: np.ndarray, out_dir: Optional[str] = None) -> np.ndarray:
+        """uint8 images -> masks, with Sobel-edge side-by-side dumps — the
+        working equivalent of the broken reference ``FCT_FLOW.infer``
+        (FCT.py:378-406; survey §7.5)."""
+        from tchvp_tpu.data import pipeline
+
+        x = pipeline.preprocess_images(jnp.asarray(batch), self.image_size)
+        pred, _ = steps_lib._apply(self.state, self.state.params, x, train=False)
+        edges = sobel_edges(pred)
+        if out_dir:
+            for i in range(pred.shape[0]):
+                save_side_by_side(
+                    [np.asarray(x[i]), np.asarray(edges[i])],
+                    os.path.join(out_dir, f"image_{i}.jpg"),
+                )
+        return np.asarray(pred)
+
+
+class TransferFlow(_FlowBase):
+    """Frozen-encoder latent->mask transfer (recovered AE_32K L222-326).
+
+    Loads pretrained Autoencoder32K("image") params, freezes the encoder
+    subtree, and trains a fresh Decoder32K("mask") with dice loss.
+    """
+
+    def __init__(
+        self,
+        cfg: TrainConfig = TrainConfig(model_name="latent_to_mask", loss="dice"),
+        image_size: int = 256,
+        mesh=None,
+    ):
+        super().__init__(cfg, mesh)
+        self.image_size = image_size
+        from tchvp_tpu.config import ResNetAEConfig
+
+        self.model = Autoencoder32K(config=ResNetAEConfig(output_type="mask"))
+        self.state: Optional[TrainState] = None
+        # Autoencoder32K returns (latent, mask): select output 1 for the loss.
+        self._train_step = steps_lib.make_segmentation_train_step(
+            image_size, cfg.loss, output_index=1
+        )
+
+    def init_from_pretrained(
+        self, pretrained_params_path: Optional[str] = None, lr: float = 1e-3
+    ) -> TrainState:
+        cfg = self.cfg
+        tx = make_optimizer(
+            lr, cfg.weight_decay, grad_clip_norm=1.0, frozen_prefixes=("encoder",)
+        )
+        example = jnp.zeros((1, self.image_size, self.image_size, 3))
+        state = create_train_state(
+            self.model, example, tx, jax.random.PRNGKey(cfg.seed)
+        )
+        if pretrained_params_path:
+            encoder = ckpt.restore_subtree(pretrained_params_path, ("encoder",))
+            params = dict(state.params)
+            params["encoder"] = jax.tree.map(jnp.asarray, encoder["encoder"])
+            state = state.replace(params=params)
+        self.state = self._replicate(state)
+        return self.state
+
+    def train(self, train_data: Iterable, epochs: int = 10) -> TrainState:
+        assert self.state is not None, "call init_from_pretrained first"
+        best_loss = float("inf")
+        for epoch in range(1, epochs + 1):
+            sums, n = {"loss": 0.0, "iou": 0.0}, 0
+            for batch in train_data:
+                self.state, m = self._train_step(self.state, self._shard(batch))
+                sums = {k: sums[k] + float(m[k]) for k in sums}
+                n += 1
+            train_m = _mean_of(sums, n)
+            self._log("Training Loss", sums["loss"], epoch)
+            print(f"Transfer epoch {epoch}: dice {train_m['loss']:.4f}")
+            if sums["loss"] < best_loss:  # best-loss ckpt (AE_32K L299-306)
+                best_loss = sums["loss"]
+                ckpt.save_state(
+                    self.cfg.checkpoint_dir,
+                    epoch,
+                    self.state.params,
+                    self.state.opt_state,
+                    self.state.batch_stats,
+                )
+        return self.state
+
+
+class VideoFlow(_FlowBase):
+    """Clip-denoising training for the video pipeline (recovered
+    AE_256_32K L226-330: gaussian input noise, MixedLoss(0.3, 0.7),
+    checkpoint every N epochs, resume-from-checkpoint)."""
+
+    def __init__(
+        self,
+        model: Any,
+        cfg: TrainConfig = TrainConfig(model_name="video", loss="mixed"),
+        image_size: int = 256,
+        mesh=None,
+        loss_alpha: float = 0.3,
+        loss_beta: float = 0.7,
+    ):
+        super().__init__(cfg, mesh)
+        self.model = model
+        self.image_size = image_size
+        self.clip_example: Optional[Tuple[int, int]] = None
+        self.state: Optional[TrainState] = None
+        self._train_step = steps_lib.make_video_train_step(
+            image_size, cfg.loss, loss_alpha, loss_beta
+        )
+        self._eval_step = steps_lib.make_video_eval_step(image_size)
+
+    def init_state(self, clip_len: int, lr: Optional[float] = None) -> TrainState:
+        cfg = self.cfg
+        tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0)
+        example = jnp.zeros((1, clip_len, self.image_size, self.image_size, 3))
+        self.state = self._replicate(
+            create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))
+        )
+        return self.state
+
+    def resume(self, clip_len: int) -> int:
+        """Restore the latest step-tagged checkpoint; returns start epoch."""
+        path = ckpt.latest_step_dir(self.cfg.checkpoint_dir)
+        if path is None:
+            return 0
+        if self.state is None:
+            self.init_state(clip_len)
+        restored = ckpt.restore_state(path)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", self.state.batch_stats),
+        )
+        return int(restored.get("step", 0))
+
+    def train(
+        self,
+        train_data: Iterable,
+        epochs: int = 10,
+        clip_len: int = 8,
+        start_epoch: int = 0,
+        save_every: int = 10,
+    ) -> TrainState:
+        if self.state is None:
+            self.init_state(clip_len)
+        for epoch in range(start_epoch + 1, epochs + 1):
+            sums, n = {"loss": 0.0, "psnr": 0.0}, 0
+            for batch in train_data:
+                self.state, m = self._train_step(self.state, self._shard(batch))
+                sums = {k: sums[k] + float(m[k]) for k in sums}
+                n += 1
+            train_m = _mean_of(sums, n)
+            self._log("Loss/Train", train_m["loss"], epoch)
+            self._log("PSNR/Train", train_m["psnr"], epoch)
+            print(
+                f"Video epoch {epoch}: loss {train_m['loss']:.4f} "
+                f"PSNR {train_m['psnr']:.2f}"
+            )
+            if epoch % save_every == 0:  # every-10-epoch ckpt (AE_256_32K)
+                ckpt.save_state(
+                    self.cfg.checkpoint_dir,
+                    epoch,
+                    self.state.params,
+                    self.state.opt_state,
+                    self.state.batch_stats,
+                )
+        return self.state

@@ -1,0 +1,89 @@
+"""Train state: params + optimizer + batch stats + PRNG, and subtree freezing.
+
+Covers the reference's checkpoint-dict contents (``FCT.py:368-373``:
+epoch/model/optimizer/loss) and its transfer-learning trick — freezing the
+pretrained encoder and training a fresh decoder (recovered ``AE_32K.py``
+L233-245) — via an optax ``multi_transform`` that zeroes updates for frozen
+subtrees.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + mutable BatchNorm stats + a carried PRNG key."""
+
+    batch_stats: Any = None
+    rng: Optional[jax.Array] = None
+
+
+def create_train_state(
+    model,
+    example_input: Any,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    init_kwargs: Optional[dict] = None,
+) -> TrainState:
+    variables = model.init(rng, example_input, **(init_kwargs or {}))
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        batch_stats=variables.get("batch_stats"),
+        rng=rng,
+    )
+
+
+def make_optimizer(
+    lr: float,
+    weight_decay: float = 0.01,
+    grad_clip_norm: Optional[float] = None,
+    frozen_prefixes: Sequence[str] = (),
+) -> optax.GradientTransformation:
+    """AdamW (the reference's optimizer everywhere: FCT.py:305, Model.py:153,
+    AE_32K L250) with optional global-norm clipping and frozen subtrees.
+
+    ``frozen_prefixes``: top-level param-tree keys (e.g. ``("encoder",)``)
+    whose updates are zeroed — the JAX equivalent of
+    ``requires_grad=False`` on the pretrained encoder (AE_32K L237-238).
+    """
+    chain = []
+    if grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    chain.append(optax.adamw(lr, weight_decay=weight_decay))
+    tx = optax.chain(*chain)
+    if not frozen_prefixes:
+        return tx
+
+    def label_fn(params):
+        return {
+            k: ("frozen" if k in frozen_prefixes else "trainable")
+            for k in params.keys()
+        }
+
+    return optax.multi_transform(
+        {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
+    )
+
+
+def param_count(params: Any) -> int:
+    return sum(int(jnp.size(p)) for p in jax.tree.leaves(params))
+
+
+def human_param_count(n: int) -> str:
+    """Pretty-print like the reference (Model.py:150)."""
+    units = ["", "K", "M", "B", "T"]
+    i = 0
+    f = float(n)
+    while f >= 1000 and i < len(units) - 1:
+        f /= 1000.0
+        i += 1
+    return f"{f:.2f}{units[i]}"

@@ -1,0 +1,234 @@
+"""Jitted train/eval steps per workload (survey layer L5 hot loops).
+
+One compiled function per workload, end-to-end on device: uint8 batch in ->
+preprocess -> augment -> forward -> loss -> backward -> optimizer update.
+Under a mesh with dim-0-sharded batches and replicated params, XLA/GSPMD
+inserts the gradient psum over ICI automatically — the data-parallel
+equivalent of the reference's (absent) distributed layer.
+
+BatchNorm stats are computed over the *global* batch under GSPMD (sync-BN
+semantics; survey §7.4 decision: sync, documented here).
+
+Mirrors the reference hot loops: ``Model.train`` (Model.py:33-70, denoising
+AE), ``FCT_FLOW.train`` (FCT.py:317-374, segmentation), recovered AE_256_32K
+train (video AE).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tchvp_tpu import losses
+from tchvp_tpu.config import AugmentConfig
+from tchvp_tpu.data import pipeline
+from tchvp_tpu.train.state import TrainState
+
+Metrics = Dict[str, jnp.ndarray]
+
+
+def _loss_fn_by_name(name: str, alpha: float = 0.5, beta: float = 0.5) -> Callable:
+    if name == "mixed":
+        return functools.partial(losses.mixed_loss, alpha=alpha, beta=beta)
+    if name == "mse":
+        return lambda p, t: losses.mse(p, t)
+    if name == "dice":
+        return losses.dice_loss
+    raise ValueError(f"unknown loss {name!r}")
+
+
+def _apply(state: TrainState, params, x, train: bool, rngs=None, **kw):
+    """Model apply handling optional BatchNorm state."""
+    if state.batch_stats is not None:
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        if train:
+            out, mut = state.apply_fn(
+                variables, x, train=True, deterministic=False,
+                rngs=rngs, mutable=["batch_stats"], **kw,
+            )
+            return out, mut["batch_stats"]
+        return state.apply_fn(variables, x, **kw), None
+    variables = {"params": params}
+    if train:
+        return (
+            state.apply_fn(variables, x, deterministic=False, rngs=rngs, **kw),
+            None,
+        )
+    return state.apply_fn(variables, x, **kw), None
+
+
+def make_denoising_train_step(
+    image_size: int,
+    aug: AugmentConfig = AugmentConfig(),
+    loss: str = "mixed",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
+    """Denoising-AE step (Model.py:33-70): corrupt input, reconstruct clean.
+
+    Model must return ``(latent, recon)`` — AutoEncoder/Autoencoder32K.
+    """
+    loss_fn_inner = _loss_fn_by_name(loss, alpha, beta)
+
+    @jax.jit
+    def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
+        clean = pipeline.preprocess_images(batch, image_size)
+        rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+        corrupted = pipeline.augment_denoising(k_aug, clean, aug)
+
+        def loss_of(params):
+            out, new_stats = _apply(
+                state, params, corrupted, train=True, rngs={"dropout": k_drop}
+            )
+            recon = out[1]
+            return loss_fn_inner(recon, clean), (recon, new_stats)
+
+        (loss_val, (recon, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(rng=rng, batch_stats=new_stats or state.batch_stats)
+        return state, {"loss": loss_val, "psnr": losses.psnr(recon, clean)}
+
+    return step
+
+
+def make_denoising_eval_step(image_size: int) -> Callable:
+    """No-grad PSNR validation (Model.py:75-92)."""
+
+    @jax.jit
+    def step(state: TrainState, batch: jnp.ndarray) -> Metrics:
+        clean = pipeline.preprocess_images(batch, image_size)
+        out, _ = _apply(state, state.params, clean, train=False)
+        return {"psnr": losses.psnr(out[1], clean)}
+
+    return step
+
+
+def make_inpainting_test_step(
+    image_size: int, aug: AugmentConfig = AugmentConfig()
+) -> Callable:
+    """Test-time 32x32-blackout inpainting eval (Model.py:96-135).
+    Returns metrics plus (corrupted, prediction) for sample dumps."""
+
+    @jax.jit
+    def step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
+        clean = pipeline.preprocess_images(batch, image_size)
+        corrupted = pipeline.corrupt_for_test(rng, clean, aug)
+        out, _ = _apply(state, state.params, corrupted, train=False)
+        recon = out[1]
+        return {"psnr": losses.psnr(recon, clean)}, corrupted, recon
+
+    return step
+
+
+def make_segmentation_train_step(
+    image_size: int, loss: str = "dice", output_index: Optional[int] = None
+) -> Callable[[TrainState, Tuple[jnp.ndarray, jnp.ndarray]], Tuple[TrainState, Metrics]]:
+    """Supervised mask training step (FCT_FLOW.train, FCT.py:317-374).
+
+    Model maps image -> mask (FCT or UNet). ``output_index`` selects one
+    element when the model returns a tuple (e.g. Autoencoder32K("mask")
+    returns (latent, mask) — the transfer workload, AE_32K L277)."""
+    loss_fn_inner = _loss_fn_by_name(loss)
+
+    @jax.jit
+    def step(state: TrainState, batch) -> Tuple[TrainState, Metrics]:
+        image_u8, mask_u8 = batch
+        x = pipeline.preprocess_images(image_u8, image_size)
+        y = pipeline.preprocess_images(mask_u8, image_size)
+        rng, k_drop = jax.random.split(state.rng)
+
+        def loss_of(params):
+            pred, new_stats = _apply(
+                state, params, x, train=True, rngs={"dropout": k_drop}
+            )
+            if output_index is not None:
+                pred = pred[output_index]
+            return loss_fn_inner(pred, y), (pred, new_stats)
+
+        (loss_val, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(rng=rng, batch_stats=new_stats or state.batch_stats)
+        return state, {
+            "loss": loss_val,
+            "iou": losses.jaccard_score(pred > 0.5, y > 0.5),
+        }
+
+    return step
+
+
+def make_segmentation_eval_step(
+    image_size: int, loss: str = "dice", output_index: Optional[int] = None
+) -> Callable:
+    loss_fn_inner = _loss_fn_by_name(loss)
+
+    @jax.jit
+    def step(state: TrainState, batch) -> Metrics:
+        image_u8, mask_u8 = batch
+        x = pipeline.preprocess_images(image_u8, image_size)
+        y = pipeline.preprocess_images(mask_u8, image_size)
+        pred, _ = _apply(state, state.params, x, train=False)
+        if output_index is not None:
+            pred = pred[output_index]
+        return {
+            "loss": loss_fn_inner(pred, y),
+            "iou": losses.jaccard_score(pred > 0.5, y > 0.5),
+        }
+
+    return step
+
+
+def make_video_train_step(
+    image_size: int,
+    loss: str = "mixed",
+    alpha: float = 0.3,
+    beta: float = 0.7,
+    noise_std: float = 0.05,
+) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
+    """Video AE/pipeline step (recovered AE_256_32K L226-330 semantics:
+    gaussian input noise x0.05, MixedLoss(0.3, 0.7) reconstruction).
+
+    Model maps clip (B,T,H,W,3) -> (tokens, recon clip)."""
+    loss_fn_inner = _loss_fn_by_name(loss, alpha, beta)
+
+    @jax.jit
+    def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
+        clean = pipeline.preprocess_clip(batch, image_size)
+        rng, k_noise, k_drop = jax.random.split(state.rng, 3)
+        noisy = pipeline.gaussian_noise(k_noise, clean, noise_std)
+        b, t = clean.shape[0], clean.shape[1]
+
+        def loss_of(params):
+            (tokens, recon), new_stats = _apply(
+                state, params, noisy, train=True, rngs={"dropout": k_drop}
+            )
+            # MS-SSIM is a 2D metric: fold frames into batch.
+            flat_r = recon.reshape((b * t,) + recon.shape[2:])
+            flat_c = clean.reshape((b * t,) + clean.shape[2:])
+            return loss_fn_inner(flat_r, flat_c), (recon, new_stats)
+
+        (loss_val, (recon, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(rng=rng, batch_stats=new_stats or state.batch_stats)
+        return state, {"loss": loss_val, "psnr": losses.psnr(recon, clean)}
+
+    return step
+
+
+def make_video_eval_step(image_size: int) -> Callable:
+    @jax.jit
+    def step(state: TrainState, batch: jnp.ndarray) -> Metrics:
+        clean = pipeline.preprocess_clip(batch, image_size)
+        (tokens, recon), _ = _apply(state, state.params, clean, train=False)
+        return {"psnr": losses.psnr(recon, clean)}
+
+    return step

@@ -1,0 +1,158 @@
+"""End-to-end flow tests: each workload trains on synthetic data, writes
+checkpoints/logs/samples, and improves or at least computes finite losses.
+
+This formalizes the reference's implicit test strategy (survey §4): smoke
+chains + scalar monitoring, now as real assertions.
+"""
+
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tchvp_tpu.config import TrainConfig, TransformerConfig, VideoModelConfig
+from tchvp_tpu.data.synthetic import (
+    SyntheticClips,
+    SyntheticImageMasks,
+    SyntheticImages,
+)
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def test_denoising_flow(workdir):
+    from tchvp_tpu.train.loops import DenoisingFlow
+
+    cfg = TrainConfig(loss="mse", lr=1e-4, save_every=2, model_name="AE_TEST")
+    flow = DenoisingFlow(cfg=cfg, image_size=64)
+    data = SyntheticImages(2, 64, 2)
+    state = flow.fit(data, data, data, epochs=2)
+    assert state.step == 4  # 2 epochs x 2 batches
+    # Best-val weights-only ckpt + periodic full ckpt exist.
+    assert os.path.isdir("checkpoints/AE_TEST")
+    assert os.path.isdir("checkpoints/step_2")
+    # TensorBoard event file + JSONL metrics written.
+    assert glob.glob("runs/AE_TEST/events.out.tfevents.*")
+    assert os.path.exists("runs/AE_TEST/metrics.jsonl")
+    # Inpainting test wrote a side-by-side sample.
+    assert glob.glob("saved_samples/AE_TEST/*.jpg")
+
+
+def test_segmentation_flow_train_restore_infer(workdir):
+    from tchvp_tpu.train import checkpoint as ckpt
+    from tchvp_tpu.train.loops import SegmentationFlow
+
+    cfg = TrainConfig(model_name="FCT_TEST", loss="dice", lr=1e-4)
+    flow = SegmentationFlow(cfg=cfg, image_size=32)
+    data = SyntheticImageMasks(1, 32, 2)
+    flow.train(data, epochs=1)
+    assert glob.glob("saved_samples/FCT_TEST/*_predicted.jpg")
+
+    # Restore the best ckpt into a fresh flow and run working inference
+    # (the reference's infer is broken; ours must not be — survey §7.5).
+    path = ckpt.latest_step_dir("checkpoints")
+    assert path is not None
+    flow2 = SegmentationFlow(cfg=cfg, image_size=32)
+    flow2.restore(path)
+    batch = np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3), np.uint8)
+    masks = flow2.infer(batch, out_dir="inference_out")
+    assert masks.shape == (2, 32, 32, 1)
+    assert np.all((masks >= 0) & (masks <= 1))
+    assert len(glob.glob("inference_out/*.jpg")) == 2
+
+
+def test_transfer_flow_freezes_encoder(workdir):
+    import jax
+
+    from tchvp_tpu.train.loops import TransferFlow
+
+    cfg = TrainConfig(model_name="XFER_TEST", loss="dice")
+    flow = TransferFlow(cfg=cfg, image_size=64)
+    flow.init_from_pretrained(None, lr=1e-3)
+    enc_before = jax.tree.map(np.asarray, flow.state.params["encoder"])
+    dec_before = jax.tree.map(np.asarray, flow.state.params["decoder"])
+    flow.train(SyntheticImageMasks(1, 64, 2), epochs=1)
+    enc_after = flow.state.params["encoder"]
+    dec_after = flow.state.params["decoder"]
+    # Encoder frozen (AE_32K L237-238), decoder training.
+    for b, a in zip(jax.tree.leaves(enc_before), jax.tree.leaves(enc_after)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    changed = any(
+        not np.array_equal(np.asarray(b), np.asarray(a))
+        for b, a in zip(jax.tree.leaves(dec_before), jax.tree.leaves(dec_after))
+    )
+    assert changed
+
+
+def test_video_flow_train_and_resume(workdir):
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train.loops import VideoFlow
+
+    cfg = TrainConfig(model_name="VID_TEST", loss="mse", lr=1e-4)
+    model = VideoHybridNet(
+        config=VideoModelConfig(
+            temporal=TransformerConfig(
+                input_dim=64, hidden_dim=32, num_layers=1, num_heads=4
+            )
+        )
+    )
+    flow = VideoFlow(model, cfg=cfg, image_size=32)
+    data = SyntheticClips(1, 4, 32, 2)
+    flow.train(data, epochs=2, clip_len=4, save_every=2)
+    assert os.path.isdir("checkpoints/step_2")
+
+    # Resume from the step-tagged checkpoint (AE_256_32K resume pattern).
+    flow2 = VideoFlow(model, cfg=cfg, image_size=32)
+    start = flow2.resume(clip_len=4)
+    assert start == 2
+    flow2.train(data, epochs=3, clip_len=4, start_epoch=start, save_every=10)
+
+
+def test_checkpoint_roundtrip(workdir):
+    import jax
+
+    from tchvp_tpu.train import checkpoint as ckpt
+
+    params = {"layer": {"kernel": np.arange(6.0).reshape(2, 3)}}
+    path = ckpt.save_state("ck", 7, params, extra={"loss": [1.0, 0.5]})
+    restored = ckpt.restore_state(path)
+    assert restored["step"] == 7
+    np.testing.assert_array_equal(
+        restored["params"]["layer"]["kernel"], params["layer"]["kernel"]
+    )
+    # Subtree restore (transfer interface).
+    sub = ckpt.restore_subtree(path, ("layer",))
+    assert "kernel" in sub["layer"]
+
+
+def test_summary_writer_tfevents_format(workdir):
+    """The event file must carry valid TFRecord framing + our scalars."""
+    import struct
+
+    from tchvp_tpu.train.logging import SummaryWriter, _crc32c
+
+    w = SummaryWriter("logs")
+    w.add_scalar("Training Loss", 0.5, 1)
+    w.add_scalar("Training Loss", 0.25, 2)
+    w.close()
+
+    path = glob.glob("logs/events.out.tfevents.*")[0]
+    raw = open(path, "rb").read()
+    records = []
+    off = 0
+    while off < len(raw):
+        (length,) = struct.unpack_from("<Q", raw, off)
+        payload = raw[off + 12 : off + 12 + length]
+        records.append(payload)
+        off += 12 + length + 4
+    assert len(records) == 3  # version event + 2 scalars
+    assert b"brain.Event:2" in records[0]
+    assert b"Training Loss" in records[1]
+    # Known CRC32C test vector: crc32c(b"123456789") == 0xE3069283.
+    assert _crc32c(b"123456789") == 0xE3069283

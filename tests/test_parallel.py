@@ -1,0 +1,85 @@
+"""Sharded-path tests on the 8-virtual-CPU-device mesh (survey §4 rebuild
+strategy: exercise DP/multi-host logic without a TPU pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tchvp_tpu.parallel import (
+    batch_spec,
+    make_mesh,
+    replicate,
+    sequence_sharding,
+    shard_batch,
+)
+
+
+def test_mesh_and_batch_sharding():
+    mesh = make_mesh(("data",))
+    assert mesh.devices.size == 8
+    batch = np.ones((16, 8, 8, 3), np.float32)
+    sharded = shard_batch(batch, mesh)
+    assert sharded.sharding.spec == batch_spec(mesh, 4)
+    # Each device holds 16/8 = 2 rows.
+    shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+    assert shard_shapes == {(2, 8, 8, 3)}
+
+
+def test_2d_mesh_dp_sp():
+    mesh = make_mesh(("data", "seq"), (4, 2))
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 4, "seq": 2}
+    x = np.ones((8, 16, 32), np.float32)
+    s = jax.device_put(x, sequence_sharding(mesh, 3, seq_dim=1))
+    shard_shapes = {sh.data.shape for sh in s.addressable_shards}
+    assert shard_shapes == {(8, 8, 32)}
+
+
+def test_data_parallel_grad_matches_single_device():
+    """DP loss/grads under GSPMD == single-device computation."""
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(4)(x)
+
+    model = Tiny()
+    x = np.random.default_rng(0).normal(size=(16, 8)).astype(np.float32)
+    y = np.random.default_rng(1).normal(size=(16, 4)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss_fn(p, x, y):
+        return jnp.mean((model.apply({"params": p}, x) - y) ** 2)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, x, y)
+
+    mesh = make_mesh(("data",))
+    p_repl = replicate(params, mesh)
+    x_sh = shard_batch(x, mesh)
+    y_sh = shard_batch(y, mesh)
+    with mesh:
+        dp_loss, dp_grads = jax.jit(jax.value_and_grad(loss_fn))(p_repl, x_sh, y_sh)
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(dp_grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    lowered = jax.jit(fn).lower(*args)
+    assert lowered is not None  # traces + lowers without error
