@@ -12,6 +12,12 @@ from tchvp_tpu.models.resnet_ae import (
     tokens_to_latent,
 )
 from tchvp_tpu.models.transformer import TokenMultiheadAttention, TransformerEncoder
+from tchvp_tpu.models.streaming import (
+    StreamingConfig,
+    make_streamer,
+    stream_clip,
+    stream_video,
+)
 from tchvp_tpu.models.unet import UNet
 from tchvp_tpu.models.video import VideoHybridNet, sinusoidal_posenc
 
@@ -35,4 +41,8 @@ __all__ = [
     "UNet",
     "VideoHybridNet",
     "sinusoidal_posenc",
+    "StreamingConfig",
+    "make_streamer",
+    "stream_clip",
+    "stream_video",
 ]

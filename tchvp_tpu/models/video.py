@@ -74,6 +74,53 @@ class VideoHybridNet(nn.Module):
             param_dtype=self.param_dtype,
         )
 
+    def encode_clip(
+        self,
+        clip: jnp.ndarray,
+        train: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+        """(B, T, H, W, C) -> (tokens (B, T*tpf, D), latent (hh, ww)).
+
+        Frames fold into the batch so the encoder runs one large NHWC conv;
+        per-frame latent channels become temporal tokens (AE_256_32K
+        L118-119). ``(hh, ww)`` is static shape info for decode_tokens.
+        """
+        b, t = clip.shape[0], clip.shape[1]
+        frames = layout.fold_time(clip)  # (B*T, H, W, C)
+        latent = self.encoder(frames, train=train, deterministic=deterministic)
+        _, hh, ww, cc = latent.shape
+        tokens = latent_to_tokens(latent)  # (B*T, C', hh*ww)
+        return tokens.reshape(b, t * cc, tokens.shape[-1]), (hh, ww)
+
+    def temporal_mix(
+        self,
+        tokens: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Temporal transformer over (B, S, D) tokens (+ optional posenc)."""
+        if self.config.use_posenc:
+            s, d = tokens.shape[-2], tokens.shape[-1]
+            tokens = tokens + sinusoidal_posenc(s, d, dtype=tokens.dtype)[None]
+        return self.temporal(tokens, mask=mask, deterministic=deterministic)
+
+    def decode_tokens(
+        self,
+        tokens: jnp.ndarray,
+        hw: Tuple[int, int],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """(B, T*tpf, D) tokens -> (B, T, H, W, C') reconstructed frames."""
+        b = tokens.shape[0]
+        cc = self.config.tokens_per_frame
+        t = tokens.shape[1] // cc
+        latent_out = tokens_to_latent(
+            tokens.reshape(b * t, cc, tokens.shape[-1]), hw
+        )  # (B*T, hh, ww, C')
+        recon = self.decoder(latent_out, train=train)
+        return layout.unfold_time(recon, b)
+
     def __call__(
         self,
         clip: jnp.ndarray,
@@ -82,22 +129,7 @@ class VideoHybridNet(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """clip: (B, T, H, W, C) -> (tokens (B, T*tpf, D), recon (B, T, H, W, C'))."""
-        b, t = clip.shape[0], clip.shape[1]
-        frames = layout.fold_time(clip)  # (B*T, H, W, C)
-
-        latent = self.encoder(frames, train=train, deterministic=deterministic)
-        _, hh, ww, cc = latent.shape
-        tokens = latent_to_tokens(latent)  # (B*T, C', hh*ww)
-        d = tokens.shape[-1]
-        tokens = tokens.reshape(b, t * cc, d)  # temporal token sequence
-
-        if self.config.use_posenc:
-            tokens = tokens + sinusoidal_posenc(t * cc, d, dtype=tokens.dtype)[None]
-
-        tokens = self.temporal(tokens, mask=mask, deterministic=deterministic)
-
-        latent_out = tokens_to_latent(
-            tokens.reshape(b * t, cc, d), (hh, ww)
-        )  # (B*T, hh, ww, C')
-        recon = self.decoder(latent_out, train=train)
-        return tokens, layout.unfold_time(recon, b)
+        tokens, hw = self.encode_clip(clip, train=train, deterministic=deterministic)
+        tokens = self.temporal_mix(tokens, mask=mask, deterministic=deterministic)
+        recon = self.decode_tokens(tokens, hw, train=train)
+        return tokens, recon

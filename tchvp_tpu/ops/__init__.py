@@ -23,6 +23,7 @@ from tchvp_tpu.ops.blocks import (
     EncoderBlock,
 )
 from tchvp_tpu.ops.msssim import ms_ssim, ssim
+from tchvp_tpu.ops.tiling import pad_frames, tile_frames, untile_frames
 
 __all__ = [
     "avg_pool_2x2",
@@ -41,4 +42,7 @@ __all__ = [
     "EncoderBlock",
     "ms_ssim",
     "ssim",
+    "pad_frames",
+    "tile_frames",
+    "untile_frames",
 ]
