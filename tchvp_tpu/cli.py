@@ -7,7 +7,9 @@ survey §7.5 quirk registry) with one argparse driver:
     python -m tchvp_tpu.cli denoise --train-csv ... --epochs 250 --lr 1e-3
     python -m tchvp_tpu.cli segment --train-csv ... --epochs 70
     python -m tchvp_tpu.cli video   --train-csv ... --clip-len 8
+    python -m tchvp_tpu.cli video   --clippack clips.cpk  (native loader)
     python -m tchvp_tpu.cli transfer --pretrained checkpoints/IMAGE2IMAGE ...
+    python -m tchvp_tpu.cli pack --train-csv clips.csv --out clips.cpk
 
 With ``--synthetic N`` each workload runs hermetically on generated data
 (smoke/bench mode).
@@ -100,10 +102,15 @@ def cmd_video(args) -> None:
         data = SyntheticClips(
             args.batch_size, args.clip_len, args.image_size, args.synthetic
         )
+    elif args.clippack:
+        from tchvp_tpu.data.clippack import ClipPackDataset
+
+        data = ClipPackDataset(args.clippack, args.batch_size)
     else:
         if not args.train_csv:
             raise SystemExit(
-                "video: provide --train-csv (a clip manifest) or --synthetic N"
+                "video: provide --train-csv (a clip manifest), --clippack, "
+                "or --synthetic N"
             )
         from tchvp_tpu.data.manifest import ClipDataset
 
@@ -143,6 +150,19 @@ def cmd_transfer(args) -> None:
     flow.train(train, epochs=args.epochs)
 
 
+def cmd_pack(args) -> None:
+    """Offline: decode a clip CSV manifest into a clippack file once, so
+    training epochs stream from the native mmap loader."""
+    from tchvp_tpu.data.clippack import pack_from_manifest
+
+    if not args.train_csv or not args.out:
+        raise SystemExit("pack: provide --train-csv and --out")
+    n, t = pack_from_manifest(
+        args.train_csv, args.out, args.image_size, args.clip_len or None
+    )
+    print(f"packed {n} clips x {t} frames -> {args.out}")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser("tchvp_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -152,16 +172,21 @@ def main(argv=None) -> None:
         ("segment", cmd_segment),
         ("video", cmd_video),
         ("transfer", cmd_transfer),
+        ("pack", cmd_pack),
     ):
         p = sub.add_parser(name)
         _add_common(p)
         p.set_defaults(fn=fn)
         if name == "video":
             p.add_argument("--clip-len", type=int, default=8)
+            p.add_argument("--clippack", default=None)
             p.add_argument("--resume", action="store_true")
             p.add_argument("--save-every", type=int, default=10)
         if name == "transfer":
             p.add_argument("--pretrained", default=None)
+        if name == "pack":
+            p.add_argument("--out", default=None)
+            p.add_argument("--clip-len", type=int, default=0)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -1,6 +1,11 @@
-"""Data layer (survey L1): CSV manifests, synthetic generators, on-device
-preprocessing + augmentation."""
+"""Data layer (survey L1): CSV manifests, packed-clip native loader,
+synthetic generators, on-device preprocessing + augmentation."""
 
+from tchvp_tpu.data.clippack import (
+    ClipPackDataset,
+    pack_clips,
+    pack_from_manifest,
+)
 from tchvp_tpu.data.manifest import (
     ClipDataset,
     ImageDataset,
@@ -12,6 +17,9 @@ from tchvp_tpu.data.synthetic import SyntheticClips, SyntheticImageMasks, Synthe
 from tchvp_tpu.data import pipeline
 
 __all__ = [
+    "ClipPackDataset",
+    "pack_clips",
+    "pack_from_manifest",
     "ClipDataset",
     "ImageDataset",
     "ImageMaskDataset",

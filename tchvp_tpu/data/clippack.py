@@ -1,0 +1,308 @@
+"""ClipPack: packed clip storage + native prefetching loader bindings.
+
+The production ingest path for the video pipeline. Clips are decoded once
+(offline, :func:`pack_clips` / :func:`pack_from_manifest`) into a single
+mmap-able uint8 file; at train time the C++ runtime (``native/clippack.cc``)
+assembles shuffled batches on worker threads into a bounded ring, off the
+GIL, so host IO overlaps device compute. The reference instead re-decodes
+every JPEG per epoch on the Python main thread (``Dataloader.py:17-23``,
+recovered ``dataset.py`` L27-30).
+
+`ClipPackDataset` yields ``(B, T, H, W, C)`` uint8 numpy batches — the same
+contract as :class:`tchvp_tpu.data.manifest.ClipDataset` — and falls back
+to a pure-NumPy mmap reader when no C++ toolchain is available, so the
+format works everywhere and the native path is a strict speedup.
+
+Deterministic: epoch ``e`` is shuffled with seed ``seed + e`` in both the
+native and fallback paths (identical mt19937_64 Fisher-Yates), so batches
+match bit-for-bit across implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+_MAGIC = 0x4B504C43  # 'CLPK'
+_VERSION = 1
+_HEADER_INTS = 8
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_SRC = os.path.join(_REPO_ROOT, "native", "clippack.cc")
+_NATIVE_LIB = os.path.join(_REPO_ROOT, "native", "build", "libclippack.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+def pack_clips(path: str, clips: np.ndarray) -> None:
+    """Write (N, T, H, W, C) uint8 clips to a clippack file."""
+    clips = np.ascontiguousarray(clips, dtype=np.uint8)
+    if clips.ndim != 5:
+        raise ValueError(f"expected (N, T, H, W, C), got {clips.shape}")
+    header = np.array(
+        [_MAGIC, _VERSION, *clips.shape, 0], dtype="<i8"
+    )
+    assert header.size == _HEADER_INTS
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(clips.tobytes())
+
+
+def pack_from_manifest(
+    csv_file: str,
+    out_path: str,
+    image_size: int = 256,
+    clip_len: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Decode a clip CSV manifest (one row = one clip of frame paths) into
+    a clippack file; returns (n_clips, clip_len). One-time offline cost."""
+    from tchvp_tpu.data.manifest import ClipDataset
+
+    ds = ClipDataset(
+        csv_file, batch_size=1, image_size=image_size, clip_len=clip_len,
+        shuffle=False,
+    )
+    clips = [batch[0] for batch in ds]
+    if not clips:
+        raise ValueError(f"no complete clips in {csv_file}")
+    arr = np.stack(clips)
+    pack_clips(out_path, arr)
+    return arr.shape[0], arr.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Native library loading (compiled on demand, cached)
+# ---------------------------------------------------------------------------
+
+
+def _build_native() -> Optional[str]:
+    """Compile native/clippack.cc -> libclippack.so if needed."""
+    if not os.path.exists(_NATIVE_SRC):
+        return None
+    if os.path.exists(_NATIVE_LIB) and os.path.getmtime(
+        _NATIVE_LIB
+    ) >= os.path.getmtime(_NATIVE_SRC):
+        return _NATIVE_LIB
+    os.makedirs(os.path.dirname(_NATIVE_LIB), exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        _NATIVE_SRC, "-o", _NATIVE_LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return _NATIVE_LIB
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    so = _build_native()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.clippack_open.restype = ctypes.c_void_p
+    lib.clippack_open.argtypes = [ctypes.c_char_p]
+    lib.clippack_info.restype = ctypes.c_int
+    lib.clippack_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.clippack_read.restype = ctypes.c_int
+    lib.clippack_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.clippack_close.restype = None
+    lib.clippack_close.argtypes = [ctypes.c_void_p]
+    lib.loader_create.restype = ctypes.c_void_p
+    lib.loader_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.loader_next.restype = ctypes.c_int64
+    lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+    lib.loader_destroy.restype = None
+    lib.loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# Shuffle parity with the C++ runtime
+# ---------------------------------------------------------------------------
+
+
+class _MT19937_64:
+    """Minimal std::mt19937_64 (for bit-exact shuffle parity with C++)."""
+
+    N, M = 312, 156
+    MATRIX_A = 0xB5026F5AA96619E9
+    UPPER = 0xFFFFFFFF80000000
+    LOWER = 0x7FFFFFFF
+
+    def __init__(self, seed: int):
+        self.mt = [0] * self.N
+        self.mt[0] = seed & 0xFFFFFFFFFFFFFFFF
+        for i in range(1, self.N):
+            self.mt[i] = (
+                6364136223846793005 * (self.mt[i - 1] ^ (self.mt[i - 1] >> 62)) + i
+            ) & 0xFFFFFFFFFFFFFFFF
+        self.mti = self.N
+
+    def next(self) -> int:
+        if self.mti >= self.N:
+            for i in range(self.N):
+                x = (self.mt[i] & self.UPPER) | (self.mt[(i + 1) % self.N] & self.LOWER)
+                xa = (x >> 1) ^ (self.MATRIX_A if x & 1 else 0)
+                self.mt[i] = self.mt[(i + self.M) % self.N] ^ xa
+            self.mti = 0
+        y = self.mt[self.mti]
+        self.mti += 1
+        y ^= (y >> 29) & 0x5555555555555555
+        y ^= (y << 17) & 0x71D67FFFEDA60000
+        y ^= (y << 37) & 0xFFF7EEE000000000
+        y ^= y >> 43
+        return y
+
+
+def _uniform_int(rng: _MT19937_64, b: int) -> int:
+    """libstdc++ std::uniform_int_distribution<int64>(0, b) draw."""
+    # Range = b + 1; libstdc++ downscales a 64-bit draw by rejection.
+    rng_range = 0xFFFFFFFFFFFFFFFF  # mt19937_64 max - min = 2^64 - 1
+    urange = b
+    if urange == rng_range:
+        return rng.next()
+    uerange = urange + 1
+    scaling = rng_range // uerange
+    limit = uerange * scaling
+    while True:
+        v = rng.next()
+        if v < limit:
+            return v // scaling
+
+
+def epoch_permutation(n: int, seed: int, epoch: int, shuffle: bool) -> np.ndarray:
+    """The exact permutation the C++ loader uses for ``epoch``."""
+    perm = np.arange(n, dtype=np.int64)
+    if shuffle:
+        rng = _MT19937_64((seed + epoch) & 0xFFFFFFFFFFFFFFFF)
+        for i in range(n - 1, 0, -1):
+            j = _uniform_int(rng, i)
+            perm[i], perm[j] = perm[j], perm[i]
+    return perm
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+class ClipPackDataset:
+    """Iterate shuffled (B, T, H, W, C) uint8 batches from a clippack file.
+
+    Uses the native threaded loader when available; otherwise a NumPy mmap
+    fallback producing identical batches. Iterating again continues to the
+    next epoch (fresh shuffle), mirroring the epoch semantics of the
+    Python loaders.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_threads: int = 4,
+        prefer_native: bool = True,
+    ):
+        self.path = path
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+        self._native = prefer_native and native_available()
+
+        if self._native:
+            lib = _load_lib()
+            self._reader = lib.clippack_open(path.encode())
+            if not self._reader:
+                raise OSError(f"not a clippack file: {path}")
+            info = (ctypes.c_int64 * 5)()
+            lib.clippack_info(self._reader, info)
+            self.n, self.t, self.h, self.w, self.c = (int(v) for v in info)
+            self._loader = lib.loader_create(
+                self._reader, batch_size, int(shuffle), seed, num_threads, 0
+            )
+            if not self._loader:
+                raise ValueError(f"batch {batch_size} > {self.n} clips")
+        else:
+            header = np.fromfile(path, dtype="<i8", count=_HEADER_INTS)
+            if header[0] != _MAGIC or header[1] != _VERSION:
+                raise OSError(f"not a clippack file: {path}")
+            self.n, self.t, self.h, self.w, self.c = (int(v) for v in header[2:7])
+            self._mm = np.memmap(
+                path,
+                dtype=np.uint8,
+                mode="r",
+                offset=_HEADER_INTS * 8,
+                shape=(self.n, self.t, self.h, self.w, self.c),
+            )
+        if batch_size > self.n:
+            raise ValueError(f"batch {batch_size} > {self.n} clips")
+
+    @property
+    def clip_shape(self) -> Tuple[int, int, int, int]:
+        return (self.t, self.h, self.w, self.c)
+
+    def __len__(self) -> int:
+        return self.n // self.batch_size
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if self._native:
+            lib = _load_lib()
+            out = np.empty(
+                (self.batch_size, self.t, self.h, self.w, self.c), np.uint8
+            )
+            ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            for _ in range(len(self)):
+                lib.loader_next(self._loader, ptr)
+                yield out.copy()
+            self._epoch += 1
+        else:
+            perm = epoch_permutation(self.n, self.seed, self._epoch, self.shuffle)
+            self._epoch += 1
+            for b in range(len(self)):
+                idx = perm[b * self.batch_size : (b + 1) * self.batch_size]
+                yield np.stack([self._mm[i] for i in idx])
+
+    def close(self) -> None:
+        if self._native and self._loader:
+            lib = _load_lib()
+            lib.loader_destroy(self._loader)
+            lib.clippack_close(self._reader)
+            self._loader = None
+            self._reader = None
+
+    def __del__(self):  # pragma: no cover - best effort
+        try:
+            self.close()
+        except Exception:
+            pass

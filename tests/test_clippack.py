@@ -1,0 +1,122 @@
+"""ClipPack format + native threaded loader (build-new host runtime).
+
+Covers: pack/read roundtrip, native vs NumPy-fallback batch parity
+(bit-exact shuffles), multi-epoch coverage (every clip exactly once per
+epoch), determinism across loader instances, and corrupt-file rejection.
+"""
+
+import numpy as np
+import pytest
+
+from tchvp_tpu.data import clippack
+
+
+def _make_pack(tmp_path, n=12, t=2, h=4, w=6, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    clips = rng.integers(0, 256, (n, t, h, w, c), dtype=np.uint8)
+    path = str(tmp_path / "clips.cpk")
+    clippack.pack_clips(path, clips)
+    return path, clips
+
+
+def test_pack_and_sequential_read(tmp_path):
+    path, clips = _make_pack(tmp_path)
+    ds = clippack.ClipPackDataset(path, batch_size=4, shuffle=False,
+                                  prefer_native=False)
+    assert ds.clip_shape == clips.shape[1:]
+    got = np.concatenate(list(ds))
+    np.testing.assert_array_equal(got, clips)
+
+
+def test_native_builds_and_loads(tmp_path):
+    assert clippack.native_available(), "g++ toolchain should build the lib"
+    path, clips = _make_pack(tmp_path)
+    ds = clippack.ClipPackDataset(path, batch_size=3, shuffle=False)
+    assert ds._native
+    got = np.concatenate(list(ds))
+    np.testing.assert_array_equal(got, clips)
+    ds.close()
+
+
+@pytest.mark.skipif(not clippack.native_available(), reason="no toolchain")
+def test_native_matches_fallback_shuffled(tmp_path):
+    """The C++ mt19937_64 Fisher-Yates and the Python replica must produce
+    identical batches — native is a drop-in speedup, not a new ordering."""
+    path, _ = _make_pack(tmp_path, n=17)
+    nat = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=7)
+    ref = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=7,
+                                   prefer_native=False)
+    assert nat._native and not ref._native
+    for epoch in range(3):
+        for a, b in zip(nat, ref):
+            np.testing.assert_array_equal(a, b)
+    nat.close()
+
+
+def test_epoch_covers_all_clips_once(tmp_path):
+    path, clips = _make_pack(tmp_path, n=16)
+    ds = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=3)
+    seen = np.concatenate(list(ds))
+    # Sort both by bytes to compare as multisets.
+    key = lambda arr: sorted(x.tobytes() for x in arr)  # noqa: E731
+    assert key(seen) == key(clips)
+    # Second epoch: same multiset, different order.
+    seen2 = np.concatenate(list(ds))
+    assert key(seen2) == key(clips)
+    assert any(
+        x.tobytes() != y.tobytes() for x, y in zip(seen, seen2)
+    ), "epochs should reshuffle"
+    ds.close()
+
+
+def test_deterministic_across_instances(tmp_path):
+    path, _ = _make_pack(tmp_path, n=10)
+    mk = lambda: clippack.ClipPackDataset(  # noqa: E731
+        path, batch_size=2, shuffle=True, seed=5
+    )
+    a, b = mk(), mk()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    a.close(); b.close()
+
+
+def test_drop_last(tmp_path):
+    path, _ = _make_pack(tmp_path, n=10)
+    ds = clippack.ClipPackDataset(path, batch_size=4, prefer_native=False)
+    assert len(ds) == 2
+    assert sum(1 for _ in ds) == 2
+
+
+def test_rejects_corrupt_file(tmp_path):
+    bad = tmp_path / "bad.cpk"
+    bad.write_bytes(b"not a clippack file at all" * 4)
+    with pytest.raises(OSError):
+        clippack.ClipPackDataset(str(bad), batch_size=1, prefer_native=False)
+    if clippack.native_available():
+        with pytest.raises(OSError):
+            clippack.ClipPackDataset(str(bad), batch_size=1)
+
+
+def test_pack_from_manifest_roundtrip(tmp_path):
+    """CSV manifest of frame images -> clippack -> batches."""
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(1)
+    rows = []
+    for clip_i in range(3):
+        paths = []
+        for frame_i in range(2):
+            img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            p = tmp_path / f"c{clip_i}_f{frame_i}.png"
+            PIL.fromarray(img).save(p)
+            paths.append(str(p))
+        rows.append(",".join(paths))
+    csv_file = tmp_path / "clips.csv"
+    csv_file.write_text("\n".join(rows) + "\n")
+
+    out = str(tmp_path / "packed.cpk")
+    n, t = clippack.pack_from_manifest(str(csv_file), out, image_size=8)
+    assert (n, t) == (3, 2)
+    ds = clippack.ClipPackDataset(out, batch_size=1, shuffle=False,
+                                  prefer_native=False)
+    batches = list(ds)
+    assert len(batches) == 3 and batches[0].shape == (1, 2, 8, 8, 3)
