@@ -87,7 +87,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         l = l_scr[:]
         safe_l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows (padding)
         o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:] + jnp.log(safe_l))[:, 0]
+        lse_ref[0] = m_scr[:] + jnp.log(safe_l)  # (bq, 1)
 
 
 def _flash_fwd(
@@ -123,12 +123,15 @@ def _flash_fwd(
         out_specs=[
             pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i),
+            # lse rides as (BH, S, 1): a (1, bq) block over a 2-D array
+            # violates Mosaic's (8, 128) min-tile rule; with a trailing
+            # unit dim the block's last dim equals the array's (allowed).
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, s_pad_q, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, s_pad_q), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s_pad_q, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -137,7 +140,7 @@ def _flash_fwd(
         ],
         interpret=interpret,
     )(q, k, v)
-    return out[:, :s], lse[:, :s]
+    return out[:, :s], lse[:, :s, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -158,8 +161,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]  # (bq, 1)
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]  # (bq, 1)
+    delta = delta_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -196,8 +199,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]  # (bq, 1)
+    delta = delta_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -244,14 +247,16 @@ def _flash_bwd(
     def padk(x):
         return jnp.pad(x, ((0, 0), (0, s_pad_k - s)) + ((0, 0),) * (x.ndim - 2))
 
-    qp, dop, lsep, deltap = padq(q), padq(do), padq(lse, 1.0), padq(delta)
+    # lse/delta ride as (BH, S, 1) — see the forward's out_specs comment.
+    qp, dop = padq(q), padq(do)
+    lsep, deltap = padq(lse[..., None], 1.0), padq(delta[..., None])
     kp, vp = padk(k), padk(v)
 
     q_spec = pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0),
                           memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, bq), lambda b, i, j: (b, i),
+    row_spec = pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
@@ -269,7 +274,7 @@ def _flash_bwd(
                            memory_space=pltpu.VMEM)
     k_spec2 = pl.BlockSpec((1, bk, dh), lambda b, j, i: (b, j, 0),
                            memory_space=pltpu.VMEM)
-    row_spec2 = pl.BlockSpec((1, bq), lambda b, j, i: (b, i),
+    row_spec2 = pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
 
     def _dkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -297,6 +302,299 @@ def _flash_bwd(
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, deltap)
     return dq, dk[:, :s], dv[:, :s]
+
+
+# ---------------------------------------------------------------------------
+# Banded (overlapping-window) kernels: query window i attends to key
+# windows {i-1, i} — the streaming temporal pattern (BASELINE configs 2/4).
+# Compute and memory are O(S * window); the grid visits exactly 2 k-blocks
+# per q-block instead of S/block.
+# ---------------------------------------------------------------------------
+
+
+def _win_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                    acc_scr, *, scale: float, seq_len: int, window: int):
+    i = pl.program_id(1)  # q window
+    j = pl.program_id(2)  # 0 = previous window, 1 = own window
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    # Key block index jb = i-1+j (the BlockSpec clamps the load; masking
+    # here supplies the semantics). Mask: jb < 0 (window 0 has no
+    # predecessor) and the zero-padded sequence tail.
+    jb = i - 1 + j
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jb * window
+    valid = (jb >= 0) & (col < seq_len)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[:] = m_new
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0].astype(jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 1)
+    def _final():
+        l = l_scr[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(safe_l)  # (window, 1)
+
+
+def _win_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   acc_scr, *, scale: float, seq_len: int, window: int):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # (window, 1)
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    jb = i - 1 + j
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jb * window
+    s = jnp.where((jb >= 0) & (col < seq_len), s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    acc_scr[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 1)
+    def _final():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _win_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    scale: float, seq_len: int, window: int, nq: int):
+    jkb = pl.program_id(1)  # key window
+    j = pl.program_id(2)    # 0 = own q window, 1 = next q window
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # (window, 1)
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    # Query window ib = jkb + j; contributes iff it exists (ib < nq).
+    # Key-column validity (jb >= 0 never fails here; tail padding does).
+    ib = jkb + j
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jkb * window
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ib * window
+    valid = (ib < nq) & (col < seq_len) & (row < seq_len)
+    s = jnp.where(valid, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    p = jnp.where(valid, p, 0.0)  # lse=1 pad rows would give exp(-inf-1)=0 anyway
+
+    dv_scr[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale
+    dk_scr[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 1)
+    def _final():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _win_fwd(q, k, v, scale: float, window: int, interpret: bool):
+    """q,k,v: (BH, S, Dh) -> (out, lse); window-banded attention."""
+    bh, s, dh = q.shape
+    s_pad = _cdiv(s, window) * window
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    nq = s_pad // window
+
+    # Clamped previous-window load for j==0 at i==0 (masked in-kernel).
+    qkv_spec_q = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i, 0),
+                              memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (1, window, dh),
+        lambda b, i, j: (b, jnp.maximum(i - 1 + j, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _win_fwd_kernel, scale=scale, seq_len=s, window=window
+        ),
+        grid=(bh, nq, 2),
+        in_specs=[qkv_spec_q, kv_spec, kv_spec],
+        out_specs=[
+            qkv_spec_q,
+            pl.BlockSpec((1, window, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((window, 1), jnp.float32),
+            pltpu.VMEM((window, 1), jnp.float32),
+            pltpu.VMEM((window, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :s], lse[:, :s, 0]
+
+
+def _win_bwd(q, k, v, out, lse, do, scale: float, window: int,
+             interpret: bool):
+    bh, s, dh = q.shape
+    s_pad = _cdiv(s, window) * window
+    nq = s_pad // window
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    def pad3(x):
+        return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    qp, kp, vp, dop = pad3(q), pad3(k), pad3(v), pad3(do)
+    # lse/delta ride as (BH, S, 1) — Mosaic min-tile rule (see _flash_fwd).
+    # Zero-padded lse rows are safe: their logits are fully masked, so
+    # p = exp(NEG_INF - 0) = 0.
+    lsep, deltap = pad3(lse[..., None]), pad3(delta[..., None])
+
+    q_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (1, window, dh),
+        lambda b, i, j: (b, jnp.maximum(i - 1 + j, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec((1, window, 1), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _win_dq_kernel, scale=scale, seq_len=s, window=window
+        ),
+        grid=(bh, nq, 2),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=[q_spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, s_pad, dh), q.dtype)],
+        scratch_shapes=[pltpu.VMEM((window, dh), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)[0][:, :s]
+
+    # dk/dv: grid over key windows; q window ib = jkb + j (clamped load,
+    # masked in-kernel when ib >= nq).
+    k_spec2 = pl.BlockSpec((1, window, dh), lambda b, jkb, j: (b, jkb, 0),
+                           memory_space=pltpu.VMEM)
+    q_spec2 = pl.BlockSpec(
+        (1, window, dh),
+        lambda b, jkb, j: (b, jnp.minimum(jkb + j, pl.num_programs(1) - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec2 = pl.BlockSpec(
+        (1, window, 1),
+        lambda b, jkb, j: (b, jnp.minimum(jkb + j, pl.num_programs(1) - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _win_dkv_kernel, scale=scale, seq_len=s, window=window, nq=nq
+        ),
+        grid=(bh, nq, 2),
+        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, row_spec2, row_spec2],
+        out_specs=[k_spec2, k_spec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad, dh), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((window, dh), jnp.float32),
+            pltpu.VMEM((window, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+    return dq, dk[:, :s], dv[:, :s]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _windowed_attention(q, k, v, scale, window, interpret):
+    out, _ = _win_fwd(q, k, v, scale, window, interpret)
+    return out
+
+
+def _windowed_attention_fwd(q, k, v, scale, window, interpret):
+    out, lse = _win_fwd(q, k, v, scale, window, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _windowed_attention_bwd(scale, window, interpret, res, do):
+    q, k, v, out, lse = res
+    return _win_bwd(q, k, v, out, lse, do, scale, window, interpret)
+
+
+_windowed_attention.defvjp(_windowed_attention_fwd, _windowed_attention_bwd)
+
+
+def windowed_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    window_size: int,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Banded flash attention over (B, H, S, Dh): each query window of
+    ``window_size`` tokens attends to its own + the previous window — the
+    Pallas counterpart of :func:`tchvp_tpu.ops.attention.sdpa_windowed`
+    with O(S * window) compute and memory."""
+    b, h, s, dh = q.shape
+    scale = 1.0 / math.sqrt(dh) if scale is None else scale
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qf = q.reshape(b * h, s, dh)
+    kf = k.reshape(b * h, s, dh)
+    vf = v.reshape(b * h, s, dh)
+    out = _windowed_attention(qf, kf, vf, scale, window_size, interpret)
+    return out.reshape(b, h, s, dh)
 
 
 # ---------------------------------------------------------------------------

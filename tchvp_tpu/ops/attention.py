@@ -131,7 +131,12 @@ def multi_head_attention(
     if impl == "flash" and mask is None:
         from tchvp_tpu.kernels import flash_attention
 
-        out = flash_attention.mha(qh, kh, vh, scale=scale)
+        if window_size > 0:
+            out = flash_attention.windowed_mha(
+                qh, kh, vh, window_size=window_size, scale=scale
+            )
+        else:
+            out = flash_attention.mha(qh, kh, vh, scale=scale)
     elif impl == "windowed" and window_size > 0 and mask is None:
         out = sdpa_windowed(qh, kh, vh, window_size=window_size, scale=scale)
     else:

@@ -1,4 +1,4 @@
-"""Utilities: image artifact dumps, misc helpers."""
+"""Utilities: image artifact dumps, profiling hooks, misc helpers."""
 
 from tchvp_tpu.utils.imaging import (
     save_image,
@@ -6,5 +6,14 @@ from tchvp_tpu.utils.imaging import (
     save_side_by_side,
     to_uint8,
 )
+from tchvp_tpu.utils.profiling import StepTimer, annotate, trace
 
-__all__ = ["save_image", "save_sample_triplet", "save_side_by_side", "to_uint8"]
+__all__ = [
+    "save_image",
+    "save_sample_triplet",
+    "save_side_by_side",
+    "to_uint8",
+    "StepTimer",
+    "annotate",
+    "trace",
+]
