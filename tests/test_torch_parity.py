@@ -179,3 +179,65 @@ def test_layernorm_matches_torch():
     }
     j_out = m.apply({"params": params}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(_np(j_out), t_out.numpy(), atol=1e-5)
+
+
+def test_transformer_encoder_matches_torch_replica():
+    """The recovered TransformerEncoder semantics (TransformerEncoder.py
+    L6-126: ReLU'd q/k/v, 1/sqrt(input_dim) scaling, post-norm residuals,
+    Linear-ReLU-Linear FFN, x sqrt(0.5) output scale) re-expressed with
+    torch primitives must match the flax module in eval mode."""
+    import math
+
+    from tchvp_tpu.config import TransformerConfig
+    from tchvp_tpu.models import TransformerEncoder
+
+    d, hdim, heads, b, s = 16, 24, 4, 2, 6
+    cfg = TransformerConfig(
+        input_dim=d, hidden_dim=hdim, num_layers=2, num_heads=heads,
+        dropout_rate=0.0, relu_qkv=True, scale_out=True,
+    )
+    m = TransformerEncoder(config=cfg)
+    x_np = np.random.default_rng(0).normal(size=(b, s, d)).astype(np.float32)
+    variables = m.init(KEY, jnp.asarray(x_np))
+    params = variables["params"]
+
+    x = torch.tensor(x_np)
+    dh = d // heads
+    for layer in range(cfg.num_layers):
+        attn = params[f"attention_{layer}"]
+
+        def lin(p, t):
+            w = torch.tensor(np.asarray(p["kernel"]))  # (in, out)
+            bb = torch.tensor(np.asarray(p["bias"]))
+            return t @ w + bb
+
+        q = torch.relu(lin(attn["q_linear"], x))
+        k = torch.relu(lin(attn["k_linear"], x))
+        v = torch.relu(lin(attn["v_linear"], x))
+        # contiguous-chunk head split: (B, S, D) -> (B, H, S, Dh)
+        qh = q.reshape(b, s, heads, dh).permute(0, 2, 1, 3)
+        kh = k.reshape(b, s, heads, dh).permute(0, 2, 1, 3)
+        vh = v.reshape(b, s, heads, dh).permute(0, 2, 1, 3)
+        logits = qh @ kh.transpose(-1, -2) / math.sqrt(d)  # full-dim scale
+        w = torch.softmax(logits, dim=-1)
+        o = (w @ vh).permute(0, 2, 1, 3).reshape(b, s, d)
+        attn_out = lin(attn["out_linear"], o)
+
+        x = x + attn_out
+        ln1 = params[f"norm1_{layer}"]
+        x = torch.nn.functional.layer_norm(
+            x, (d,), torch.tensor(np.asarray(ln1["scale"])),
+            torch.tensor(np.asarray(ln1["bias"])), eps=1e-5,
+        )
+        h = torch.relu(lin(params[f"ffn1_{layer}"], x))
+        h = lin(params[f"ffn2_{layer}"], h)
+        x = x + h
+        ln2 = params[f"norm2_{layer}"]
+        x = torch.nn.functional.layer_norm(
+            x, (d,), torch.tensor(np.asarray(ln2["scale"])),
+            torch.tensor(np.asarray(ln2["bias"])), eps=1e-5,
+        )
+        x = x * math.sqrt(0.5)
+
+    got = m.apply(variables, jnp.asarray(x_np), deterministic=True)
+    np.testing.assert_allclose(_np(got), x.detach().numpy(), atol=2e-5)
