@@ -74,7 +74,9 @@ class FCTConfig:
     stochastic_depth_rate: float = 0.0  # FCT.py:217 (computed, rate 0.0)
     dropout_rate: float = 0.3  # FCT.py:146,176
     out_channels: int = 1
-    attn_impl: str = "xla"  # "xla" | "flash"
+    # "auto" = Pallas flash on TPU (faster + much cheaper to compile for
+    # the H*W-token spatial attention), XLA einsum elsewhere.
+    attn_impl: str = "auto"  # "auto" | "xla" | "flash"
 
 
 @dataclasses.dataclass(frozen=True)

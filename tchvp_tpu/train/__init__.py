@@ -8,8 +8,12 @@ from tchvp_tpu.train.state import (
     param_count,
 )
 from tchvp_tpu.train import checkpoint, logging, steps
+from tchvp_tpu.train.health import HealthMonitor, TrainingDiverged, recover_latest
 
 __all__ = [
+    "HealthMonitor",
+    "TrainingDiverged",
+    "recover_latest",
     "TrainState",
     "create_train_state",
     "human_param_count",

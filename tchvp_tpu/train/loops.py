@@ -427,13 +427,35 @@ class VideoFlow(_FlowBase):
         clip_len: int = 8,
         start_epoch: int = 0,
         save_every: int = 10,
+        health: Optional["HealthMonitor"] = None,
     ) -> TrainState:
+        """``health``: optional :class:`tchvp_tpu.train.health.HealthMonitor`;
+        on sustained NaN loss the flow restores the latest step-tagged
+        checkpoint (or raises TrainingDiverged when none exists)."""
+        from tchvp_tpu.train.health import HealthMonitor, TrainingDiverged, recover_latest
+
         if self.state is None:
             self.init_state(clip_len)
         for epoch in range(start_epoch + 1, epochs + 1):
             sums, n = {"loss": 0.0, "psnr": 0.0}, 0
             for batch in train_data:
                 self.state, m = self._train_step(self.state, self._shard(batch))
+                if health is not None:
+                    status = health.check(float(m["loss"]))
+                    if status == "spike":
+                        print(f"[health] loss spike at epoch {epoch}: "
+                              f"{float(m['loss']):.4f} vs ema {health.ema:.4f}")
+                    if health.diverged:
+                        self.state, step = recover_latest(
+                            self.state, self.cfg.checkpoint_dir
+                        )
+                        if step is None:
+                            raise TrainingDiverged(
+                                f"NaN loss for {health.nan_tolerance} steps "
+                                f"and no checkpoint to restore"
+                            )
+                        print(f"[health] diverged; restored checkpoint step {step}")
+                        health.consecutive_nan = 0
                 sums = {k: sums[k] + float(m[k]) for k in sums}
                 n += 1
             train_m = _mean_of(sums, n)

@@ -47,6 +47,7 @@ def make_optimizer(
     weight_decay: float = 0.01,
     grad_clip_norm: Optional[float] = None,
     frozen_prefixes: Sequence[str] = (),
+    skip_nonfinite_updates: int = 0,
 ) -> optax.GradientTransformation:
     """AdamW (the reference's optimizer everywhere: FCT.py:305, Model.py:153,
     AE_32K L250) with optional global-norm clipping and frozen subtrees.
@@ -54,24 +55,32 @@ def make_optimizer(
     ``frozen_prefixes``: top-level param-tree keys (e.g. ``("encoder",)``)
     whose updates are zeroed — the JAX equivalent of
     ``requires_grad=False`` on the pretrained encoder (AE_32K L237-238).
+
+    ``skip_nonfinite_updates``: > 0 wraps the optimizer in
+    ``optax.apply_if_finite(n)`` — a NaN/inf gradient step becomes a no-op
+    (in-graph failure protection, survey §5.3 build-new subsystem); after
+    ``n`` consecutive bad steps updates pass through again so divergence
+    surfaces instead of silently spinning.
     """
     chain = []
     if grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
     chain.append(optax.adamw(lr, weight_decay=weight_decay))
     tx = optax.chain(*chain)
-    if not frozen_prefixes:
-        return tx
+    if frozen_prefixes:
 
-    def label_fn(params):
-        return {
-            k: ("frozen" if k in frozen_prefixes else "trainable")
-            for k in params.keys()
-        }
+        def label_fn(params):
+            return {
+                k: ("frozen" if k in frozen_prefixes else "trainable")
+                for k in params.keys()
+            }
 
-    return optax.multi_transform(
-        {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
-    )
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
+        )
+    if skip_nonfinite_updates > 0:
+        tx = optax.apply_if_finite(tx, skip_nonfinite_updates)
+    return tx
 
 
 def param_count(params: Any) -> int:
