@@ -33,10 +33,13 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
 SIZE = int(os.environ.get("BENCH_SIZE", "224"))
 ATTN = os.environ.get("BENCH_ATTN", "xla")
+# >0 enables overlapping-window temporal attention (BASELINE config 2),
+# in tokens: window = frames_per_window * tokens_per_frame (8).
+WINDOW = int(os.environ.get("BENCH_WINDOW", "0"))
 
 
 def main() -> None:
-    cfg = flagship_video_config(image_size=SIZE, attn_impl=ATTN)
+    cfg = flagship_video_config(image_size=SIZE, attn_impl=ATTN, window_size=WINDOW)
     model = VideoHybridNet(config=cfg, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -87,7 +90,7 @@ def main() -> None:
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "p50_clip_latency_ms": round(med / BATCH * 1000, 2),
                 "device": str(jax.devices()[0]),
-                "attn_impl": ATTN,
+                "attn_impl": ATTN + (f"+win{WINDOW}" if WINDOW else ""),
             }
         )
     )

@@ -59,7 +59,9 @@ struct Reader {
 
 struct Loader {
   Reader* reader = nullptr;
-  int batch = 0;
+  int batch = 0;        // clips this loader assembles per global batch
+  int global_batch = 0; // clips per global batch across all shards
+  int shard_id = 0;     // this host's slice of each global batch
   bool shuffle = true;
   uint64_t seed = 0;
   int64_t batches_per_epoch = 0;
@@ -116,7 +118,11 @@ struct Loader {
         // only if ring <= batches_per_epoch; cache regeneration is cheap
         // either way because production order is monotone in b.
         int64_t epoch = b / batches_per_epoch;
-        int64_t off = (b % batches_per_epoch) * batch;
+        // Global batch b holds perm[b*GB : (b+1)*GB]; this shard takes
+        // its contiguous slice — every host shares the permutation, so
+        // the concatenation of all shards IS the single-host batch.
+        int64_t off = (b % batches_per_epoch) * global_batch +
+                      static_cast<int64_t>(shard_id) * batch;
         ensure_perm(epoch);
         for (int i = 0; i < batch; ++i) clips[i] = perm[off + i];
       }
@@ -202,16 +208,26 @@ void clippack_close(void* reader) {
   delete r;
 }
 
+// shard_id/num_shards: multi-host input sharding. Each host creates a
+// loader with its shard_id; all hosts share (seed, global batch), so host
+// slices concatenate to exactly the single-host batch. num_shards <= 0
+// means unsharded (1 shard).
 void* loader_create(void* reader, int batch, int shuffle, uint64_t seed,
-                    int nthreads, int ring_slots) {
+                    int nthreads, int ring_slots, int shard_id,
+                    int num_shards) {
   auto* r = static_cast<Reader*>(reader);
-  if (!r || batch <= 0 || batch > r->n) return nullptr;
+  if (num_shards <= 0) num_shards = 1;
+  if (!r || batch <= 0 || shard_id < 0 || shard_id >= num_shards) return nullptr;
+  int64_t global_batch = static_cast<int64_t>(batch) * num_shards;
+  if (global_batch > r->n) return nullptr;
   auto* l = new Loader;
   l->reader = r;
   l->batch = batch;
+  l->global_batch = static_cast<int>(global_batch);
+  l->shard_id = shard_id;
   l->shuffle = shuffle != 0;
   l->seed = seed;
-  l->batches_per_epoch = r->n / batch;  // drop-last
+  l->batches_per_epoch = r->n / global_batch;  // drop-last
   if (nthreads <= 0) nthreads = 2;
   if (ring_slots <= 0) ring_slots = 2 * nthreads;
   l->slots.assign(ring_slots,

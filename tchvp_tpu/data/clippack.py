@@ -131,7 +131,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.loader_create.restype = ctypes.c_void_p
     lib.loader_create.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.loader_next.restype = ctypes.c_int64
     lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
@@ -222,6 +222,12 @@ class ClipPackDataset:
     fallback producing identical batches. Iterating again continues to the
     next epoch (fresh shuffle), mirroring the epoch semantics of the
     Python loaders.
+
+    Multi-host input sharding (``shard_id``/``num_shards``): every host
+    shares (seed, shuffle) so all see the same epoch permutation; host i
+    assembles only slice i of each *global* batch
+    (``batch_size * num_shards`` clips). Concatenating the shards
+    reproduces the single-host batch exactly.
     """
 
     def __init__(
@@ -232,11 +238,17 @@ class ClipPackDataset:
         seed: int = 0,
         num_threads: int = 4,
         prefer_native: bool = True,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
         self.path = path
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self._epoch = 0
         self._native = prefer_native and native_available()
 
@@ -249,10 +261,13 @@ class ClipPackDataset:
             lib.clippack_info(self._reader, info)
             self.n, self.t, self.h, self.w, self.c = (int(v) for v in info)
             self._loader = lib.loader_create(
-                self._reader, batch_size, int(shuffle), seed, num_threads, 0
+                self._reader, batch_size, int(shuffle), seed, num_threads, 0,
+                shard_id, num_shards,
             )
             if not self._loader:
-                raise ValueError(f"batch {batch_size} > {self.n} clips")
+                raise ValueError(
+                    f"global batch {batch_size * num_shards} > {self.n} clips"
+                )
         else:
             header = np.fromfile(path, dtype="<i8", count=_HEADER_INTS)
             if header[0] != _MAGIC or header[1] != _VERSION:
@@ -265,15 +280,17 @@ class ClipPackDataset:
                 offset=_HEADER_INTS * 8,
                 shape=(self.n, self.t, self.h, self.w, self.c),
             )
-        if batch_size > self.n:
-            raise ValueError(f"batch {batch_size} > {self.n} clips")
+        if batch_size * num_shards > self.n:
+            raise ValueError(
+                f"global batch {batch_size * num_shards} > {self.n} clips"
+            )
 
     @property
     def clip_shape(self) -> Tuple[int, int, int, int]:
         return (self.t, self.h, self.w, self.c)
 
     def __len__(self) -> int:
-        return self.n // self.batch_size
+        return self.n // (self.batch_size * self.num_shards)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         if self._native:
@@ -289,8 +306,10 @@ class ClipPackDataset:
         else:
             perm = epoch_permutation(self.n, self.seed, self._epoch, self.shuffle)
             self._epoch += 1
+            gb = self.batch_size * self.num_shards
             for b in range(len(self)):
-                idx = perm[b * self.batch_size : (b + 1) * self.batch_size]
+                off = b * gb + self.shard_id * self.batch_size
+                idx = perm[off : off + self.batch_size]
                 yield np.stack([self._mm[i] for i in idx])
 
     def close(self) -> None:

@@ -1,5 +1,6 @@
 """Parallelism layer: mesh construction, shardings, multi-host helpers."""
 
+from tchvp_tpu.parallel.input import GlobalBatchLoader, sharded_clippack_loader
 from tchvp_tpu.parallel.mesh import (
     batch_spec,
     host_local_batch_slice,
@@ -11,6 +12,8 @@ from tchvp_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "GlobalBatchLoader",
+    "sharded_clippack_loader",
     "batch_spec",
     "host_local_batch_slice",
     "initialize_distributed",

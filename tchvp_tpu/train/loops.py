@@ -386,6 +386,7 @@ class VideoFlow(_FlowBase):
         mesh=None,
         loss_alpha: float = 0.3,
         loss_beta: float = 0.7,
+        remat: bool = False,
     ):
         super().__init__(cfg, mesh)
         self.model = model
@@ -393,7 +394,7 @@ class VideoFlow(_FlowBase):
         self.clip_example: Optional[Tuple[int, int]] = None
         self.state: Optional[TrainState] = None
         self._train_step = steps_lib.make_video_train_step(
-            image_size, cfg.loss, loss_alpha, loss_beta
+            image_size, cfg.loss, loss_alpha, loss_beta, remat=remat
         )
         self._eval_step = steps_lib.make_video_eval_step(image_size)
 

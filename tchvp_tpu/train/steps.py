@@ -71,10 +71,13 @@ def make_denoising_train_step(
     """Denoising-AE step (Model.py:33-70): corrupt input, reconstruct clean.
 
     Model must return ``(latent, recon)`` — AutoEncoder/Autoencoder32K.
+
+    The input state is donated: XLA reuses its param/optimizer HBM buffers
+    for the returned state instead of allocating fresh ones.
     """
     loss_fn_inner = _loss_fn_by_name(loss, alpha, beta)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
         clean = pipeline.preprocess_images(batch, image_size)
         rng, k_aug, k_drop = jax.random.split(state.rng, 3)
@@ -136,7 +139,7 @@ def make_segmentation_train_step(
     returns (latent, mask) — the transfer workload, AE_32K L277)."""
     loss_fn_inner = _loss_fn_by_name(loss)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch) -> Tuple[TrainState, Metrics]:
         image_u8, mask_u8 = batch
         x = pipeline.preprocess_images(image_u8, image_size)
@@ -191,24 +194,35 @@ def make_video_train_step(
     alpha: float = 0.3,
     beta: float = 0.7,
     noise_std: float = 0.05,
+    remat: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
     """Video AE/pipeline step (recovered AE_256_32K L226-330 semantics:
     gaussian input noise x0.05, MixedLoss(0.3, 0.7) reconstruction).
 
-    Model maps clip (B,T,H,W,3) -> (tokens, recon clip)."""
+    Model maps clip (B,T,H,W,3) -> (tokens, recon clip). The input state
+    is donated (HBM buffer reuse). ``remat=True`` rematerializes the
+    forward during backprop (jax.checkpoint) — trades ~30% more FLOPs for
+    activation memory, the lever for long clips / big batches
+    (BASELINE config 3)."""
     loss_fn_inner = _loss_fn_by_name(loss, alpha, beta)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
         clean = pipeline.preprocess_clip(batch, image_size)
         rng, k_noise, k_drop = jax.random.split(state.rng, 3)
         noisy = pipeline.gaussian_noise(k_noise, clean, noise_std)
         b, t = clean.shape[0], clean.shape[1]
 
-        def loss_of(params):
-            (tokens, recon), new_stats = _apply(
-                state, params, noisy, train=True, rngs={"dropout": k_drop}
+        def forward(params, x):
+            return _apply(
+                state, params, x, train=True, rngs={"dropout": k_drop}
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_of(params):
+            (tokens, recon), new_stats = forward(params, noisy)
             # MS-SSIM is a 2D metric: fold frames into batch.
             flat_r = recon.reshape((b * t,) + recon.shape[2:])
             flat_c = clean.reshape((b * t,) + clean.shape[2:])

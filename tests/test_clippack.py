@@ -120,3 +120,49 @@ def test_pack_from_manifest_roundtrip(tmp_path):
                                   prefer_native=False)
     batches = list(ds)
     assert len(batches) == 3 and batches[0].shape == (1, 2, 8, 8, 3)
+
+
+def test_sharded_loaders_concatenate_to_unsharded(tmp_path):
+    """Multi-host input sharding: hosts share the epoch permutation and
+    take contiguous slices, so shard batches concatenate to exactly the
+    single-host global batch — native and fallback paths alike."""
+    path, _ = _make_pack(tmp_path, n=24)
+    for native in (False, True):
+        if native and not clippack.native_available():
+            continue
+        whole = clippack.ClipPackDataset(
+            path, batch_size=8, seed=11, prefer_native=native
+        )
+        shards = [
+            clippack.ClipPackDataset(
+                path, batch_size=4, seed=11, prefer_native=native,
+                shard_id=i, num_shards=2,
+            )
+            for i in range(2)
+        ]
+        assert len(whole) == len(shards[0]) == 3
+        for b_whole, b0, b1 in zip(whole, *shards):
+            np.testing.assert_array_equal(np.concatenate([b0, b1]), b_whole)
+        for ds in shards:
+            ds.close()
+        whole.close()
+
+
+def test_global_batch_loader_over_mesh(tmp_path):
+    """GlobalBatchLoader assembles per-host batches into mesh-sharded
+    global jax.Arrays (single-process here: local == global)."""
+    import jax
+
+    from tchvp_tpu.parallel import make_mesh, sharded_clippack_loader
+
+    path, clips = _make_pack(tmp_path, n=16)
+    mesh = make_mesh(("data",))
+    loader = sharded_clippack_loader(path, global_batch=8, mesh=mesh, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0].shape == (8,) + clips.shape[1:]
+    assert batches[0].sharding.spec == jax.sharding.PartitionSpec(
+        "data", None, None, None, None
+    )
+    got = np.concatenate([np.asarray(b) for b in batches])
+    np.testing.assert_array_equal(got, clips)

@@ -156,3 +156,45 @@ def test_summary_writer_tfevents_format(workdir):
     assert b"Training Loss" in records[1]
     # Known CRC32C test vector: crc32c(b"123456789") == 0xE3069283.
     assert _crc32c(b"123456789") == 0xE3069283
+
+
+def test_video_step_remat_matches_no_remat():
+    """jax.checkpoint must not change numerics, only memory."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tchvp_tpu.config import ResNetAEConfig, TransformerConfig, VideoModelConfig
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train import create_train_state, make_optimizer
+    from tchvp_tpu.train.steps import make_video_train_step
+
+    size = 16
+    cfg = VideoModelConfig(
+        encoder=ResNetAEConfig(layers=(1, 1), token_latent=True),
+        temporal=TransformerConfig(
+            input_dim=(size // 4) ** 2, hidden_dim=8, num_layers=1, num_heads=2
+        ),
+    )
+    model = VideoHybridNet(config=cfg)
+    batch = np.random.default_rng(0).integers(
+        0, 255, (2, 2, size, size, 3), dtype=np.uint8
+    )
+
+    def run(remat):
+        state = create_train_state(
+            model,
+            jnp.zeros((2, 2, size, size, 3)),
+            make_optimizer(1e-3),
+            jax.random.PRNGKey(0),
+        )
+        step = make_video_train_step(size, loss="mse", remat=remat)
+        state, m = step(state, jnp.asarray(batch))
+        return float(m["loss"]), jax.tree.leaves(
+            jax.tree.map(np.asarray, state.params)
+        )[0]
+
+    l0, p0 = run(False)
+    l1, p1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-6)
