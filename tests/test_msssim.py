@@ -1,0 +1,124 @@
+"""SSIM / MS-SSIM numerics (survey §7.4 hard part: matching
+pytorch_msssim's algorithm without the dependency).
+
+Pins the JAX implementation against an independent scipy-based reference
+(same published algorithm: 11-tap gaussian sigma 1.5, K1/K2 defaults,
+valid padding, 5-scale Wang weights), plus identity/symmetry/monotonicity
+properties and the MixedLoss composition.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.ndimage import convolve1d
+
+from tchvp_tpu.losses import mixed_loss
+from tchvp_tpu.ops.msssim import ms_ssim, ssim
+
+_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _gauss(size=11, sigma=1.5):
+    c = np.arange(size) - (size - 1) / 2.0
+    g = np.exp(-(c**2) / (2 * sigma**2))
+    return g / g.sum()
+
+
+def _blur_valid(x, w):
+    """Separable gaussian, VALID crop, NHWC numpy."""
+    y = convolve1d(x, w, axis=1, mode="constant")
+    y = convolve1d(y, w, axis=2, mode="constant")
+    k = (len(w) - 1) // 2
+    return y[:, k:-k, k:-k, :]
+
+
+def _ssim_ref(a, b, data_range=1.0, K1=0.01, K2=0.03):
+    """Independent per-scale SSIM + contrast-structure (numpy/scipy)."""
+    w = _gauss()
+    C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+    mu_a, mu_b = _blur_valid(a, w), _blur_valid(b, w)
+    saa = _blur_valid(a * a, w) - mu_a**2
+    sbb = _blur_valid(b * b, w) - mu_b**2
+    sab = _blur_valid(a * b, w) - mu_a * mu_b
+    cs = (2 * sab + C2) / (saa + sbb + C2)
+    lum = (2 * mu_a * mu_b + C1) / (mu_a**2 + mu_b**2 + C1)
+    return (lum * cs).mean(), cs.mean()
+
+
+def _ms_ssim_ref(a, b, data_range=1.0):
+    """5-scale MS-SSIM with 2x avg-pool downsampling, ReLU'd terms."""
+    vals = []
+    for i, wt in enumerate(_WEIGHTS):
+        s, cs = _ssim_ref(a, b, data_range)
+        vals.append(max(s if i == len(_WEIGHTS) - 1 else cs, 0.0))
+        if i < len(_WEIGHTS) - 1:
+            # 2x average pool (crop odd edge), NHWC
+            h, w2 = a.shape[1] // 2 * 2, a.shape[2] // 2 * 2
+            a = a[:, :h, :w2].reshape(a.shape[0], h // 2, 2, w2 // 2, 2, -1).mean((2, 4))
+            b = b[:, :h, :w2].reshape(b.shape[0], h // 2, 2, w2 // 2, 2, -1).mean((2, 4))
+    out = 1.0
+    for v, wt in zip(vals, _WEIGHTS):
+        out *= v**wt
+    return out
+
+
+def _imgs(shape=(2, 192, 192, 3), seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(size=shape).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=shape), 0, 1).astype(np.float32)
+    return a, b
+
+
+def test_ssim_identity_and_range():
+    a, b = _imgs()
+    assert float(ssim(jnp.asarray(a), jnp.asarray(a))) == pytest.approx(1.0, abs=1e-5)
+    v = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert 0.0 < v < 1.0
+
+
+def test_ssim_matches_scipy_reference():
+    a, b = _imgs(shape=(1, 64, 64, 3))
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    want, _ = _ssim_ref(a, b)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_ms_ssim_matches_scipy_reference():
+    a, b = _imgs(shape=(1, 192, 192, 3), seed=3)
+    got = float(ms_ssim(jnp.asarray(a), jnp.asarray(b)))
+    want = _ms_ssim_ref(a, b)
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_ms_ssim_identity_and_monotonicity():
+    a, _ = _imgs(shape=(1, 176, 176, 3))
+    one = float(ms_ssim(jnp.asarray(a), jnp.asarray(a)))
+    assert one == pytest.approx(1.0, abs=1e-5)
+    rng = np.random.default_rng(1)
+    small = np.clip(a + rng.normal(scale=0.02, size=a.shape), 0, 1).astype(np.float32)
+    big = np.clip(a + rng.normal(scale=0.2, size=a.shape), 0, 1).astype(np.float32)
+    v_small = float(ms_ssim(jnp.asarray(a), jnp.asarray(small)))
+    v_big = float(ms_ssim(jnp.asarray(a), jnp.asarray(big)))
+    assert one > v_small > v_big
+
+
+def test_ms_ssim_symmetry():
+    a, b = _imgs(shape=(1, 176, 176, 1), seed=5)
+    v1 = float(ms_ssim(jnp.asarray(a), jnp.asarray(b)))
+    v2 = float(ms_ssim(jnp.asarray(b), jnp.asarray(a)))
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+
+def test_mixed_loss_composition():
+    """MixedLoss = alpha*(1 - ms_ssim) + beta*MSE (Metrics.py:50-57)."""
+    a, b = _imgs(shape=(1, 176, 176, 3), seed=7)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    alpha, beta = 0.3, 0.7
+    got = float(mixed_loss(aj, bj, alpha=alpha, beta=beta))
+    want = alpha * (1.0 - float(ms_ssim(aj, bj))) + beta * float(
+        jnp.mean((aj - bj) ** 2)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert float(mixed_loss(aj, aj, alpha=alpha, beta=beta)) == pytest.approx(
+        0.0, abs=1e-5
+    )
