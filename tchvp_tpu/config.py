@@ -119,8 +119,12 @@ class TransformerConfig:
     dropout_rate: float = 0.1
     relu_qkv: bool = True
     scale_out: bool = True
-    attn_impl: str = "xla"  # "xla" | "flash" | "windowed"
+    attn_impl: str = "xla"  # "xla" | "flash" | "windowed" | "auto"
     window_size: int = 0  # 0 = full attention; >0 = overlapping windows
+    # Mesh axis name for tensor-parallel activation sharding (q/k/v heads
+    # and the FFN hidden dim split over this axis; requires an ambient
+    # `with mesh:` context and num_heads % axis_size == 0). None = off.
+    tp_axis: Optional[str] = None
 
 
 def flagship_video_config(

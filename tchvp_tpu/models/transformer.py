@@ -31,10 +31,33 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from tchvp_tpu.config import TransformerConfig
 from tchvp_tpu.ops.attention import multi_head_attention
+
+
+def _tp_constrain(x: jnp.ndarray, tp_axis: Optional[str]) -> jnp.ndarray:
+    """Shard the trailing (feature) dim over ``tp_axis`` when set.
+
+    Tensor parallelism at the activation level: q/k/v feature dims split on
+    head boundaries (the contiguous-chunk head reshape keeps whole heads
+    per shard) and the FFN hidden dim splits column-wise; GSPMD partitions
+    the adjacent matmuls and inserts the reduce for the second FFN matmul.
+    Requires an ambient ``with mesh:`` scope.
+    """
+    if tp_axis is None:
+        return x
+    # Only meaningful while tracing under jit with an ambient mesh that
+    # carries the axis (eager init outside `with mesh:` must no-op).
+    ctx = jax.sharding.get_abstract_mesh()
+    if ctx.empty or tp_axis not in ctx.axis_names:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, P(*([None] * (x.ndim - 1) + [tp_axis]))
+    )
 
 
 class TokenMultiheadAttention(nn.Module):
@@ -45,6 +68,7 @@ class TokenMultiheadAttention(nn.Module):
     attn_dropout: float = 0.1
     attn_impl: str = "xla"
     window_size: int = 0
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -67,6 +91,9 @@ class TokenMultiheadAttention(nn.Module):
         q, k, v = dense("q_linear")(x), dense("k_linear")(x), dense("v_linear")(x)
         if self.relu_qkv:
             q, k, v = nn.relu(q), nn.relu(k), nn.relu(v)
+        q = _tp_constrain(q, self.tp_axis)
+        k = _tp_constrain(k, self.tp_axis)
+        v = _tp_constrain(v, self.tp_axis)
 
         if mask is not None:
             # (B, Sq, Sk) -> (B, 1, Sq, Sk); broadcast across heads (L77-78).
@@ -125,6 +152,7 @@ class TransformerEncoder(nn.Module):
                 attn_dropout=cfg.dropout_rate,
                 attn_impl=cfg.attn_impl,
                 window_size=cfg.window_size,
+                tp_axis=cfg.tp_axis,
                 name=f"attention_{layer}",
                 dtype=dt,
                 param_dtype=pdt,
@@ -136,7 +164,7 @@ class TransformerEncoder(nn.Module):
             h = nn.Dense(
                 cfg.hidden_dim, name=f"ffn1_{layer}", dtype=dt, param_dtype=pdt
             )(x)
-            h = nn.relu(h)
+            h = _tp_constrain(nn.relu(h), cfg.tp_axis)
             h = nn.Dense(d, name=f"ffn2_{layer}", dtype=dt, param_dtype=pdt)(h)
             x = nn.LayerNorm(
                 epsilon=1e-5, name=f"norm2_{layer}", dtype=dt, param_dtype=pdt

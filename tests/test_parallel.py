@@ -83,3 +83,42 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     lowered = jax.jit(fn).lower(*args)
     assert lowered is not None  # traces + lowers without error
+
+
+def test_tensor_parallel_matches_unsharded():
+    """tp_axis activation sharding must be numerics-neutral: the temporal
+    transformer over a ("data", "model") mesh equals the unsharded run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tchvp_tpu.config import TransformerConfig
+    from tchvp_tpu.models import TransformerEncoder
+    from tchvp_tpu.parallel import make_mesh
+
+    d, heads = 32, 4
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 6, d)).astype(np.float32)
+    )
+    base = TransformerEncoder(
+        config=TransformerConfig(
+            input_dim=d, hidden_dim=16, num_layers=2, num_heads=heads
+        )
+    )
+    variables = base.init(jax.random.PRNGKey(0), x)
+    want = base.apply(variables, x, deterministic=True)
+
+    tp = TransformerEncoder(
+        config=TransformerConfig(
+            input_dim=d, hidden_dim=16, num_layers=2, num_heads=heads,
+            tp_axis="model",
+        )
+    )
+    mesh = make_mesh(("data", "model"), (4, 2))
+    with mesh:
+        got = jax.jit(lambda v, x: tp.apply(v, x, deterministic=True))(
+            variables, x
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
