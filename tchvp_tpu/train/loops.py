@@ -283,6 +283,15 @@ class SegmentationFlow(_FlowBase):
             np.asarray(pred),
         )
 
+    def evaluate(self, data: Iterable) -> dict:
+        """Mean dice loss + IoU over a (image, mask) dataset."""
+        sums, n = {"loss": 0.0, "iou": 0.0}, 0
+        for batch in data:
+            m = self._eval_step(self.state, self._shard(batch))
+            sums = {k: sums[k] + float(m[k]) for k in sums}
+            n += 1
+        return _mean_of(sums, n)
+
     def restore(self, path: str) -> None:
         restored = ckpt.restore_state(path)
         self.init_state()
@@ -406,6 +415,15 @@ class VideoFlow(_FlowBase):
             create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))
         )
         return self.state
+
+    def evaluate(self, data: Iterable) -> float:
+        """Mean reconstruction PSNR over a clip dataset."""
+        total, n = 0.0, 0
+        for batch in data:
+            m = self._eval_step(self.state, self._shard(batch))
+            total += float(m["psnr"])
+            n += 1
+        return total / max(n, 1)
 
     def resume(self, clip_len: int) -> int:
         """Restore the latest step-tagged checkpoint; returns start epoch."""
