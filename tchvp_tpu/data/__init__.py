@@ -12,6 +12,8 @@ from tchvp_tpu.data.manifest import (
     ImageMaskDataset,
     make_loaders,
     read_manifest,
+    write_clip_manifest,
+    write_manifest,
 )
 from tchvp_tpu.data.synthetic import SyntheticClips, SyntheticImageMasks, SyntheticImages
 from tchvp_tpu.data import pipeline
@@ -25,6 +27,8 @@ __all__ = [
     "ImageMaskDataset",
     "make_loaders",
     "read_manifest",
+    "write_manifest",
+    "write_clip_manifest",
     "SyntheticClips",
     "SyntheticImageMasks",
     "SyntheticImages",

@@ -184,6 +184,58 @@ class ClipDataset:
             yield np.stack(clips)  # (B, T, H, W, 3)
 
 
+_IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def write_manifest(image_dir: str, out_csv: str, recursive: bool = True) -> int:
+    """Walk a directory of images and write a one-column path manifest —
+    the working equivalent of the reference's ``generateDataset.py``
+    (which wrote a ``path`` header row that its own loader then read back
+    as a file path, survey §7.5; no header is written here). Paths are
+    sorted for determinism. Returns the number of rows."""
+    rows = []
+    if recursive:
+        for root, _, files in sorted(os.walk(image_dir)):
+            for f in sorted(files):
+                if os.path.splitext(f)[1].lower() in _IMAGE_EXTS:
+                    rows.append(os.path.join(root, f))
+    else:
+        for f in sorted(os.listdir(image_dir)):
+            if os.path.splitext(f)[1].lower() in _IMAGE_EXTS:
+                rows.append(os.path.join(image_dir, f))
+    os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+    with open(out_csv, "w", newline="") as fh:
+        w = csv.writer(fh)
+        for r in rows:
+            w.writerow([r])
+    return len(rows)
+
+
+def write_clip_manifest(
+    frame_dirs: Sequence[str], out_csv: str, clip_len: Optional[int] = None
+) -> int:
+    """One CSV row per directory = one clip of its (sorted) frame images.
+    ``clip_len`` truncates/skips short clips. Returns clips written."""
+    n = 0
+    os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+    with open(out_csv, "w", newline="") as fh:
+        w = csv.writer(fh)
+        for d in frame_dirs:
+            frames = [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if os.path.splitext(f)[1].lower() in _IMAGE_EXTS
+            ]
+            if clip_len is not None:
+                if len(frames) < clip_len:
+                    continue
+                frames = frames[:clip_len]
+            if frames:
+                w.writerow(frames)
+                n += 1
+    return n
+
+
 def make_loaders(
     train_csv: str,
     val_csv: Optional[str],

@@ -166,3 +166,44 @@ def test_global_batch_loader_over_mesh(tmp_path):
     )
     got = np.concatenate([np.asarray(b) for b in batches])
     np.testing.assert_array_equal(got, clips)
+
+
+def test_write_manifest_roundtrip(tmp_path):
+    """generateDataset.py equivalent: walk image dirs -> CSV -> loader,
+    without the reference's header-row-as-path bug."""
+    PIL = pytest.importorskip("PIL.Image")
+    from tchvp_tpu.data.manifest import (
+        ImageDataset,
+        read_manifest,
+        write_clip_manifest,
+        write_manifest,
+    )
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(5):
+        PIL.fromarray(
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        ).save(img_dir / f"{i}.png")
+    (img_dir / "notes.txt").write_text("not an image")
+
+    out = str(tmp_path / "m.csv")
+    assert write_manifest(str(img_dir), out) == 5
+    assert len(read_manifest(out)) == 5
+    ds = ImageDataset(out, batch_size=5, image_size=8, shuffle=False)
+    (batch,) = list(ds)
+    assert batch.shape == (5, 8, 8, 3)
+
+    # Clip manifest: two frame dirs, one too short for clip_len.
+    d1, d2 = tmp_path / "clip1", tmp_path / "clip2"
+    for d, nf in ((d1, 3), (d2, 1)):
+        d.mkdir()
+        for i in range(nf):
+            PIL.fromarray(
+                rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            ).save(d / f"f{i}.png")
+    out2 = str(tmp_path / "clips.csv")
+    assert write_clip_manifest([str(d1), str(d2)], out2, clip_len=2) == 1
+    rows = read_manifest(out2)
+    assert len(rows) == 1 and len(rows[0]) == 2
