@@ -7,8 +7,12 @@ from tchvp_tpu.utils.imaging import (
     to_uint8,
 )
 from tchvp_tpu.utils.profiling import StepTimer, annotate, trace
+from tchvp_tpu.utils.summary import count_params, describe, summarize
 
 __all__ = [
+    "count_params",
+    "describe",
+    "summarize",
     "save_image",
     "save_sample_triplet",
     "save_side_by_side",
