@@ -37,13 +37,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out) -> float:
+    """Force a real device sync via a scalar host readback.
+
+    On the axon tunnel ``block_until_ready`` returns before device work
+    drains (see bench.py's in-jit loop workaround); reading one element
+    back is the reliable fence.
+    """
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def _time_loop(fn, *args, reps: int = 3, inner: int = 1):
     """Compile, then median wall time of ``reps`` calls / ``inner`` iters."""
-    jax.block_until_ready(fn(*args))
+    _sync(fn(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append((time.perf_counter() - t0) / inner)
     return float(np.median(times))
 
@@ -129,8 +140,12 @@ def config2(results, batch=4):
     }, results)
 
 
-def config3(results, batch=32):
-    """Full training step, data-parallel over all local devices."""
+def config3(results, batch=None):
+    """Full training step, data-parallel over all local devices.
+
+    BASELINE's batch 32 assumes a v4-8 (4 clips/chip); batch scales with
+    the local device count so the per-chip working set is constant.
+    """
     from tchvp_tpu.config import ResNetAEConfig, TransformerConfig, VideoModelConfig
     from tchvp_tpu.models import VideoHybridNet
     from tchvp_tpu.parallel import make_mesh, replicate, shard_batch
@@ -139,6 +154,8 @@ def config3(results, batch=32):
 
     size, frames = 224, 16
     n_dev = len(jax.devices())
+    if batch is None:
+        batch = 4 * n_dev
     cfg = VideoModelConfig(
         encoder=ResNetAEConfig(token_latent=True),
         temporal=TransformerConfig(
@@ -161,13 +178,15 @@ def config3(results, batch=32):
         state = replicate(state, mesh)
         sharded = shard_batch(jnp.asarray(raw), mesh)
         state, m = step(state, sharded)  # compile
-        jax.block_until_ready(m["loss"])
+        _ = float(m["loss"])  # real sync (axon: block_until_ready lies)
         times = []
+        inner = 5
         for _ in range(3):
             t0 = time.perf_counter()
-            state, m = step(state, sharded)
-            jax.block_until_ready(m["loss"])
-            times.append(time.perf_counter() - t0)
+            for _ in range(inner):
+                state, m = step(state, sharded)
+            _ = float(m["loss"])  # one readback drains the chain
+            times.append((time.perf_counter() - t0) / inner)
     t = float(np.median(times))
     _emit({
         "config": 3,
@@ -194,8 +213,10 @@ def config4(results):
         .uniform(size=(1, frames, h, w, 3))
         .astype(np.float32)
     )
-    fn = jax.jit(lambda c: stream_video(model, variables, c, scfg))
-    t = _time_loop(fn, clip)
+    # variables as a jit ARG: closure capture would bake the params into
+    # the program as constants (huge HLO, tunnel request-size blowup).
+    fn = jax.jit(lambda v, c: stream_video(model, v, c, scfg))
+    t = _time_loop(fn, variables, clip)
     _emit({
         "config": 4,
         "metric": f"streaming {h}p {frames}f: 256px tiles, chunked ctx attention",

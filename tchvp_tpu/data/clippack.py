@@ -295,13 +295,18 @@ class ClipPackDataset:
     def __iter__(self) -> Iterator[np.ndarray]:
         if self._native:
             lib = _load_lib()
-            out = np.empty(
-                (self.batch_size, self.t, self.h, self.w, self.c), np.uint8
-            )
-            ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
             for _ in range(len(self)):
-                lib.loader_next(self._loader, ptr)
-                yield out.copy()
+                # Fresh buffer per batch: the C ABI copies straight into
+                # it, and ownership passes to the caller (no defensive
+                # copy; train steps consume batches immediately anyway).
+                out = np.empty(
+                    (self.batch_size, self.t, self.h, self.w, self.c), np.uint8
+                )
+                lib.loader_next(
+                    self._loader,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                )
+                yield out
             self._epoch += 1
         else:
             perm = epoch_permutation(self.n, self.seed, self._epoch, self.shuffle)

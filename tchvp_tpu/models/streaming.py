@@ -161,15 +161,20 @@ def make_streamer(
     call so XLA partitions the whole pipeline (tile conv + attention) and
     inserts collectives only where needed (there are none — tiles are
     independent, so streaming scales linearly over chips/hosts).
+
+    ``variables`` ride as a jit argument, not a closure capture — captured
+    params would be baked into the compiled program as constants (hundreds
+    of MB of HLO for the flagship).
     """
-    fn = jax.jit(lambda clip: stream_video(model, variables, clip, cfg))
+    jitted = jax.jit(lambda v, clip: stream_video(model, v, clip, cfg))
+
     if mesh is None:
-        return fn
+        return lambda clip: jitted(variables, clip)
 
     def sharded(clip):
         clip = jax.device_put(
             clip, NamedSharding(mesh, P("data", None, None, None, None))
         )
-        return fn(clip)
+        return jitted(variables, clip)
 
     return sharded
