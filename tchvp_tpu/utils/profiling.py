@@ -26,10 +26,10 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, host_tracer_level: int = 2):
+def trace(log_dir: str):
     """Capture a jax.profiler trace into ``log_dir`` (view in TensorBoard
     or Perfetto). Wrap a handful of steady-state steps, not the compile."""
-    jax.profiler.start_trace(log_dir, host_tracer_level=host_tracer_level)
+    jax.profiler.start_trace(log_dir)
     try:
         yield
     finally:
