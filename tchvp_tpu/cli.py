@@ -18,7 +18,6 @@ With ``--synthetic N`` each workload runs hermetically on generated data
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -150,6 +149,70 @@ def cmd_transfer(args) -> None:
     flow.train(train, epochs=args.epochs)
 
 
+def cmd_stream(args) -> None:
+    """Streaming long-video inference: tile -> chunked scan -> untile.
+
+    Processes clips from a clippack (or synthetic frames) through a
+    trained or fresh VideoHybridNet at any resolution; reports throughput.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tchvp_tpu.config import flagship_video_config
+    from tchvp_tpu.models import StreamingConfig, VideoHybridNet, make_streamer
+    from tchvp_tpu.train import checkpoint as ckpt
+
+    scfg = StreamingConfig(
+        tile=args.tile, chunk_len=args.chunk_len, ctx_frames=args.ctx_frames
+    )
+    model = VideoHybridNet(
+        config=flagship_video_config(image_size=args.tile), dtype=jnp.bfloat16
+    )
+    if args.clippack:
+        from tchvp_tpu.data.clippack import ClipPackDataset
+
+        data = ClipPackDataset(args.clippack, args.batch_size, shuffle=False)
+        h, w = data.h, data.w
+    else:
+        rng = np.random.default_rng(0)
+        n = max(args.synthetic, 1)
+        h, w = args.height, args.width
+        data = [
+            rng.integers(0, 256, (args.batch_size, args.clip_len, h, w, 3),
+                         dtype=np.uint8)
+            for _ in range(n)
+        ]
+
+    example = jnp.zeros((1, 2, args.tile, args.tile, 3))
+    variables = model.init(jax.random.PRNGKey(0), example)
+    if args.checkpoint:
+        restored = ckpt.restore_state(args.checkpoint)
+        variables = {"params": restored["params"], **(
+            {"batch_stats": restored["batch_stats"]}
+            if restored.get("batch_stats") is not None else {}
+        )}
+    streamer = make_streamer(model, variables, scfg, mesh=_mesh(args))
+
+    frames = 0
+    t0 = None
+    for batch in data:
+        clip = jnp.asarray(np.asarray(batch, dtype=np.uint8), jnp.float32) / 255.0
+        out = streamer(clip)
+        _ = float(jnp.ravel(out)[0])  # sync
+        if t0 is None:  # exclude compile
+            t0 = time.perf_counter()
+        else:
+            frames += clip.shape[0] * clip.shape[1]
+    if frames:
+        dt = time.perf_counter() - t0
+        print(f"streamed {frames} frames @ {h}x{w}: {frames/dt:.1f} frames/s")
+    else:
+        print("streamed 1 batch (compile only); add more batches to time")
+
+
 def cmd_pack(args) -> None:
     """Offline: decode a clip CSV manifest into a clippack file once, so
     training epochs stream from the native mmap loader."""
@@ -173,6 +236,7 @@ def main(argv=None) -> None:
         ("video", cmd_video),
         ("transfer", cmd_transfer),
         ("pack", cmd_pack),
+        ("stream", cmd_stream),
     ):
         p = sub.add_parser(name)
         _add_common(p)
@@ -187,6 +251,15 @@ def main(argv=None) -> None:
         if name == "pack":
             p.add_argument("--out", default=None)
             p.add_argument("--clip-len", type=int, default=0)
+        if name == "stream":
+            p.add_argument("--clippack", default=None)
+            p.add_argument("--checkpoint", default=None)
+            p.add_argument("--tile", type=int, default=256)
+            p.add_argument("--chunk-len", type=int, default=8)
+            p.add_argument("--ctx-frames", type=int, default=4)
+            p.add_argument("--clip-len", type=int, default=16)
+            p.add_argument("--height", type=int, default=720)
+            p.add_argument("--width", type=int, default=1280)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -14,8 +14,7 @@ noise x0.05 p=0.2, 0-3 random 16x16 blackout patches (32x32 at test time,
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ channel-0 selection on NCHW).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 

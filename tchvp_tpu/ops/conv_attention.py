@@ -18,7 +18,6 @@ for kernel 3 / stride 1, so a single 'SAME' depthwise conv covers all three
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

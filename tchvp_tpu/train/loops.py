@@ -33,11 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tchvp_tpu import losses
 from tchvp_tpu.config import AugmentConfig, TrainConfig
 from tchvp_tpu.models import FCT, AutoEncoder, Autoencoder32K, Decoder32K
 from tchvp_tpu.ops.sobel import sobel_edges
-from tchvp_tpu.parallel import make_mesh, replicate, shard_batch
+from tchvp_tpu.parallel import replicate, shard_batch
 from tchvp_tpu.train import checkpoint as ckpt
 from tchvp_tpu.train import steps as steps_lib
 from tchvp_tpu.train.logging import SummaryWriter

@@ -17,11 +17,10 @@ train (video AE).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from tchvp_tpu import losses
 from tchvp_tpu.config import AugmentConfig
