@@ -241,3 +241,95 @@ def test_transformer_encoder_matches_torch_replica():
 
     got = m.apply(variables, jnp.asarray(x_np), deterministic=True)
     np.testing.assert_allclose(_np(got), x.detach().numpy(), atol=2e-5)
+
+
+def test_unet_full_model_matches_torch():
+    """End-to-end UNet parity: the whole 4-down/4-up model (reference
+    UNet.py:6-66) with weights transferred flax -> torch must agree in
+    eval mode — covers skip-concat ordering, pooling, upconv plumbing."""
+    from tchvp_tpu.models import UNet
+
+    f = 8  # small init_features for test speed; structure identical
+    from tchvp_tpu.config import UNetConfig
+
+    m = UNet(config=UNetConfig(init_features=f))
+    x_np = np.random.default_rng(0).uniform(size=(1, 32, 32, 3)).astype(np.float32)
+    variables = m.init(KEY, jnp.asarray(x_np))
+    params = variables["params"]
+
+    class TBlock(tnn.Module):
+        def __init__(self, cin, feat):
+            super().__init__()
+            self.c1 = tnn.Conv2d(cin, feat, 3, padding=1, bias=False)
+            self.b1 = tnn.BatchNorm2d(feat)
+            self.c2 = tnn.Conv2d(feat, feat, 3, padding=1, bias=False)
+            self.b2 = tnn.BatchNorm2d(feat)
+
+        def forward(self, x):
+            x = torch.relu(self.b1(self.c1(x)))
+            return torch.relu(self.b2(self.c2(x)))
+
+    class TUNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc1 = TBlock(3, f)
+            self.enc2 = TBlock(f, f * 2)
+            self.enc3 = TBlock(f * 2, f * 4)
+            self.enc4 = TBlock(f * 4, f * 8)
+            self.bott = TBlock(f * 8, f * 16)
+            self.up4 = tnn.ConvTranspose2d(f * 16, f * 8, 2, 2)
+            self.dec4 = TBlock(f * 16, f * 8)
+            self.up3 = tnn.ConvTranspose2d(f * 8, f * 4, 2, 2)
+            self.dec3 = TBlock(f * 8, f * 4)
+            self.up2 = tnn.ConvTranspose2d(f * 4, f * 2, 2, 2)
+            self.dec2 = TBlock(f * 4, f * 2)
+            self.up1 = tnn.ConvTranspose2d(f * 2, f, 2, 2)
+            self.dec1 = TBlock(f * 2, f)
+            self.head = tnn.Conv2d(f, 1, 1)
+
+        def forward(self, x):
+            e1 = self.enc1(x)
+            e2 = self.enc2(torch.max_pool2d(e1, 2))
+            e3 = self.enc3(torch.max_pool2d(e2, 2))
+            e4 = self.enc4(torch.max_pool2d(e3, 2))
+            b = self.bott(torch.max_pool2d(e4, 2))
+            d4 = self.dec4(torch.cat([self.up4(b), e4], 1))
+            d3 = self.dec3(torch.cat([self.up3(d4), e3], 1))
+            d2 = self.dec2(torch.cat([self.up2(d3), e2], 1))
+            d1 = self.dec1(torch.cat([self.up1(d2), e1], 1))
+            return torch.sigmoid(self.head(d1))
+
+    t = TUNet().eval()
+
+    def conv_w(k):  # flax HWIO -> torch OIHW
+        return torch.tensor(np.transpose(np.asarray(k), (3, 2, 0, 1)).copy())
+
+    def upconv_w(k):  # flax (kh,kw,in,out), flipped -> torch (in,out,kh,kw)
+        return torch.tensor(
+            np.transpose(np.asarray(k)[::-1, ::-1], (2, 3, 0, 1)).copy()
+        )
+
+    with torch.no_grad():
+        for fname, tmod in (
+            ("encoder1", t.enc1), ("encoder2", t.enc2), ("encoder3", t.enc3),
+            ("encoder4", t.enc4), ("bottleneck", t.bott),
+            ("decoder4", t.dec4), ("decoder3", t.dec3), ("decoder2", t.dec2),
+            ("decoder1", t.dec1),
+        ):
+            blk = params[fname]
+            tmod.c1.weight.copy_(conv_w(blk["conv1"]["kernel"]))
+            tmod.c2.weight.copy_(conv_w(blk["conv2"]["kernel"]))
+        for fname, tmod in (
+            ("upconv4", t.up4), ("upconv3", t.up3),
+            ("upconv2", t.up2), ("upconv1", t.up1),
+        ):
+            tmod.weight.copy_(upconv_w(params[fname]["kernel"]))
+            tmod.bias.copy_(torch.tensor(np.asarray(params[fname]["bias"])))
+        t.head.weight.copy_(conv_w(params["conv"]["kernel"]))
+        t.head.bias.copy_(torch.tensor(np.asarray(params["conv"]["bias"])))
+
+    want = t(torch.tensor(x_np.transpose(0, 3, 1, 2)))
+    got = m.apply(variables, jnp.asarray(x_np))
+    np.testing.assert_allclose(
+        _np(got).transpose(0, 3, 1, 2), want.detach().numpy(), atol=3e-5
+    )
