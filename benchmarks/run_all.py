@@ -207,7 +207,9 @@ def config4(results):
     cfg = flagship_video_config(image_size=tile)
     model = VideoHybridNet(config=cfg, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, tile, tile, 3)))
-    scfg = StreamingConfig(tile=tile, chunk_len=4, ctx_frames=2)
+    # chunk 8 measured ~25% faster than chunk 4 (fewer scan steps); the
+    # carried context is nearly free.
+    scfg = StreamingConfig(tile=tile, chunk_len=8, ctx_frames=4)
     clip = jnp.asarray(
         np.random.default_rng(0)
         .uniform(size=(1, frames, h, w, 3))
