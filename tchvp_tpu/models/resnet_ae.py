@@ -109,59 +109,77 @@ class Encoder32K(nn.Module):
 
 
 class Decoder32K(nn.Module):
-    """Latent map -> image/mask decoder (AE_32K L121-168)."""
+    """Latent map -> image/mask decoder (AE_32K L121-168).
+
+    Split into :meth:`body` (conv chain + first upsample, output at H/2
+    resolution) and :meth:`tail` (second upsample + full-resolution convs
+    + head) so the inference engine can swap the HBM-heavy tail for the
+    fused Pallas kernel (``kernels/fused_tail.py``) — ``__call__`` =
+    ``tail(body(x))`` and is unchanged numerically.
+    """
 
     output_type: str = "image"  # "image" | "mask" (AE_32K L151-158)
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def setup(self):
         dt, pdt = self.dtype, self.param_dtype
 
-        def bn(name: str):
+        def bn(name: str) -> BatchNorm:
             return BatchNorm(
-                use_running_average=not train,
-                axis_name=self.bn_axis_name,
-                name=name,
-                dtype=dt,
-                param_dtype=pdt,
+                axis_name=self.bn_axis_name, name=name, dtype=dt, param_dtype=pdt
             )
 
-        # conv-BN chain 8->16->64->128->256 (AE_32K L127-137).
-        for i, feat in enumerate((16, 64, 128, 256)):
-            x = nn.Conv(
-                feat, (3, 3), padding="SAME", use_bias=False,
-                name=f"conv{i}", dtype=dt, param_dtype=pdt,
-            )(x)
-            x = nn.relu(bn(f"bn{i}")(x))
+        self.convs = [
+            nn.Conv(feat, (3, 3), padding="SAME", use_bias=False,
+                    name=f"conv{i}", dtype=dt, param_dtype=pdt)
+            for i, feat in enumerate((16, 64, 128, 256))
+        ]
+        self.conv_bns = [bn(f"bn{i}") for i in range(4)]
+        self.upconvs = [
+            nn.ConvTranspose(feat, (2, 2), strides=(2, 2),
+                             name=f"upconv{i}", dtype=dt, param_dtype=pdt)
+            for i, feat in enumerate((384, 192))
+        ]
+        self.up_bns = [bn("up_bn0"), bn("up_bn1")]
+        self.post_convs = [
+            nn.Conv(feat, (3, 3), padding="SAME", use_bias=False,
+                    name=f"post_conv{i}", dtype=dt, param_dtype=pdt)
+            for i, feat in enumerate((64, 8))
+        ]
+        self.post_bns = [bn("post_bn0"), bn("post_bn1")]
+        self.head_conv = nn.Conv(
+            1 if self.output_type == "mask" else 3, (3, 3), padding="SAME",
+            name="head_conv", dtype=dt, param_dtype=pdt,
+        )
+        self.head_bn = bn("head_bn")
 
-        # Two ConvTranspose(k2, s2) upsamples: 256->384, 384->192 (L139-143).
-        for i, feat in enumerate((384, 192)):
-            x = nn.ConvTranspose(
-                feat, (2, 2), strides=(2, 2),
-                name=f"upconv{i}", dtype=dt, param_dtype=pdt,
-            )(x)
-            x = nn.relu(bn(f"up_bn{i}")(x))
+    def body(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """conv-BN chain 8->16->64->128->256 (AE_32K L127-137) + first
+        ConvTranspose 256->384 (L139-141): output (B, H*2, W*2, 384)."""
+        ura = not train
+        for conv, bn in zip(self.convs, self.conv_bns):
+            x = nn.relu(bn(conv(x), use_running_average=ura))
+        x = self.upconvs[0](x)
+        return nn.relu(self.up_bns[0](x, use_running_average=ura))
 
-        # conv 192->64->8 (L145-149).
-        for i, feat in enumerate((64, 8)):
-            x = nn.Conv(
-                feat, (3, 3), padding="SAME", use_bias=False,
-                name=f"post_conv{i}", dtype=dt, param_dtype=pdt,
-            )(x)
-            x = nn.relu(bn(f"post_bn{i}")(x))
-
+    def tail(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Second ConvTranspose 384->192 (L142-143), conv 192->64->8
+        (L145-149), image/mask head (L151-158) — the full-resolution,
+        HBM-heavy stage the fused kernel replaces at inference."""
+        ura = not train
+        x = self.upconvs[1](x)
+        x = nn.relu(self.up_bns[1](x, use_running_average=ura))
+        for conv, bn in zip(self.post_convs, self.post_bns):
+            x = nn.relu(bn(conv(x), use_running_average=ura))
+        x = self.head_bn(self.head_conv(x), use_running_average=ura)
         if self.output_type == "mask":
-            x = nn.Conv(1, (3, 3), padding="SAME", name="head_conv",
-                        dtype=dt, param_dtype=pdt)(x)
-            x = bn("head_bn")(x)
             return nn.sigmoid(x)  # mask head (L155-158)
-        x = nn.Conv(3, (3, 3), padding="SAME", name="head_conv",
-                    dtype=dt, param_dtype=pdt)(x)
-        x = bn("head_bn")(x)
         return nn.relu(x)  # image head (L151-154)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.tail(self.body(x, train=train), train=train)
 
 
 def latent_to_tokens(latent: jnp.ndarray) -> jnp.ndarray:

@@ -24,17 +24,27 @@ from tchvp_tpu.ops.basic import max_pool_2x2, upsample2x_nearest
 
 
 class BatchNorm(nn.Module):
-    """Torch-default BatchNorm with optional cross-replica stat sync."""
+    """Torch-default BatchNorm with optional cross-replica stat sync.
 
-    use_running_average: bool
+    ``use_running_average`` can be overridden per call, so setup-built
+    modules can switch train/eval without reconstructing."""
+
+    use_running_average: bool = True
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, use_running_average: Optional[bool] = None
+    ) -> jnp.ndarray:
+        ura = (
+            self.use_running_average
+            if use_running_average is None
+            else use_running_average
+        )
         return nn.BatchNorm(
-            use_running_average=self.use_running_average,
+            use_running_average=ura,
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name,
