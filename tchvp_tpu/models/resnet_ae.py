@@ -55,12 +55,14 @@ class Encoder32K(nn.Module):
                 param_dtype=pdt,
             )
 
-        # 7x7/s2 stem (AE_32K L65).
+        # 7x7/s2 stem (AE_32K L65). Symmetric (3, 3) padding matches the
+        # reference's torch Conv2d(padding=3); XLA's SAME would pad (2, 3)
+        # at stride 2 and break weight-level parity.
         h = nn.Conv(
             cfg.stem_features,
             kernel_size=(7, 7),
             strides=(2, 2),
-            padding="SAME",
+            padding=((3, 3), (3, 3)),
             use_bias=False,
             name="stem_conv",
             dtype=dt,

@@ -207,8 +207,11 @@ class Bottleneck(nn.Module):
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1",
                       dtype=dt, param_dtype=pdt)(x)
         out = nn.relu(bn("bn1")(out))
+        # Explicit symmetric padding: XLA's SAME pads (0, 1) at stride 2,
+        # torch's padding=1 pads (1, 1) — symmetric keeps weight-level
+        # parity with the reference (AE_32K L26 uses padding=1).
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding="SAME", use_bias=False, name="conv2",
+                      padding=((1, 1), (1, 1)), use_bias=False, name="conv2",
                       dtype=dt, param_dtype=pdt)(out)
         out = nn.relu(bn("bn2")(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,

@@ -333,3 +333,126 @@ def test_unet_full_model_matches_torch():
     np.testing.assert_allclose(
         _np(got).transpose(0, 3, 1, 2), want.detach().numpy(), atol=3e-5
     )
+
+
+def test_autoencoder32k_full_model_matches_torch():
+    """End-to-end Autoencoder32K parity: ResNet-bottleneck encoder (stem,
+    stages, squeeze chain) + Decoder32K (conv chain, ConvTranspose x2,
+    image head) vs a torch replica of the recovered AE_32K architecture,
+    weights transferred flax -> torch, eval mode."""
+    from tchvp_tpu.config import ResNetAEConfig
+    from tchvp_tpu.models import Autoencoder32K
+
+    cfg = ResNetAEConfig(layers=(1, 1))  # one bottleneck per stage: fast,
+    # same plumbing (stride-2 stage, downsample residual, squeeze chain)
+    m = Autoencoder32K(config=cfg)
+    x_np = np.random.default_rng(0).uniform(size=(1, 32, 32, 3)).astype(np.float32)
+    variables = m.init(KEY, jnp.asarray(x_np))
+    enc, dec = variables["params"]["encoder"], variables["params"]["decoder"]
+
+    def conv_w(k):
+        return torch.tensor(np.transpose(np.asarray(k), (3, 2, 0, 1)).copy())
+
+    def upconv_w(k):
+        return torch.tensor(
+            np.transpose(np.asarray(k)[::-1, ::-1], (2, 3, 0, 1)).copy()
+        )
+
+    class TBottleneck(tnn.Module):
+        def __init__(self, cin, planes, stride, downsample):
+            super().__init__()
+            self.c1 = tnn.Conv2d(cin, planes, 1, bias=False)
+            self.b1 = tnn.BatchNorm2d(planes)
+            self.c2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.b2 = tnn.BatchNorm2d(planes)
+            self.c3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.b3 = tnn.BatchNorm2d(planes * 4)
+            self.down = (
+                tnn.Sequential(
+                    tnn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                    tnn.BatchNorm2d(planes * 4),
+                )
+                if downsample else None
+            )
+
+        def forward(self, x):
+            idn = self.down(x) if self.down is not None else x
+            y = torch.relu(self.b1(self.c1(x)))
+            y = torch.relu(self.b2(self.c2(y)))
+            return torch.relu(self.b3(self.c3(y)) + idn)
+
+    class TModel(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.stem_bn = tnn.BatchNorm2d(64)
+            self.l1 = TBottleneck(64, 64, 1, True)
+            self.l2 = TBottleneck(256, 128, 2, True)
+            sq_in, self.sq = 512, tnn.ModuleList()
+            self.sq_bn = tnn.ModuleList()
+            for f in (128, 64, 16, 8):
+                self.sq.append(tnn.Conv2d(sq_in, f, 3, 1, 1, bias=False))
+                self.sq_bn.append(tnn.BatchNorm2d(f))
+                sq_in = f
+            # decoder
+            din, self.dc, self.dc_bn = 8, tnn.ModuleList(), tnn.ModuleList()
+            for f in (16, 64, 128, 256):
+                self.dc.append(tnn.Conv2d(din, f, 3, 1, 1, bias=False))
+                self.dc_bn.append(tnn.BatchNorm2d(f))
+                din = f
+            self.up0 = tnn.ConvTranspose2d(256, 384, 2, 2)
+            self.up0_bn = tnn.BatchNorm2d(384)
+            self.up1 = tnn.ConvTranspose2d(384, 192, 2, 2)
+            self.up1_bn = tnn.BatchNorm2d(192)
+            self.p0 = tnn.Conv2d(192, 64, 3, 1, 1, bias=False)
+            self.p0_bn = tnn.BatchNorm2d(64)
+            self.p1 = tnn.Conv2d(64, 8, 3, 1, 1, bias=False)
+            self.p1_bn = tnn.BatchNorm2d(8)
+            self.head = tnn.Conv2d(8, 3, 3, 1, 1)
+            self.head_bn = tnn.BatchNorm2d(3)
+
+        def forward(self, x):
+            h = torch.relu(self.stem_bn(self.stem(x)))
+            h = self.l2(self.l1(h))
+            for i, (c, b) in enumerate(zip(self.sq, self.sq_bn)):
+                h = b(c(h))
+                if i < 3:
+                    h = torch.relu(h)
+            lat = h
+            for c, b in zip(self.dc, self.dc_bn):
+                h = torch.relu(b(c(h)))
+            h = torch.relu(self.up0_bn(self.up0(h)))
+            h = torch.relu(self.up1_bn(self.up1(h)))
+            h = torch.relu(self.p0_bn(self.p0(h)))
+            h = torch.relu(self.p1_bn(self.p1(h)))
+            return lat, torch.relu(self.head_bn(self.head(h)))
+
+    t = TModel().eval()
+
+    with torch.no_grad():
+        t.stem.weight.copy_(conv_w(enc["stem_conv"]["kernel"]))
+        for blk_name, tb in (("layer1_block0", t.l1), ("layer2_block0", t.l2)):
+            blk = enc[blk_name]
+            tb.c1.weight.copy_(conv_w(blk["conv1"]["kernel"]))
+            tb.c2.weight.copy_(conv_w(blk["conv2"]["kernel"]))
+            tb.c3.weight.copy_(conv_w(blk["conv3"]["kernel"]))
+            tb.down[0].weight.copy_(conv_w(blk["downsample_conv"]["kernel"]))
+        for i in range(4):
+            t.sq[i].weight.copy_(conv_w(enc[f"squeeze{i}_conv"]["kernel"]))
+            t.dc[i].weight.copy_(conv_w(dec[f"conv{i}"]["kernel"]))
+        for name, tm in (("upconv0", t.up0), ("upconv1", t.up1)):
+            tm.weight.copy_(upconv_w(dec[name]["kernel"]))
+            tm.bias.copy_(torch.tensor(np.asarray(dec[name]["bias"])))
+        t.p0.weight.copy_(conv_w(dec["post_conv0"]["kernel"]))
+        t.p1.weight.copy_(conv_w(dec["post_conv1"]["kernel"]))
+        t.head.weight.copy_(conv_w(dec["head_conv"]["kernel"]))
+        t.head.bias.copy_(torch.tensor(np.asarray(dec["head_conv"]["bias"])))
+
+    lat_t, rec_t = t(torch.tensor(x_np.transpose(0, 3, 1, 2)))
+    lat_j, rec_j = m.apply(variables, jnp.asarray(x_np))
+    np.testing.assert_allclose(
+        _np(lat_j).transpose(0, 3, 1, 2), lat_t.detach().numpy(), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        _np(rec_j).transpose(0, 3, 1, 2), rec_t.detach().numpy(), atol=5e-5
+    )
