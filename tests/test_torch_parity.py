@@ -456,3 +456,117 @@ def test_autoencoder32k_full_model_matches_torch():
     np.testing.assert_allclose(
         _np(rec_j).transpose(0, 3, 1, 2), rec_t.detach().numpy(), atol=5e-5
     )
+
+
+def test_spatial_transformer_block_matches_torch():
+    """Full FCT transformer block (conv-projected attention -> conv ->
+    residual -> LayerNorm -> Wide-Focus -> residual) vs a torch replica
+    of the reference structure (FCT.py:24-132), weights transferred."""
+    from tchvp_tpu.ops.conv_attention import SpatialTransformer
+
+    c, heads, b, hw = 8, 2, 2, 8
+    m = SpatialTransformer(channels=c, num_heads=heads)
+    x_np = np.random.default_rng(0).normal(size=(b, hw, hw, c)).astype(np.float32)
+    variables = m.init(KEY, jnp.asarray(x_np))
+    params = variables["params"]
+
+    class TAttention(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_q = tnn.Conv2d(c, c, 3, 1, "same", groups=c)
+            self.ln_q = tnn.LayerNorm(c, eps=1e-5)
+            self.conv_k = tnn.Conv2d(c, c, 3, 1, 1, groups=c)
+            self.ln_k = tnn.LayerNorm(c, eps=1e-5)
+            self.conv_v = tnn.Conv2d(c, c, 3, 1, 1, groups=c)
+            self.ln_v = tnn.LayerNorm(c, eps=1e-5)
+            self.attn = tnn.MultiheadAttention(c, heads, batch_first=True)
+
+        def proj(self, x, conv, ln):
+            y = torch.relu(conv(x)).permute(0, 2, 3, 1)
+            return ln(y).permute(0, 3, 1, 2)
+
+        def forward(self, x):
+            q = self.proj(x, self.conv_q, self.ln_q)
+            k = self.proj(x, self.conv_k, self.ln_k)
+            v = self.proj(x, self.conv_v, self.ln_v)
+            B, C, H, W = x.shape
+            tok = lambda t: t.reshape(B, C, H * W).permute(0, 2, 1)  # noqa: E731
+            o, _ = self.attn(tok(q), tok(k), tok(v), need_weights=False)
+            return o.permute(0, 2, 1).reshape(B, C, H, W)
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.att = TAttention()
+            self.conv1 = tnn.Conv2d(c, c, 3, 1, "same")
+            self.ln = tnn.LayerNorm(c, eps=1e-5)
+            self.wf = tnn.ModuleDict({
+                f"conv{i}": tnn.Conv2d(c, c, 3, 1, "same", dilation=i)
+                for i in (1, 2, 3)
+            })
+            self.wf4 = tnn.Conv2d(c, c, 3, 1, "same")
+
+        def forward(self, x):
+            x1 = self.conv1(self.att(x))
+            x2 = x1 + x
+            x3 = self.ln(x2.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            g = torch.nn.functional.gelu
+            added = sum(g(self.wf[f"conv{i}"](x3)) for i in (1, 2, 3))
+            return x2 + g(self.wf4(added))
+
+    t = TBlock().eval()
+
+    def conv_w(k):
+        return torch.tensor(np.transpose(np.asarray(k), (3, 2, 0, 1)).copy())
+
+    def dw_w(k):  # depthwise: flax (kh,kw,1,C) -> torch (C,1,kh,kw)
+        return torch.tensor(np.transpose(np.asarray(k), (3, 2, 0, 1)).copy())
+
+    ap = params["attention_output"]
+    with torch.no_grad():
+        for name, conv, ln in (
+            ("q", t.att.conv_q, t.att.ln_q),
+            ("k", t.att.conv_k, t.att.ln_k),
+            ("v", t.att.conv_v, t.att.ln_v),
+        ):
+            conv.weight.copy_(dw_w(ap[f"conv_{name}"]["kernel"]))
+            conv.bias.copy_(torch.tensor(np.asarray(ap[f"conv_{name}"]["bias"])))
+            ln.weight.copy_(torch.tensor(np.asarray(ap[f"layernorm_{name}"]["scale"])))
+            ln.bias.copy_(torch.tensor(np.asarray(ap[f"layernorm_{name}"]["bias"])))
+        mha = ap["attention"]
+        w_in = np.concatenate([
+            np.asarray(mha["q_proj"]["kernel"]).T,
+            np.asarray(mha["k_proj"]["kernel"]).T,
+            np.asarray(mha["v_proj"]["kernel"]).T,
+        ])
+        b_in = np.concatenate([
+            np.asarray(mha["q_proj"]["bias"]),
+            np.asarray(mha["k_proj"]["bias"]),
+            np.asarray(mha["v_proj"]["bias"]),
+        ])
+        t.att.attn.in_proj_weight.copy_(torch.tensor(w_in))
+        t.att.attn.in_proj_bias.copy_(torch.tensor(b_in))
+        t.att.attn.out_proj.weight.copy_(
+            torch.tensor(np.asarray(mha["out_proj"]["kernel"]).T)
+        )
+        t.att.attn.out_proj.bias.copy_(
+            torch.tensor(np.asarray(mha["out_proj"]["bias"]))
+        )
+        t.conv1.weight.copy_(conv_w(params["conv1"]["kernel"]))
+        t.conv1.bias.copy_(torch.tensor(np.asarray(params["conv1"]["bias"])))
+        t.ln.weight.copy_(torch.tensor(np.asarray(params["layernorm"]["scale"])))
+        t.ln.bias.copy_(torch.tensor(np.asarray(params["layernorm"]["bias"])))
+        wf = params["wide_focus"]
+        for i in (1, 2, 3):
+            t.wf[f"conv{i}"].weight.copy_(conv_w(wf[f"conv{i}"]["kernel"]))
+            t.wf[f"conv{i}"].bias.copy_(
+                torch.tensor(np.asarray(wf[f"conv{i}"]["bias"]))
+            )
+        t.wf4.weight.copy_(conv_w(wf["conv4"]["kernel"]))
+        t.wf4.bias.copy_(torch.tensor(np.asarray(wf["conv4"]["bias"])))
+
+    want = t(torch.tensor(x_np.transpose(0, 3, 1, 2)))
+    got = m.apply(variables, jnp.asarray(x_np), deterministic=True)
+    np.testing.assert_allclose(
+        _np(got).transpose(0, 3, 1, 2), want.detach().numpy(), atol=5e-5
+    )
