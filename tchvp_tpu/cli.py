@@ -90,9 +90,44 @@ def cmd_segment(args) -> None:
     flow.train(train, test, epochs=args.epochs, lr=args.lr)
 
 
+def _video_model(args):
+    """--model: "hybrid" (flagship CNN+transformer), "ae32k" (frame AE,
+    recovered AE_256_32K workload) or "ae4k" (64px flat-latent AE,
+    recovered AE_64_4k workload). The frame AEs wrap per-frame apply so
+    they consume (B, T, H, W, C) clips like the hybrid."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from tchvp_tpu import layout
+    from tchvp_tpu.config import ResNetAEConfig, flagship_video_config
+    from tchvp_tpu.models import Autoencoder4K, Autoencoder32K, VideoHybridNet
+
+    if args.model == "hybrid":
+        return VideoHybridNet(config=flagship_video_config(args.image_size))
+
+    class FrameAE(nn.Module):
+        """Fold clip frames into the batch around a per-frame AE."""
+
+        ae: nn.Module
+
+        @nn.compact
+        def __call__(self, clip: jnp.ndarray, train: bool = False,
+                     deterministic: bool = True):
+            b = clip.shape[0]
+            latent, recon = self.ae(
+                layout.fold_time(clip), train=train, deterministic=deterministic
+            )
+            return latent, layout.unfold_time(recon, b)
+
+    if args.model == "ae32k":
+        return FrameAE(ae=Autoencoder32K(config=ResNetAEConfig()))
+    if args.model == "ae4k":
+        return FrameAE(ae=Autoencoder4K())
+    raise SystemExit(f"unknown --model {args.model!r}")
+
+
 def cmd_video(args) -> None:
-    from tchvp_tpu.config import TrainConfig, flagship_video_config
-    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.config import TrainConfig
     from tchvp_tpu.train.loops import VideoFlow
 
     if args.synthetic:
@@ -122,7 +157,7 @@ def cmd_video(args) -> None:
         lr=args.lr,
         checkpoint_dir=args.checkpoint_dir,
     )
-    model = VideoHybridNet(config=flagship_video_config(args.image_size))
+    model = _video_model(args)
     flow = VideoFlow(model, cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
     start = flow.resume(args.clip_len) if args.resume else 0
     flow.train(
@@ -246,6 +281,8 @@ def main(argv=None) -> None:
             p.add_argument("--clippack", default=None)
             p.add_argument("--resume", action="store_true")
             p.add_argument("--save-every", type=int, default=10)
+            p.add_argument("--model", default="hybrid",
+                           choices=("hybrid", "ae32k", "ae4k"))
         if name == "transfer":
             p.add_argument("--pretrained", default=None)
         if name == "pack":
