@@ -570,3 +570,201 @@ def test_spatial_transformer_block_matches_torch():
     np.testing.assert_allclose(
         _np(got).transpose(0, 3, 1, 2), want.detach().numpy(), atol=5e-5
     )
+
+
+def _torch_fct_transformer(c, heads):
+    """Torch replica of one FCT transformer block (reference FCT.py:84-102)."""
+
+    class TAtt(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            for n in ("q", "k", "v"):
+                setattr(self, f"conv_{n}", tnn.Conv2d(c, c, 3, 1, "same", groups=c))
+                setattr(self, f"ln_{n}", tnn.LayerNorm(c, eps=1e-5))
+            self.attn = tnn.MultiheadAttention(c, heads, batch_first=True)
+
+        def forward(self, x):
+            B, C, H, W = x.shape
+
+            def proj(n):
+                y = torch.relu(getattr(self, f"conv_{n}")(x)).permute(0, 2, 3, 1)
+                y = getattr(self, f"ln_{n}")(y).permute(0, 3, 1, 2)
+                return y.reshape(B, C, H * W).permute(0, 2, 1)
+
+            o, _ = self.attn(proj("q"), proj("k"), proj("v"), need_weights=False)
+            return o.permute(0, 2, 1).reshape(B, C, H, W)
+
+    class TTrans(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.att = TAtt()
+            self.conv1 = tnn.Conv2d(c, c, 3, 1, "same")
+            self.ln = tnn.LayerNorm(c, eps=1e-5)
+            self.wf = tnn.ModuleDict({
+                f"conv{i}": tnn.Conv2d(c, c, 3, 1, "same", dilation=i)
+                for i in (1, 2, 3)
+            })
+            self.wf4 = tnn.Conv2d(c, c, 3, 1, "same")
+
+        def forward(self, x):
+            x2 = self.conv1(self.att(x)) + x
+            x3 = self.ln(x2.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            g = torch.nn.functional.gelu
+            added = sum(g(self.wf[f"conv{i}"](x3)) for i in (1, 2, 3))
+            return x2 + g(self.wf4(added))
+
+    return TTrans()
+
+
+def _conv_w(k):
+    return torch.tensor(np.transpose(np.asarray(k), (3, 2, 0, 1)).copy())
+
+
+def _copy_conv(t, p):
+    t.weight.copy_(_conv_w(p["kernel"]))
+    if "bias" in p:
+        t.bias.copy_(torch.tensor(np.asarray(p["bias"])))
+
+
+def _copy_ln(t, p):
+    t.weight.copy_(torch.tensor(np.asarray(p["scale"])))
+    t.bias.copy_(torch.tensor(np.asarray(p["bias"])))
+
+
+def _copy_fct_transformer(t, params):
+    ap = params["attention_output"]
+    for n in ("q", "k", "v"):
+        _copy_conv(getattr(t.att, f"conv_{n}"), ap[f"conv_{n}"])
+        _copy_ln(getattr(t.att, f"ln_{n}"), ap[f"layernorm_{n}"])
+    mha = ap["attention"]
+    w_in = np.concatenate([np.asarray(mha[f"{n}_proj"]["kernel"]).T
+                           for n in ("q", "k", "v")])
+    b_in = np.concatenate([np.asarray(mha[f"{n}_proj"]["bias"])
+                           for n in ("q", "k", "v")])
+    t.att.attn.in_proj_weight.copy_(torch.tensor(w_in))
+    t.att.attn.in_proj_bias.copy_(torch.tensor(b_in))
+    t.att.attn.out_proj.weight.copy_(
+        torch.tensor(np.asarray(mha["out_proj"]["kernel"]).T))
+    t.att.attn.out_proj.bias.copy_(
+        torch.tensor(np.asarray(mha["out_proj"]["bias"])))
+    _copy_conv(t.conv1, params["conv1"])
+    _copy_ln(t.ln, params["layernorm"])
+    wf = params["wide_focus"]
+    for i in (1, 2, 3):
+        _copy_conv(t.wf[f"conv{i}"], wf[f"conv{i}"])
+    _copy_conv(t.wf4, wf["conv4"])
+
+
+def test_fct_full_model_matches_torch():
+    """The whole 9-block FCT (multi-scale pyramid, encoder/decoder blocks,
+    deep-supervision head) vs a torch replica of the reference composition
+    (FCT.py:210-254), weights transferred, eval mode."""
+    from tchvp_tpu.config import FCTConfig
+    from tchvp_tpu.models import FCT
+
+    f = [8, 16, 32, 64, 128, 64, 32, 16, 8]
+    heads = 2
+    m = FCT(config=FCTConfig(attn_impl="xla"))
+    x_np = np.random.default_rng(0).uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    variables = m.init(KEY, jnp.asarray(x_np))
+    params = variables["params"]
+
+    class TEnc(tnn.Module):
+        def __init__(self, blk, cin, cout):
+            super().__init__()
+            self.blk = blk
+            if blk in ("first", "bottleneck"):
+                self.conv1_a = tnn.Conv2d(cin, cout, 3, 1, "same")
+            else:
+                self.conv1_b = tnn.Conv2d(3, cin, 3, 1, "same")
+                self.conv3 = tnn.Conv2d(cout, cout, 3, 1, "same")
+            cin2 = cout if blk in ("first", "bottleneck") else cin * 2
+            self.conv2 = tnn.Conv2d(cin2, cout, 3, 1, "same")
+            self.trans = _torch_fct_transformer(cout, heads)
+
+        def forward(self, x, scale_img=None):
+            if self.blk in ("first", "bottleneck"):
+                x1 = torch.relu(self.conv2(torch.relu(self.conv1_a(x))))
+            else:
+                skip = torch.relu(self.conv1_b(scale_img))
+                x1 = torch.cat([skip, x], 1)
+                x1 = torch.relu(self.conv2(x1))
+                x1 = torch.relu(self.conv3(x1))
+            return self.trans(torch.max_pool2d(x1, 2))
+
+    class TDec(tnn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, 1, "same")
+            self.conv2 = tnn.Conv2d(cout * 2, cout, 3, 1, "same")
+            self.conv3 = tnn.Conv2d(cout, cout, 3, 1, "same")
+            self.trans = _torch_fct_transformer(cout, heads)
+
+        def forward(self, x, skip):
+            x1 = torch.nn.functional.interpolate(x, scale_factor=2)
+            x1 = torch.relu(self.conv1(x1))
+            x1 = torch.cat([skip, x1], 1)
+            x1 = torch.relu(self.conv2(x1))
+            x1 = torch.relu(self.conv3(x1))
+            return self.trans(x1)
+
+    class TFCT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.b1 = TEnc("first", 3, f[0])
+            self.b2 = TEnc("second", f[0], f[1])
+            self.b3 = TEnc("third", f[1], f[2])
+            self.b4 = TEnc("fourth", f[2], f[3])
+            self.b5 = TEnc("bottleneck", f[3], f[4])
+            self.b6 = TDec(f[4], f[5])
+            self.b7 = TDec(f[5], f[6])
+            self.b8 = TDec(f[6], f[7])
+            self.b9 = TDec(f[7], f[8])
+            self.ds1 = tnn.Conv2d(f[8], f[8], 3, 1, "same")
+            self.ds2 = tnn.Conv2d(f[8], f[8], 3, 1, "same")
+            self.ds3 = tnn.Conv2d(f[8], 1, 3, 1, "same")
+
+        def forward(self, x):
+            ap = torch.nn.functional.avg_pool2d
+            s2 = ap(x, 2)
+            s3 = ap(s2, 2)
+            s4 = ap(s3, 2)
+            x1 = self.b1(x)
+            x2 = self.b2(x1, s2)
+            x3 = self.b3(x2, s3)
+            x4 = self.b4(x3, s4)
+            h = self.b5(x4)
+            h = self.b6(h, x4)
+            h = self.b7(h, x3)
+            h = self.b8(h, x2)
+            h = self.b9(h, x1)
+            h = torch.nn.functional.interpolate(h, scale_factor=2)
+            h = torch.relu(self.ds1(h))
+            h = torch.relu(self.ds2(h))
+            return torch.sigmoid(self.ds3(h))
+
+    t = TFCT().eval()
+    with torch.no_grad():
+        for i, tb in enumerate((t.b1, t.b2, t.b3, t.b4, t.b5)):
+            bp = params[f"block_{i + 1}"]
+            if i in (0, 4):
+                _copy_conv(tb.conv1_a, bp["conv1_a"])
+            else:
+                _copy_conv(tb.conv1_b, bp["conv1_b"])
+                _copy_conv(tb.conv3, bp["conv3"])
+            _copy_conv(tb.conv2, bp["conv2"])
+            _copy_fct_transformer(tb.trans, bp["trans"])
+        for i, tb in enumerate((t.b6, t.b7, t.b8, t.b9)):
+            bp = params[f"block_{i + 6}"]
+            for n in ("conv1", "conv2", "conv3"):
+                _copy_conv(getattr(tb, n), bp[n])
+            _copy_fct_transformer(tb.trans, bp["trans"])
+        _copy_conv(t.ds1, params["ds"]["conv1"])
+        _copy_conv(t.ds2, params["ds"]["conv2"])
+        _copy_conv(t.ds3, params["ds"]["conv3"])
+
+    want = t(torch.tensor(x_np.transpose(0, 3, 1, 2)))
+    got = m.apply(variables, jnp.asarray(x_np), deterministic=True)
+    np.testing.assert_allclose(
+        _np(got).transpose(0, 3, 1, 2), want.detach().numpy(), atol=1e-4
+    )
