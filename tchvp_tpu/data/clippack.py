@@ -87,7 +87,12 @@ def pack_from_manifest(
 
 
 def _build_native() -> Optional[str]:
-    """Compile native/clippack.cc -> libclippack.so if needed."""
+    """Compile native/clippack.cc -> libclippack.so if needed.
+
+    Build lands in a per-PID temp file and is moved into place atomically,
+    so concurrent processes (e.g. multi-host training on one machine)
+    cannot observe a half-written library.
+    """
     if not os.path.exists(_NATIVE_SRC):
         return None
     if os.path.exists(_NATIVE_LIB) and os.path.getmtime(
@@ -95,13 +100,19 @@ def _build_native() -> Optional[str]:
     ) >= os.path.getmtime(_NATIVE_SRC):
         return _NATIVE_LIB
     os.makedirs(os.path.dirname(_NATIVE_LIB), exist_ok=True)
+    tmp = f"{_NATIVE_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        _NATIVE_SRC, "-o", _NATIVE_LIB,
+        _NATIVE_SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _NATIVE_LIB)  # atomic on POSIX
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
     return _NATIVE_LIB
 
