@@ -85,7 +85,13 @@ def main(nprocs: int = 2) -> None:
         with open(worker, "w") as f:
             f.write(WORKER)
 
-        coord = "127.0.0.1:49733"
+        # Pick a free port at runtime — a hardcoded one collides with stale
+        # or concurrent runs and hangs until the subprocess timeout.
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            coord = f"127.0.0.1:{s.getsockname()[1]}"
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         # Force pure-CPU multiprocess: the TPU plugin must not grab chips.

@@ -261,6 +261,7 @@ class ClipPackDataset:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self._epoch = 0
+        self._consumed = 0  # batches taken from the native ring this epoch
         self._native = prefer_native and native_available()
 
         if self._native:
@@ -306,19 +307,43 @@ class ClipPackDataset:
     def __iter__(self) -> Iterator[np.ndarray]:
         if self._native:
             lib = _load_lib()
-            for _ in range(len(self)):
-                # Fresh buffer per batch: the C ABI copies straight into
-                # it, and ownership passes to the caller (no defensive
-                # copy; train steps consume batches immediately anyway).
-                out = np.empty(
+            if self._consumed:
+                # A previous iterator was abandoned mid-epoch. The native
+                # ring has no seek, so drain to the epoch boundary — the
+                # NumPy fallback always starts a fresh epoch, and the two
+                # paths must stay bit-identical.
+                scratch = np.empty(
                     (self.batch_size, self.t, self.h, self.w, self.c), np.uint8
                 )
-                lib.loader_next(
-                    self._loader,
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                )
-                yield out
-            self._epoch += 1
+                for _ in range(len(self) - self._consumed):
+                    rc = lib.loader_next(
+                        self._loader,
+                        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    )
+                    if rc < 0:
+                        raise RuntimeError("clippack native loader failed")
+                self._consumed = 0
+                self._epoch += 1
+            try:
+                for _ in range(len(self)):
+                    # Fresh buffer per batch: the C ABI copies straight into
+                    # it, and ownership passes to the caller (no defensive
+                    # copy; train steps consume batches immediately anyway).
+                    out = np.empty(
+                        (self.batch_size, self.t, self.h, self.w, self.c), np.uint8
+                    )
+                    rc = lib.loader_next(
+                        self._loader,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    )
+                    if rc < 0:
+                        raise RuntimeError("clippack native loader failed")
+                    self._consumed += 1
+                    yield out
+            finally:
+                if self._consumed == len(self):
+                    self._consumed = 0
+                    self._epoch += 1
         else:
             perm = epoch_permutation(self.n, self.seed, self._epoch, self.shuffle)
             self._epoch += 1

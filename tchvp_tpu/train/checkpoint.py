@@ -57,6 +57,35 @@ def restore_state(path: str, template: Optional[Any] = None) -> Dict[str, Any]:
     return ckpt.restore(path)
 
 
+def restore_state_into(state, path: str):
+    """Restore params / opt_state / batch_stats from ``path`` into a live
+    TrainState, preserving optimizer pytree structure (orbax without a
+    template flattens optax namedtuples to dicts — restoring those into
+    ``state.opt_state`` would corrupt the optimizer). Restoring opt_state
+    matters after a divergence recovery: Adam's m/v moments from the good
+    step come back instead of NaN-poisoned or freshly-zeroed ones.
+
+    Returns ``(state, raw)`` where ``raw`` is the untemplated payload
+    (for ``step`` / ``extra`` — e.g. the reference's full loss-history
+    list, ``FCT.py:368-373``).
+    """
+    raw = restore_state(path)
+    template: Dict[str, Any] = {"params": _to_host(state.params), "step": 0}
+    if "opt_state" in raw and state.opt_state is not None:
+        template["opt_state"] = _to_host(state.opt_state)
+    if "batch_stats" in raw and state.batch_stats is not None:
+        template["batch_stats"] = _to_host(state.batch_stats)
+    if "extra" in raw:
+        template["extra"] = raw["extra"]
+    restored = ocp.PyTreeCheckpointer().restore(path, item=template)
+    state = state.replace(params=restored["params"])
+    if "opt_state" in template:
+        state = state.replace(opt_state=restored["opt_state"])
+    if "batch_stats" in template:
+        state = state.replace(batch_stats=restored["batch_stats"])
+    return state, raw
+
+
 def save_params(directory: str, name: str, params: Any) -> str:
     """Weights-only save (the Model.py:182 best-checkpoint pattern)."""
     path = os.path.join(os.path.abspath(directory), name)

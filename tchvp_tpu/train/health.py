@@ -87,15 +87,14 @@ class HealthMonitor:
 
 
 def recover_latest(state, checkpoint_dir: str):
-    """Restore params/batch_stats from the newest step-tagged checkpoint
-    into ``state``; returns (state, restored_step) — (state, None) when no
-    checkpoint exists (caller decides whether to abort)."""
+    """Restore params/batch_stats/opt_state from the newest step-tagged
+    checkpoint into ``state``; returns (state, restored_step) —
+    (state, None) when no checkpoint exists (caller decides whether to
+    abort). opt_state restore is load-bearing: after a real NaN-gradient
+    divergence Adam's m/v moments are NaN, so restoring params alone would
+    re-poison them on the first post-recovery update."""
     path = ckpt.latest_step_dir(checkpoint_dir)
     if path is None:
         return state, None
-    restored = ckpt.restore_state(path)
-    state = state.replace(
-        params=restored["params"],
-        batch_stats=restored.get("batch_stats", state.batch_stats),
-    )
-    return state, int(restored.get("step", 0))
+    state, raw = ckpt.restore_state_into(state, path)
+    return state, int(raw.get("step", 0))

@@ -177,7 +177,12 @@ class DenoisingFlow(_FlowBase):
         """Blackout-inpainting eval + stacked sample (Model.py:96-135)."""
         total, n = 0.0, 0
         rng = jax.random.PRNGKey(self.cfg.seed + epoch)
-        sample_at = max(len(test_data) // 2, 0) if hasattr(test_data, "__len__") else 0
+        # Random sample batch, as the reference does (Model.py:99).
+        sample_at = (
+            int(np.random.default_rng(self.cfg.seed + epoch).integers(len(test_data)))
+            if hasattr(test_data, "__len__") and len(test_data) > 0
+            else 0
+        )
         for i, batch in enumerate(test_data):
             rng, k = jax.random.split(rng)
             m, corrupted, pred = self._test_step(self.state, self._shard(batch), k)
@@ -215,6 +220,10 @@ class SegmentationFlow(_FlowBase):
         self.model = model if model is not None else FCT()
         self.image_size = image_size
         self.state: Optional[TrainState] = None
+        # Per-epoch training-loss history — the reference checkpoints the
+        # whole ``loss_train`` list (FCT.py:368-373); part of the resume
+        # contract, restored by :meth:`restore`.
+        self.loss_history: list = []
         self._train_step = steps_lib.make_segmentation_train_step(image_size, cfg.loss)
         self._eval_step = steps_lib.make_segmentation_eval_step(image_size, cfg.loss)
 
@@ -251,6 +260,7 @@ class SegmentationFlow(_FlowBase):
                 if i == sneak:  # per-epoch sneak-peek (FCT.py:339-340)
                     self._save_sneakpeek(epoch, batch)
             train_m = _mean_of(sums, n)
+            self.loss_history.append(sums["loss"])
             self._log("Training Loss", sums["loss"], epoch)  # FCT.py:356 (sum)
             print(
                 f"Epoch {epoch}: dice loss {train_m['loss']:.4f} IoU {train_m['iou']:.3f}"
@@ -263,7 +273,12 @@ class SegmentationFlow(_FlowBase):
                     self.state.params,
                     self.state.opt_state,
                     self.state.batch_stats,
-                    extra={"loss": sums["loss"]},
+                    # Full loss list, as the reference's ckpt dict carries
+                    # (FCT.py:368-373) — not just the scalar epoch sum.
+                    extra={
+                        "loss": sums["loss"],
+                        "loss_history": np.asarray(self.loss_history, np.float64),
+                    },
                 )
         return self.state
 
@@ -292,9 +307,14 @@ class SegmentationFlow(_FlowBase):
         return _mean_of(sums, n)
 
     def restore(self, path: str) -> None:
-        restored = ckpt.restore_state(path)
+        """Full resume: params + optimizer moments + loss history — the
+        reference ckpt dict restores all of epoch/model/optimizer/loss
+        (FCT.py:368-373), not just the weights."""
         self.init_state()
-        self.state = self.state.replace(params=restored["params"])
+        self.state, raw = ckpt.restore_state_into(self.state, path)
+        hist = (raw.get("extra") or {}).get("loss_history")
+        if hist is not None:
+            self.loss_history = [float(v) for v in np.asarray(hist).ravel()]
 
     def infer(self, batch: np.ndarray, out_dir: Optional[str] = None) -> np.ndarray:
         """uint8 images -> masks, with Sobel-edge side-by-side dumps — the
@@ -425,18 +445,15 @@ class VideoFlow(_FlowBase):
         return total / max(n, 1)
 
     def resume(self, clip_len: int) -> int:
-        """Restore the latest step-tagged checkpoint; returns start epoch."""
+        """Restore the latest step-tagged checkpoint (params, optimizer
+        moments, batch stats); returns start epoch."""
         path = ckpt.latest_step_dir(self.cfg.checkpoint_dir)
         if path is None:
             return 0
         if self.state is None:
             self.init_state(clip_len)
-        restored = ckpt.restore_state(path)
-        self.state = self.state.replace(
-            params=restored["params"],
-            batch_stats=restored.get("batch_stats", self.state.batch_stats),
-        )
-        return int(restored.get("step", 0))
+        self.state, raw = ckpt.restore_state_into(self.state, path)
+        return int(raw.get("step", 0))
 
     def train(
         self,

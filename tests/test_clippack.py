@@ -53,6 +53,31 @@ def test_native_matches_fallback_shuffled(tmp_path):
     nat.close()
 
 
+@pytest.mark.skipif(not clippack.native_available(), reason="no toolchain")
+def test_abandoned_iterator_starts_fresh_epoch(tmp_path):
+    """Breaking out of an epoch mid-way must not leak leftover batches into
+    the next iteration: both paths start the NEXT epoch (ADVICE r1)."""
+    path, _ = _make_pack(tmp_path, n=16)
+    nat = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=5)
+    ref = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=5,
+                                   prefer_native=False)
+    assert nat._native and not ref._native
+    for ds in (nat, ref):
+        for i, _ in enumerate(ds):
+            if i == 1:  # abandon after 2 of 4 batches
+                break
+    for a, b in zip(nat, ref):
+        np.testing.assert_array_equal(a, b)
+    # And the epoch after an abandoned one still matches a clean reference
+    # stream two epochs in.
+    clean = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=5,
+                                     prefer_native=False)
+    list(clean), list(clean)  # consume epochs 0 and 1
+    for a, b in zip(nat, clean):
+        np.testing.assert_array_equal(a, b)
+    nat.close()
+
+
 def test_epoch_covers_all_clips_once(tmp_path):
     path, clips = _make_pack(tmp_path, n=16)
     ds = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=3)

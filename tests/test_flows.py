@@ -60,6 +60,16 @@ def test_segmentation_flow_train_restore_infer(workdir):
     assert path is not None
     flow2 = SegmentationFlow(cfg=cfg, image_size=32)
     flow2.restore(path)
+    # Full resume contract (FCT.py:368-373): optimizer moments and the
+    # whole loss-history list come back, not just weights.
+    import jax
+
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, flow.state.opt_state)),
+        jax.tree.leaves(jax.tree.map(np.asarray, flow2.state.opt_state)),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert flow2.loss_history == pytest.approx(flow.loss_history)
     batch = np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3), np.uint8)
     masks = flow2.infer(batch, out_dir="inference_out")
     assert masks.shape == (2, 32, 32, 1)
@@ -111,6 +121,14 @@ def test_video_flow_train_and_resume(workdir):
     flow2 = VideoFlow(model, cfg=cfg, image_size=32)
     start = flow2.resume(clip_len=4)
     assert start == 2
+    # Optimizer moments resumed, not reinitialized.
+    import jax
+
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, flow.state.opt_state)),
+        jax.tree.leaves(jax.tree.map(np.asarray, flow2.state.opt_state)),
+    ):
+        np.testing.assert_array_equal(a, b)
     flow2.train(data, epochs=3, clip_len=4, start_epoch=start, save_every=10)
 
 

@@ -90,10 +90,17 @@ def test_video_flow_recovers_from_nan(tmp_path):
     flow.train(clean, epochs=1, clip_len=2, save_every=1)
     good_params = jax.tree.map(np.asarray, flow.state.params)
 
-    # Poison the params so every subsequent loss is NaN, then train with a
-    # monitor: it must restore the checkpointed (good) params.
-    poisoned = jax.tree.map(lambda p: p * np.nan, flow.state.params)
-    flow.state = flow.state.replace(params=poisoned)
+    # Poison params AND optimizer moments — a real NaN-gradient divergence
+    # leaves Adam's m/v NaN too. Recovery must restore both, or the first
+    # post-restore update re-poisons the restored params (ADVICE r1).
+    def poison_floats(x):
+        x = jnp.asarray(x)
+        return x * jnp.nan if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    flow.state = flow.state.replace(
+        params=jax.tree.map(poison_floats, flow.state.params),
+        opt_state=jax.tree.map(poison_floats, flow.state.opt_state),
+    )
     nan_batches = clean * 5
     mon = HealthMonitor(nan_tolerance=2, warmup_steps=0)
     flow.train(nan_batches, epochs=2, clip_len=2, start_epoch=1,
@@ -102,6 +109,14 @@ def test_video_flow_recovers_from_nan(tmp_path):
     # The first leaf should again be finite (restored from disk).
     leaf = jax.tree.leaves(restored)[0]
     assert np.isfinite(leaf).all()
+    # Optimizer moments restored finite as well...
+    for x in jax.tree.leaves(jax.tree.map(np.asarray, flow.state.opt_state)):
+        if np.issubdtype(x.dtype, np.floating):
+            assert np.isfinite(x).all()
+    # ...so further clean steps make progress instead of re-diverging.
+    flow.train(clean, epochs=3, clip_len=2, start_epoch=2, save_every=100)
+    for x in jax.tree.leaves(jax.tree.map(np.asarray, flow.state.params)):
+        assert np.isfinite(x).all()
 
     # Without any checkpoint on disk, divergence must raise.
     flow2 = VideoFlow(model, cfg=TrainConfig(
