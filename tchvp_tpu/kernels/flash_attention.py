@@ -45,12 +45,72 @@ def _cdiv(a: int, b: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Attention-weight dropout (TransformerEncoder.py L19/L58: Dropout(0.1) on
+# the softmax weights). Flash tiles the (S, S) weight matrix, so the mask is
+# generated counter-based from the GLOBAL (row, col) element index with a
+# squirrel3 integer hash — bit-identical across the forward and the two
+# backward kernels (which revisit the same elements on different grids) and
+# across interpret/compiled modes (pltpu.prng_* has no interpret-mode
+# lowering in this JAX version). O(1) memory: no (S, S) mask materialized.
+# ---------------------------------------------------------------------------
+
+
+def _squirrel3(x: jnp.ndarray) -> jnp.ndarray:
+    """Squirrel3 avalanche hash over uint32 lanes."""
+    x = x * jnp.uint32(0xB5297A4D)
+    x = x ^ (x >> 8)
+    x = x + jnp.uint32(0x68E31DA4)
+    x = x ^ (x << 8)
+    x = x * jnp.uint32(0x1B56C4E9)
+    x = x ^ (x >> 8)
+    return x
+
+
+def _drop_threshold(rate: float) -> int:
+    """uint32 threshold t: drop where hash < t, so P(drop) = t / 2^32."""
+    return min(0xFFFFFFFF, max(0, int(round(rate * 4294967296.0))))
+
+
+def _keep_mask(seed, bh, row0, col0, shape, rate: float) -> jnp.ndarray:
+    """In-kernel keep mask for the (row0.., col0..) tile of the global
+    attention-weight matrix; seed/bh are traced int32 scalars."""
+    row = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0).astype(jnp.uint32)
+    col = (jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0).astype(jnp.uint32)
+    base = seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1) + bh.astype(
+        jnp.uint32
+    ) * jnp.uint32(0x85EBCA77)
+    h = _squirrel3(row ^ base)
+    h = _squirrel3(h + col * jnp.uint32(0x27D4EB2F))
+    return h >= jnp.uint32(_drop_threshold(rate))
+
+
+def attention_dropout_mask(
+    seed, bh: int, s_q: int, s_k: int, rate: float
+) -> jnp.ndarray:
+    """Reference (full-matrix) replica of the in-kernel keep mask for one
+    batch-head: (s_q, s_k) bool, True = keep. Used by parity tests to
+    verify the kernels against dense attention with the identical mask."""
+    seed = jnp.asarray(seed, jnp.int32).reshape(())
+    row = jnp.arange(s_q, dtype=jnp.uint32)[:, None]
+    col = jnp.arange(s_k, dtype=jnp.uint32)[None, :]
+    base = seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1) + jnp.uint32(
+        bh
+    ) * jnp.uint32(0x85EBCA77)
+    h = _squirrel3(jnp.broadcast_to(row, (s_q, s_k)) ^ base)
+    h = _squirrel3(h + jnp.broadcast_to(col, (s_q, s_k)) * jnp.uint32(0x27D4EB2F))
+    return h >= jnp.uint32(_drop_threshold(rate))
+
+
+# ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
-                scale: float, seq_len: int, block_k: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, m_scr, l_scr,
+                acc_scr, *, scale: float, seq_len: int, block_k: int,
+                dropout_rate: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -76,7 +136,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
 
     m_scr[:] = m_new
+    # l accumulates the UNdropped sum: dropout acts on the normalized
+    # weights (softmax(s)/l then mask), which equals dropping p before the
+    # final division because l is dropout-independent.
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(
+            seed_ref[0], b, i * s.shape[0], j * block_k, s.shape, dropout_rate
+        )
+        p = p * keep.astype(jnp.float32) / (1.0 - dropout_rate)
     v = v_ref[0].astype(jnp.float32)  # (bk, dh)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -90,9 +158,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         lse_ref[0] = m_scr[:] + jnp.log(safe_l)  # (bq, 1)
 
 
+def _seed_spec():
+    """(1,) int32 SMEM seed input, shared by every grid step."""
+    return pl.BlockSpec((1,), lambda *_: (0,), memory_space=pltpu.SMEM)
+
+
 def _flash_fwd(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-    block_q: int, block_k: int, interpret: bool,
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seed: jnp.ndarray,
+    scale: float, block_q: int, block_k: int, interpret: bool,
+    dropout_rate: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """q,k,v: (BH, S, Dh) -> (out (BH, S, Dh), lse (BH, S))."""
     bh, s, dh = q.shape
@@ -109,7 +183,8 @@ def _flash_fwd(
     grid = (bh, s_pad_q // bq, s_pad_k // bk)
     out, lse = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, scale=scale, seq_len=s, block_k=bk
+            _fwd_kernel, scale=scale, seq_len=s, block_k=bk,
+            dropout_rate=dropout_rate,
         ),
         grid=grid,
         in_specs=[
@@ -119,6 +194,7 @@ def _flash_fwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, dh), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
+            _seed_spec(),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, dh), lambda b, i, j: (b, i, 0),
@@ -139,7 +215,7 @@ def _flash_fwd(
             pltpu.VMEM((bq, dh), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, seed)
     return out[:, :s], lse[:, :s, 0]
 
 
@@ -148,8 +224,11 @@ def _flash_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               acc_scr, *, scale: float, seq_len: int, block_k: int):
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
+               dq_ref, acc_scr, *, scale: float, seq_len: int, block_k: int,
+               dropout_rate: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -173,6 +252,13 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_rate > 0.0:
+        # ds_ij = w_ij (m_ij dp_ij - delta_i): the mask rides on dp only;
+        # delta = do.out already carries the dropped weights.
+        keep = _keep_mask(
+            seed_ref[0], b, i * s.shape[0], j * block_k, s.shape, dropout_rate
+        )
+        dp = dp * keep.astype(jnp.float32) / (1.0 - dropout_rate)
     ds = p * (dp - delta) * scale
     acc_scr[:] += jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -183,9 +269,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr, *,
-                scale: float, seq_len: int, block_k: int):
+                scale: float, seq_len: int, block_k: int,
+                dropout_rate: float):
+    b = pl.program_id(0)
     i = pl.program_id(2)  # q block index (innermost)
     nq = pl.num_programs(2)
     j = pl.program_id(1)
@@ -209,13 +297,29 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     s = jnp.where(col < seq_len, s, NEG_INF)
     p = jnp.exp(s - lse)  # (bq, bk)
 
-    # dv += p^T @ dO
+    if dropout_rate > 0.0:
+        # Same global (row, col) tile as the forward: rows are q positions
+        # (block i), cols are k positions (block j).
+        keep = (
+            _keep_mask(
+                seed_ref[0], b, i * s.shape[0], j * block_k, s.shape,
+                dropout_rate,
+            ).astype(jnp.float32)
+            / (1.0 - dropout_rate)
+        )
+        p_drop = p * keep
+    else:
+        p_drop = p
+
+    # dv += (dropped p)^T @ dO
     dv_scr[:] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_drop, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_rate > 0.0:
+        dp = dp * keep
     ds = p * (dp - delta) * scale  # (bq, bk)
     # dk += ds^T @ q
     dk_scr[:] += jax.lax.dot_general(
@@ -229,8 +333,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd(
-    q, k, v, out, lse, do, scale: float, block_q: int, block_k: int,
-    interpret: bool,
+    q, k, v, seed, out, lse, do, scale: float, block_q: int, block_k: int,
+    interpret: bool, dropout_rate: float,
 ):
     bh, s, dh = q.shape
     bq = min(block_q, max(8, s))
@@ -260,14 +364,16 @@ def _flash_bwd(
                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, seq_len=s, block_k=bk),
+        functools.partial(_dq_kernel, scale=scale, seq_len=s, block_k=bk,
+                          dropout_rate=dropout_rate),
         grid=(bh, s_pad_q // bq, s_pad_k // bk),
-        in_specs=[q_spec, k_spec, k_spec, q_spec, row_spec, row_spec],
+        in_specs=[q_spec, k_spec, k_spec, q_spec, row_spec, row_spec,
+                  _seed_spec()],
         out_specs=[q_spec],
         out_shape=[jax.ShapeDtypeStruct((bh, s_pad_q, dh), q.dtype)],
         scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)[0][:, :s]
+    )(qp, kp, vp, dop, lsep, deltap, seed)[0][:, :s]
 
     # dk/dv: swap loop order — k blocks outer, q blocks inner (sequential).
     q_spec2 = pl.BlockSpec((1, bq, dh), lambda b, j, i: (b, i, 0),
@@ -277,19 +383,20 @@ def _flash_bwd(
     row_spec2 = pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
 
-    def _dkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    def _dkv(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
              dk_ref, dv_ref, dk_scr, dv_scr):
         # program_id(1) = k block, program_id(2) = q block.
         _dkv_kernel(
-            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
             dk_ref, dv_ref, dk_scr, dv_scr,
-            scale=scale, seq_len=s, block_k=bk,
+            scale=scale, seq_len=s, block_k=bk, dropout_rate=dropout_rate,
         )
 
     dk, dv = pl.pallas_call(
         _dkv,
         grid=(bh, s_pad_k // bk, s_pad_q // bq),
-        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, row_spec2, row_spec2],
+        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, row_spec2, row_spec2,
+                  _seed_spec()],
         out_specs=[k_spec2, k_spec2],
         out_shape=[
             jax.ShapeDtypeStruct((bh, s_pad_k, dh), k.dtype),
@@ -300,7 +407,7 @@ def _flash_bwd(
             pltpu.VMEM((bk, dh), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)
+    )(qp, kp, vp, dop, lsep, deltap, seed)
     return dq, dk[:, :s], dv[:, :s]
 
 
@@ -312,8 +419,10 @@ def _flash_bwd(
 # ---------------------------------------------------------------------------
 
 
-def _win_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
-                    acc_scr, *, scale: float, seq_len: int, window: int):
+def _win_fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, m_scr,
+                    l_scr, acc_scr, *, scale: float, seq_len: int,
+                    window: int, dropout_rate: float):
+    b = pl.program_id(0)
     i = pl.program_id(1)  # q window
     j = pl.program_id(2)  # 0 = previous window, 1 = own window
 
@@ -343,6 +452,11 @@ def _win_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
     alpha = jnp.exp(m_prev - m_new)
     m_scr[:] = m_new
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(
+            seed_ref[0], b, i * window, jb * window, s.shape, dropout_rate
+        )
+        p = p * keep.astype(jnp.float32) / (1.0 - dropout_rate)
     v = v_ref[0].astype(jnp.float32)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -356,8 +470,10 @@ def _win_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
         lse_ref[0] = m_scr[:] + jnp.log(safe_l)  # (window, 1)
 
 
-def _win_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   acc_scr, *, scale: float, seq_len: int, window: int):
+def _win_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
+                   dq_ref, acc_scr, *, scale: float, seq_len: int,
+                   window: int, dropout_rate: float):
+    b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -382,6 +498,11 @@ def _win_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_rate > 0.0:
+        keep = _keep_mask(
+            seed_ref[0], b, i * window, jb * window, s.shape, dropout_rate
+        )
+        dp = dp * keep.astype(jnp.float32) / (1.0 - dropout_rate)
     ds = p * (dp - delta) * scale
     acc_scr[:] += jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -392,9 +513,11 @@ def _win_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
 
 
-def _win_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _win_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr, *,
-                    scale: float, seq_len: int, window: int, nq: int):
+                    scale: float, seq_len: int, window: int, nq: int,
+                    dropout_rate: float):
+    b = pl.program_id(0)
     jkb = pl.program_id(1)  # key window
     j = pl.program_id(2)    # 0 = own q window, 1 = next q window
 
@@ -423,12 +546,26 @@ def _win_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     p = jnp.exp(s - lse)
     p = jnp.where(valid, p, 0.0)  # lse=1 pad rows would give exp(-inf-1)=0 anyway
 
+    if dropout_rate > 0.0:
+        keep = (
+            _keep_mask(
+                seed_ref[0], b, ib * window, jkb * window, s.shape,
+                dropout_rate,
+            ).astype(jnp.float32)
+            / (1.0 - dropout_rate)
+        )
+        p_drop = p * keep
+    else:
+        p_drop = p
+
     dv_scr[:] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_drop, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if dropout_rate > 0.0:
+        dp = dp * keep
     ds = p * (dp - delta) * scale
     dk_scr[:] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -440,7 +577,8 @@ def _win_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _win_fwd(q, k, v, scale: float, window: int, interpret: bool):
+def _win_fwd(q, k, v, seed, scale: float, window: int, interpret: bool,
+             dropout_rate: float):
     """q,k,v: (BH, S, Dh) -> (out, lse); window-banded attention."""
     bh, s, dh = q.shape
     s_pad = _cdiv(s, window) * window
@@ -459,10 +597,11 @@ def _win_fwd(q, k, v, scale: float, window: int, interpret: bool):
     )
     out, lse = pl.pallas_call(
         functools.partial(
-            _win_fwd_kernel, scale=scale, seq_len=s, window=window
+            _win_fwd_kernel, scale=scale, seq_len=s, window=window,
+            dropout_rate=dropout_rate,
         ),
         grid=(bh, nq, 2),
-        in_specs=[qkv_spec_q, kv_spec, kv_spec],
+        in_specs=[qkv_spec_q, kv_spec, kv_spec, _seed_spec()],
         out_specs=[
             qkv_spec_q,
             pl.BlockSpec((1, window, 1), lambda b, i, j: (b, i, 0),
@@ -478,12 +617,12 @@ def _win_fwd(q, k, v, scale: float, window: int, interpret: bool):
             pltpu.VMEM((window, dh), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v, seed)
     return out[:, :s], lse[:, :s, 0]
 
 
-def _win_bwd(q, k, v, out, lse, do, scale: float, window: int,
-             interpret: bool):
+def _win_bwd(q, k, v, seed, out, lse, do, scale: float, window: int,
+             interpret: bool, dropout_rate: float):
     bh, s, dh = q.shape
     s_pad = _cdiv(s, window) * window
     nq = s_pad // window
@@ -510,15 +649,17 @@ def _win_bwd(q, k, v, out, lse, do, scale: float, window: int,
 
     dq = pl.pallas_call(
         functools.partial(
-            _win_dq_kernel, scale=scale, seq_len=s, window=window
+            _win_dq_kernel, scale=scale, seq_len=s, window=window,
+            dropout_rate=dropout_rate,
         ),
         grid=(bh, nq, 2),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
+                  _seed_spec()],
         out_specs=[q_spec],
         out_shape=[jax.ShapeDtypeStruct((bh, s_pad, dh), q.dtype)],
         scratch_shapes=[pltpu.VMEM((window, dh), jnp.float32)],
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)[0][:, :s]
+    )(qp, kp, vp, dop, lsep, deltap, seed)[0][:, :s]
 
     # dk/dv: grid over key windows; q window ib = jkb + j (clamped load,
     # masked in-kernel when ib >= nq).
@@ -536,10 +677,12 @@ def _win_bwd(q, k, v, out, lse, do, scale: float, window: int,
     )
     dk, dv = pl.pallas_call(
         functools.partial(
-            _win_dkv_kernel, scale=scale, seq_len=s, window=window, nq=nq
+            _win_dkv_kernel, scale=scale, seq_len=s, window=window, nq=nq,
+            dropout_rate=dropout_rate,
         ),
         grid=(bh, nq, 2),
-        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, row_spec2, row_spec2],
+        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, row_spec2, row_spec2,
+                  _seed_spec()],
         out_specs=[k_spec2, k_spec2],
         out_shape=[
             jax.ShapeDtypeStruct((bh, s_pad, dh), k.dtype),
@@ -550,24 +693,29 @@ def _win_bwd(q, k, v, out, lse, do, scale: float, window: int,
             pltpu.VMEM((window, dh), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap)
+    )(qp, kp, vp, dop, lsep, deltap, seed)
     return dq, dk[:, :s], dv[:, :s]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _windowed_attention(q, k, v, scale, window, interpret):
-    out, _ = _win_fwd(q, k, v, scale, window, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _windowed_attention(q, k, v, seed, scale, window, interpret,
+                        dropout_rate):
+    out, _ = _win_fwd(q, k, v, seed, scale, window, interpret, dropout_rate)
     return out
 
 
-def _windowed_attention_fwd(q, k, v, scale, window, interpret):
-    out, lse = _win_fwd(q, k, v, scale, window, interpret)
-    return out, (q, k, v, out, lse)
+def _windowed_attention_fwd(q, k, v, seed, scale, window, interpret,
+                            dropout_rate):
+    out, lse = _win_fwd(q, k, v, seed, scale, window, interpret, dropout_rate)
+    return out, (q, k, v, seed, out, lse)
 
 
-def _windowed_attention_bwd(scale, window, interpret, res, do):
-    q, k, v, out, lse = res
-    return _win_bwd(q, k, v, out, lse, do, scale, window, interpret)
+def _windowed_attention_bwd(scale, window, interpret, dropout_rate, res, do):
+    q, k, v, seed, out, lse = res
+    dq, dk, dv = _win_bwd(
+        q, k, v, seed, out, lse, do, scale, window, interpret, dropout_rate
+    )
+    return dq, dk, dv, _seed_cotangent(seed)
 
 
 _windowed_attention.defvjp(_windowed_attention_fwd, _windowed_attention_bwd)
@@ -581,19 +729,25 @@ def windowed_mha(
     window_size: int,
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
 ) -> jnp.ndarray:
     """Banded flash attention over (B, H, S, Dh): each query window of
     ``window_size`` tokens attends to its own + the previous window — the
     Pallas counterpart of :func:`tchvp_tpu.ops.attention.sdpa_windowed`
-    with O(S * window) compute and memory."""
+    with O(S * window) compute and memory. ``dropout_rate``/``dropout_seed``
+    as in :func:`mha` (same global-index mask)."""
     b, h, s, dh = q.shape
     scale = 1.0 / math.sqrt(dh) if scale is None else scale
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    seed = _as_seed(dropout_seed, dropout_rate)
     qf = q.reshape(b * h, s, dh)
     kf = k.reshape(b * h, s, dh)
     vf = v.reshape(b * h, s, dh)
-    out = _windowed_attention(qf, kf, vf, scale, window_size, interpret)
+    out = _windowed_attention(
+        qf, kf, vf, seed, scale, window_size, interpret, float(dropout_rate)
+    )
     return out.reshape(b, h, s, dh)
 
 
@@ -602,28 +756,51 @@ def windowed_mha(
 # ---------------------------------------------------------------------------
 
 
+def _seed_cotangent(seed):
+    # Integer primal -> float0 cotangent (required by custom_vjp).
+    import numpy as np
+
+    return np.zeros(seed.shape, dtype=jax.dtypes.float0)
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
 )
-def _flash_attention(q, k, v, scale, block_q, block_k, interpret):
-    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+def _flash_attention(q, k, v, seed, scale, block_q, block_k, interpret,
+                     dropout_rate):
+    out, _ = _flash_fwd(
+        q, k, v, seed, scale, block_q, block_k, interpret, dropout_rate
+    )
     return out
 
 
-def _flash_attention_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out, lse = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v, out, lse)
-
-
-def _flash_attention_bwd(scale, block_q, block_k, interpret, res, do):
-    q, k, v, out, lse = res
-    dq, dk, dv = _flash_bwd(
-        q, k, v, out, lse, do, scale, block_q, block_k, interpret
+def _flash_attention_fwd(q, k, v, seed, scale, block_q, block_k, interpret,
+                         dropout_rate):
+    out, lse = _flash_fwd(
+        q, k, v, seed, scale, block_q, block_k, interpret, dropout_rate
     )
-    return dq, dk, dv
+    return out, (q, k, v, seed, out, lse)
+
+
+def _flash_attention_bwd(scale, block_q, block_k, interpret, dropout_rate,
+                         res, do):
+    q, k, v, seed, out, lse = res
+    dq, dk, dv = _flash_bwd(
+        q, k, v, seed, out, lse, do, scale, block_q, block_k, interpret,
+        dropout_rate,
+    )
+    return dq, dk, dv, _seed_cotangent(seed)
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def _as_seed(dropout_seed, dropout_rate: float) -> jnp.ndarray:
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires a dropout_seed")
+    if dropout_seed is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(dropout_seed, jnp.int32).reshape(1)
 
 
 def mha(
@@ -635,15 +812,27 @@ def mha(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
 ) -> jnp.ndarray:
     """Flash attention over (B, H, S, Dh); drop-in for
-    :func:`tchvp_tpu.ops.attention.sdpa_xla` (no mask/dropout path)."""
+    :func:`tchvp_tpu.ops.attention.sdpa_xla` (no mask path).
+
+    ``dropout_rate``/``dropout_seed``: attention-weight dropout inside the
+    kernel (counter-based mask, O(1) memory; see module docstring). The
+    mask for batch-head ``bh`` equals
+    ``attention_dropout_mask(dropout_seed, bh, S, S, rate)``.
+    """
     b, h, s, dh = q.shape
     scale = 1.0 / math.sqrt(dh) if scale is None else scale
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    seed = _as_seed(dropout_seed, dropout_rate)
     qf = q.reshape(b * h, s, dh)
     kf = k.reshape(b * h, s, dh)
     vf = v.reshape(b * h, s, dh)
-    out = _flash_attention(qf, kf, vf, scale, block_q, block_k, interpret)
+    out = _flash_attention(
+        qf, kf, vf, seed, scale, block_q, block_k, interpret,
+        float(dropout_rate),
+    )
     return out.reshape(b, h, s, dh)

@@ -76,6 +76,9 @@ def sdpa_windowed(
     *,
     window_size: int,
     scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
 ) -> jnp.ndarray:
     """Overlapping-window attention over (B, H, S, Dh).
 
@@ -83,7 +86,8 @@ def sdpa_windowed(
     plus the previous one (one-window left overlap) — the streaming-friendly
     temporal pattern for long clips (BASELINE configs 2 and 4). Memory is
     O(S * window) instead of O(S^2). Sequence length must be a multiple of
-    ``window_size`` (pad upstream).
+    ``window_size`` (pad upstream). Attention-weight dropout matches
+    :func:`sdpa_xla` semantics on the banded weights.
     """
     b, h, s, dh = q.shape
     w = window_size
@@ -107,7 +111,11 @@ def sdpa_windowed(
     first = jnp.arange(nw).reshape(1, 1, nw, 1, 1) == 0
     is_prev = jnp.arange(2 * w).reshape(1, 1, 1, 1, 2 * w) < w
     logits = jnp.where(first & is_prev, jnp.asarray(-1e9, logits.dtype), logits)
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    weights = weights.astype(v.dtype)
     out = jnp.einsum("bhnqk,bhnkd->bhnqd", weights, v_ctx)
     return out.reshape(b, h, s, dh)
 
@@ -135,17 +143,36 @@ def multi_head_attention(
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" and mask is None else "xla"
+    drop_active = dropout_rate > 0.0 and not deterministic
+    if drop_active and dropout_rng is None:
+        raise ValueError("active attention dropout requires dropout_rng")
     if impl == "flash" and mask is None:
         from tchvp_tpu.kernels import flash_attention
 
+        # The Pallas kernels apply attention-weight dropout in-kernel via a
+        # counter-based mask; derive its integer seed from the flax RNG key.
+        seed = (
+            jax.random.randint(dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                               dtype=jnp.int32)
+            if drop_active
+            else None
+        )
+        rate = dropout_rate if drop_active else 0.0
         if window_size > 0:
             out = flash_attention.windowed_mha(
-                qh, kh, vh, window_size=window_size, scale=scale
+                qh, kh, vh, window_size=window_size, scale=scale,
+                dropout_rate=rate, dropout_seed=seed,
             )
         else:
-            out = flash_attention.mha(qh, kh, vh, scale=scale)
+            out = flash_attention.mha(
+                qh, kh, vh, scale=scale, dropout_rate=rate, dropout_seed=seed
+            )
     elif impl == "windowed" and window_size > 0 and mask is None:
-        out = sdpa_windowed(qh, kh, vh, window_size=window_size, scale=scale)
+        out = sdpa_windowed(
+            qh, kh, vh, window_size=window_size, scale=scale,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            deterministic=deterministic,
+        )
     else:
         out = sdpa_xla(
             qh,
