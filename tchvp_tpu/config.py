@@ -71,7 +71,11 @@ class FCTConfig:
 
     att_heads: int = 2
     filters: Sequence[int] = (8, 16, 32, 64, 128, 64, 32, 16, 8)
-    stochastic_depth_rate: float = 0.0  # FCT.py:217 (computed, rate 0.0)
+    # Max drop-path rate: per-block rates follow the reference's linspace
+    # schedule (FCT.py:217-218). The reference computes dpr but never
+    # consumes it; here > 0.0 actually gates the transformer residual
+    # branches (ops/conv_attention.py::drop_path). 0.0 = reference math.
+    stochastic_depth_rate: float = 0.0
     dropout_rate: float = 0.3  # FCT.py:146,176
     out_channels: int = 1
     # "auto" = Pallas flash on TPU (faster + much cheaper to compile for
@@ -217,6 +221,11 @@ class TrainConfig:
     loss: str = "mixed"  # "mixed" | "dice" | "mse"
     mixed_alpha: float = 0.5  # Model.py:156
     mixed_beta: float = 0.5
+    # 1.0 is correct for [0,1] images. 255.0 reproduces the reference's
+    # training objective exactly, quirk included: pytorch_msssim's default
+    # data_range=255 on [0,1] inputs collapses the MS-SSIM term of
+    # MixedLoss to ~0 (Metrics.py:53; ops/msssim.py quirk note).
+    mixed_data_range: float = 1.0
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "runs"
     sample_dir: str = "saved_samples"

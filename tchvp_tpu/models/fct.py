@@ -6,8 +6,11 @@ ends in a :class:`~tchvp_tpu.ops.conv_attention.SpatialTransformer` whose
 H*W-token attention is the hot spot that routes to the Pallas
 flash-attention kernel (``attn_impl="flash"``).
 
-Stochastic depth is plumbed (``dpr``) but the reference uses rate 0.0
-(``FCT.py:217``); the behavior-neutral default is kept.
+Stochastic depth: ``FCTConfig.stochastic_depth_rate`` drives the
+reference's linspace schedule (``FCT.py:217-218``) into real per-block
+drop-path on the transformer residuals — the reference computes ``dpr``
+but never consumes it (``FCT.py:82``); rate 0.0 (the default) matches the
+reference exactly.
 """
 
 from __future__ import annotations
@@ -42,6 +45,7 @@ class BlockEncoderBottleneck(nn.Module):
     att_heads: int
     dropout_rate: float = 0.3
     attn_impl: str = "xla"
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -67,6 +71,7 @@ class BlockEncoderBottleneck(nn.Module):
             channels=self.out_channels,
             num_heads=self.att_heads,
             attn_impl=self.attn_impl,
+            drop_path_rate=self.drop_path_rate,
             name="trans",
             dtype=dt,
             param_dtype=pdt,
@@ -80,6 +85,7 @@ class BlockDecoder(nn.Module):
     att_heads: int
     dropout_rate: float = 0.3
     attn_impl: str = "xla"
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -98,6 +104,7 @@ class BlockDecoder(nn.Module):
             channels=self.out_channels,
             num_heads=self.att_heads,
             attn_impl=self.attn_impl,
+            drop_path_rate=self.drop_path_rate,
             name="trans",
             dtype=dt,
             param_dtype=pdt,
@@ -143,6 +150,13 @@ class FCT(nn.Module):
                 f"(5 encoder downsamples); got {x.shape[1]}x{x.shape[2]}"
             )
 
+        # Per-block drop-path schedule (FCT.py:217-218 linspace).
+        n = len(f)
+        dpr = [
+            cfg.stochastic_depth_rate * i / (n - 1) if n > 1 else 0.0
+            for i in range(n)
+        ]
+
         def enc(i: int, blk: str, cin: int) -> BlockEncoderBottleneck:
             return BlockEncoderBottleneck(
                 blk=blk,
@@ -151,6 +165,7 @@ class FCT(nn.Module):
                 att_heads=heads,
                 dropout_rate=cfg.dropout_rate,
                 attn_impl=cfg.attn_impl,
+                drop_path_rate=dpr[i],
                 name=f"block_{i + 1}",
                 dtype=dt,
                 param_dtype=pdt,
@@ -162,6 +177,7 @@ class FCT(nn.Module):
                 att_heads=heads,
                 dropout_rate=cfg.dropout_rate,
                 attn_impl=cfg.attn_impl,
+                drop_path_rate=dpr[i],
                 name=f"block_{i + 1}",
                 dtype=dt,
                 param_dtype=pdt,

@@ -111,16 +111,34 @@ class WideFocus(nn.Module):
         return nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
 
 
+def drop_path(
+    rng: jax.Array, x: jnp.ndarray, rate: float
+) -> jnp.ndarray:
+    """Stochastic depth: zero a residual branch per-sample with prob
+    ``rate``, scaling survivors by 1/(1-rate) (Huang et al. 2016)."""
+    keep_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, keep_shape)
+    return x * keep.astype(x.dtype) / (1.0 - rate)
+
+
 class SpatialTransformer(nn.Module):
     """Attention -> conv -> residual -> LayerNorm -> WideFocus -> residual.
 
     Reference ``FCT.py:84-102`` (in_channels == out_channels at every call
     site, ``FCT.py:144,174``).
+
+    ``drop_path_rate``: stochastic depth on the two residual branches. The
+    reference threads a per-block ``dpr`` into its Transformer but never
+    consumes it (``FCT.py:82,217-218`` — dead plumbing at rate 0.0); here
+    it is implemented for real, gating the attention and Wide-Focus
+    branches per sample at train time. Rate 0.0 (the reference default) is
+    exactly the reference computation.
     """
 
     channels: int
     num_heads: int
     attn_impl: str = "xla"
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -142,6 +160,9 @@ class SpatialTransformer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x1)
+        sd_active = self.drop_path_rate > 0.0 and not deterministic
+        if sd_active:
+            x1 = drop_path(self.make_rng("dropout"), x1, self.drop_path_rate)
         x2 = x1 + x  # residual (FCT.py:96)
         x3 = nn.LayerNorm(
             epsilon=1e-5,
@@ -155,4 +176,6 @@ class SpatialTransformer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x3, deterministic=deterministic)
+        if sd_active:
+            x3 = drop_path(self.make_rng("dropout"), x3, self.drop_path_rate)
         return x2 + x3  # residual (FCT.py:101)

@@ -96,7 +96,8 @@ class DenoisingFlow(_FlowBase):
         self.aug = aug
         self.state: Optional[TrainState] = None
         self._train_step = steps_lib.make_denoising_train_step(
-            image_size, aug, cfg.loss, cfg.mixed_alpha, cfg.mixed_beta
+            image_size, aug, cfg.loss, cfg.mixed_alpha, cfg.mixed_beta,
+            data_range=cfg.mixed_data_range,
         )
         self._eval_step = steps_lib.make_denoising_eval_step(image_size)
         self._test_step = steps_lib.make_inpainting_test_step(image_size, aug)
@@ -422,7 +423,8 @@ class VideoFlow(_FlowBase):
         self.clip_example: Optional[Tuple[int, int]] = None
         self.state: Optional[TrainState] = None
         self._train_step = steps_lib.make_video_train_step(
-            image_size, cfg.loss, loss_alpha, loss_beta, remat=remat
+            image_size, cfg.loss, loss_alpha, loss_beta, remat=remat,
+            data_range=cfg.mixed_data_range,
         )
         self._eval_step = steps_lib.make_video_eval_step(image_size)
 

@@ -30,9 +30,21 @@ from tchvp_tpu.train.state import TrainState
 Metrics = Dict[str, jnp.ndarray]
 
 
-def _loss_fn_by_name(name: str, alpha: float = 0.5, beta: float = 0.5) -> Callable:
+def _loss_fn_by_name(
+    name: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    data_range: float = 1.0,
+) -> Callable:
+    """``data_range``: 1.0 is correct for [0,1] images; 255.0 reproduces the
+    reference's pytorch_msssim-default quirk that collapses the MS-SSIM
+    term inside MixedLoss (``Metrics.py:53``; ops/msssim.py quirk note) —
+    exposed so strict behavioral replication experiments can switch it on
+    (TrainConfig.mixed_data_range)."""
     if name == "mixed":
-        return functools.partial(losses.mixed_loss, alpha=alpha, beta=beta)
+        return functools.partial(
+            losses.mixed_loss, alpha=alpha, beta=beta, data_range=data_range
+        )
     if name == "mse":
         return lambda p, t: losses.mse(p, t)
     if name == "dice":
@@ -66,6 +78,7 @@ def make_denoising_train_step(
     loss: str = "mixed",
     alpha: float = 0.5,
     beta: float = 0.5,
+    data_range: float = 1.0,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
     """Denoising-AE step (Model.py:33-70): corrupt input, reconstruct clean.
 
@@ -74,7 +87,7 @@ def make_denoising_train_step(
     The input state is donated: XLA reuses its param/optimizer HBM buffers
     for the returned state instead of allocating fresh ones.
     """
-    loss_fn_inner = _loss_fn_by_name(loss, alpha, beta)
+    loss_fn_inner = _loss_fn_by_name(loss, alpha, beta, data_range)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
@@ -194,6 +207,7 @@ def make_video_train_step(
     beta: float = 0.7,
     noise_std: float = 0.05,
     remat: bool = False,
+    data_range: float = 1.0,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
     """Video AE/pipeline step (recovered AE_256_32K L226-330 semantics:
     gaussian input noise x0.05, MixedLoss(0.3, 0.7) reconstruction).
@@ -203,7 +217,7 @@ def make_video_train_step(
     forward during backprop (jax.checkpoint) — trades ~30% more FLOPs for
     activation memory, the lever for long clips / big batches
     (BASELINE config 3)."""
-    loss_fn_inner = _loss_fn_by_name(loss, alpha, beta)
+    loss_fn_inner = _loss_fn_by_name(loss, alpha, beta, data_range)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:

@@ -75,6 +75,30 @@ def test_fct_non_square_input():
     assert out.shape == (1, 32, 64, 1)
 
 
+def test_fct_stochastic_depth():
+    """drop-path (FCTConfig.stochastic_depth_rate) gates the transformer
+    residual branches at train time only; rate is schedule-linspaced so
+    block_1 is always kept (FCT.py:217-218)."""
+    import numpy as np
+
+    from tchvp_tpu.config import FCTConfig
+
+    x = jnp.ones((2, 32, 32, 3))
+    base = FCT()
+    sd = FCT(config=FCTConfig(stochastic_depth_rate=0.8))
+    params = base.init(KEY, x)  # no extra params for drop-path
+    # Eval: stochastic depth is a no-op — identical to the rate-0 model.
+    np.testing.assert_array_equal(
+        np.asarray(base.apply(params, x)), np.asarray(sd.apply(params, x))
+    )
+    # Train: different dropout keys give different outputs.
+    o1 = sd.apply(params, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = sd.apply(params, x, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
 def test_combined_shapes():
     # Notebook golden (cell 8): (4,512,4,4)/(4,3,256,256)/(4,1,256,256)
     # at 256^2 with notebook filters; ratio-checked at 64^2 with defaults.

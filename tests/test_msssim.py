@@ -122,3 +122,19 @@ def test_mixed_loss_composition():
     assert float(mixed_loss(aj, aj, alpha=alpha, beta=beta)) == pytest.approx(
         0.0, abs=1e-5
     )
+
+
+def test_mixed_loss_reference_quirk_mode():
+    """data_range=255 on [0,1] images reproduces the reference's collapsed
+    objective (Metrics.py:53 via pytorch_msssim default): the MS-SSIM term
+    goes to ~0 and MixedLoss degenerates to beta*MSE. Reachable from flows
+    via TrainConfig.mixed_data_range (VERDICT r1 missing #4)."""
+    from tchvp_tpu.train.steps import _loss_fn_by_name
+
+    a, b = _imgs(shape=(1, 176, 176, 3), seed=8)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    quirk = _loss_fn_by_name("mixed", 0.5, 0.5, data_range=255.0)
+    correct = _loss_fn_by_name("mixed", 0.5, 0.5, data_range=1.0)
+    mse = 0.5 * float(jnp.mean((aj - bj) ** 2))
+    assert float(quirk(aj, bj)) == pytest.approx(mse, abs=1e-4)
+    assert float(correct(aj, bj)) > float(quirk(aj, bj)) + 0.01
