@@ -340,6 +340,11 @@ class TransferFlow(_FlowBase):
 
     Loads pretrained Autoencoder32K("image") params, freezes the encoder
     subtree, and trains a fresh Decoder32K("mask") with dice loss.
+
+    Full flow surface per the recovered module: per-epoch sneak-peek
+    dumps (``save_sample``, AE_32K L194-215, invoked at L292-293),
+    :meth:`resume` from the latent_to_mask checkpoint (L245), and
+    :meth:`test_a_sample` one-shot inference previews (L313-326).
     """
 
     def __init__(
@@ -378,15 +383,32 @@ class TransferFlow(_FlowBase):
         self.state = self._replicate(state)
         return self.state
 
-    def train(self, train_data: Iterable, epochs: int = 10) -> TrainState:
+    def resume(self) -> int:
+        """Resume from the latest latent_to_mask checkpoint (AE_32K L245) —
+        params + optimizer moments; returns the start epoch (0 if none)."""
+        assert self.state is not None, "call init_from_pretrained first"
+        path = ckpt.latest_step_dir(self.cfg.checkpoint_dir)
+        if path is None:
+            return 0
+        self.state, raw = ckpt.restore_state_into(self.state, path)
+        return int(raw.get("step", 0))
+
+    def train(
+        self, train_data: Iterable, epochs: int = 10, start_epoch: int = 0
+    ) -> TrainState:
         assert self.state is not None, "call init_from_pretrained first"
         best_loss = float("inf")
-        for epoch in range(1, epochs + 1):
+        rng = np.random.default_rng(self.cfg.seed)
+        for epoch in range(start_epoch + 1, epochs + 1):
             sums, n = {"loss": 0.0, "iou": 0.0}, 0
-            for batch in train_data:
+            nbatches = len(train_data) if hasattr(train_data, "__len__") else None
+            sneak = rng.integers(0, nbatches) if nbatches else 0
+            for i, batch in enumerate(train_data):
                 self.state, m = self._train_step(self.state, self._shard(batch))
                 sums = {k: sums[k] + float(m[k]) for k in sums}
                 n += 1
+                if i == sneak:  # per-epoch sneak-peek (AE_32K L292-293)
+                    self._save_sneakpeek(epoch, batch)
             train_m = _mean_of(sums, n)
             self._log("Training Loss", sums["loss"], epoch)
             print(f"Transfer epoch {epoch}: dice {train_m['loss']:.4f}")
@@ -400,6 +422,52 @@ class TransferFlow(_FlowBase):
                     self.state.batch_stats,
                 )
         return self.state
+
+    def _predict(self, image_u8: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from tchvp_tpu.data import pipeline
+
+        x = pipeline.preprocess_images(jnp.asarray(image_u8), self.image_size)
+        out, _ = steps_lib._apply(self.state, self.state.params, x, train=False)
+        return x, out[1]  # (latent, mask) -> mask
+
+    def _save_sneakpeek(self, epoch: int, batch) -> None:
+        """Input/mask/pred JPEG dump (AE_32K save_sample, L194-202)."""
+        image_u8, mask_u8 = batch
+        from tchvp_tpu.data import pipeline
+
+        x, pred = self._predict(image_u8[:1])
+        y = pipeline.preprocess_images(jnp.asarray(mask_u8[:1]), self.image_size)
+        save_sample_triplet(
+            os.path.join(self.cfg.sample_dir, self.cfg.model_name),
+            epoch,
+            np.asarray(x),
+            np.asarray(y),
+            np.asarray(pred),
+        )
+
+    def test_a_sample(
+        self,
+        data: Iterable,
+        batch_size: int = 4,
+        out_dir: Optional[str] = None,
+    ) -> np.ndarray:
+        """One-shot inference preview (AE_32K test_a_sample, L313-326):
+        run ``batch_size`` images from ``data`` and write side-by-side
+        input|prediction panels (the L203-215 test-mode stitched dump)."""
+        assert self.state is not None, "no state; train or resume first"
+        batch = next(iter(data))
+        image_u8 = batch[0] if isinstance(batch, (tuple, list)) else batch
+        image_u8 = image_u8[:batch_size]
+        x, pred = self._predict(image_u8)
+        out_dir = out_dir or os.path.join(
+            self.cfg.sample_dir, self.cfg.model_name + "_test"
+        )
+        for i in range(pred.shape[0]):
+            save_side_by_side(
+                [np.asarray(x[i]), np.asarray(pred[i])],
+                os.path.join(out_dir, f"sample_{i}.jpg"),
+            )
+        return np.asarray(pred)
 
 
 class VideoFlow(_FlowBase):

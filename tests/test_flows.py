@@ -99,6 +99,30 @@ def test_transfer_flow_freezes_encoder(workdir):
     )
     assert changed
 
+    # Per-epoch sneak-peek dumps (AE_32K L194-215, invoked at L292-293).
+    assert glob.glob("saved_samples/XFER_TEST/*_predicted.jpg")
+
+    # test_a_sample (L313-326): side-by-side input|pred panels.
+    preds = flow.test_a_sample(SyntheticImageMasks(4, 64, 1), batch_size=3)
+    assert preds.shape == (3, 64, 64, 1)
+    assert len(glob.glob("saved_samples/XFER_TEST_test/*.jpg")) == 3
+
+    # Resume from the latent_to_mask ckpt (L245): params + opt moments.
+    flow2 = TransferFlow(cfg=cfg, image_size=64)
+    flow2.init_from_pretrained(None, lr=1e-3)
+    start = flow2.resume()
+    assert start == 1
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, flow.state.params)),
+        jax.tree.leaves(jax.tree.map(np.asarray, flow2.state.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, flow.state.opt_state)),
+        jax.tree.leaves(jax.tree.map(np.asarray, flow2.state.opt_state)),
+    ):
+        np.testing.assert_array_equal(a, b)
+
 
 def test_video_flow_train_and_resume(workdir):
     from tchvp_tpu.models import VideoHybridNet
