@@ -88,7 +88,10 @@ class Encoder32K(nn.Module):
                 )(h, train=train)
             planes *= 2
 
-        # Squeeze chain to the latent channel count (AE_32K L71-81).
+        # Squeeze chain to the latent channel count (AE_32K L71-81). Every
+        # stage is conv-BN-ReLU INCLUDING the last: the original clamps the
+        # latent non-negative (proven by executing the AE_32K bytecode —
+        # tests/test_reference_exec.py; round 1's replica missed this).
         for i, feat in enumerate(cfg.squeeze_features):
             h = nn.Conv(
                 feat,
@@ -99,9 +102,7 @@ class Encoder32K(nn.Module):
                 dtype=dt,
                 param_dtype=pdt,
             )(h)
-            h = bn(f"squeeze{i}_bn")(h)
-            if i < len(cfg.squeeze_features) - 1:
-                h = nn.relu(h)
+            h = nn.relu(bn(f"squeeze{i}_bn")(h))
 
         # Channel-wise dropout == torch Dropout2d (AE_32K L84).
         h = nn.Dropout(cfg.dropout_rate, broadcast_dims=(1, 2))(

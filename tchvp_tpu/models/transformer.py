@@ -10,8 +10,11 @@ Faithful capability points:
   head dim (L51);
 * dropout 0.1 on attention weights (L19, L58);
 * additive -1e9 masking (L54-55), mask broadcast across heads (L77-78);
-* post-norm residual blocks with Linear(d,h)->ReLU->Linear(h,d) FFNs
-  (L106-121), per-layer output scaled by sqrt(0.5) (L122);
+* residual blocks ``x = skip + LayerNorm(branch(x))`` with ONE LayerNorm
+  per layer shared by the attention and FFN sites (single ``layer_norm``
+  ModuleList in the bytecode), Linear(d,h)->ReLU->Linear(h,d) FFNs,
+  per-layer output scaled by sqrt(0.5) (L122) — structure verified by
+  executing the original bytecode (tests/test_reference_exec.py);
 * ``input_dim % num_heads`` validation (L102-103).
 
 Deviations (survey §7.5 quirk registry): the reference instantiates Dropout
@@ -146,6 +149,16 @@ class TransformerEncoder(nn.Module):
         dt, pdt = self.dtype, self.param_dtype
 
         for layer in range(cfg.num_layers):
+            # ONE LayerNorm per layer, applied to BOTH branch outputs
+            # before their residual adds — the original's exact structure,
+            # proven by executing its bytecode (tests/test_reference_exec)
+            # and by disassembly of TransformerEncoder.forward: the module
+            # keeps a single `layer_norm` ModuleList and computes
+            # x = skip + LN(branch(x)), not LN(x + branch) as round 1's
+            # survey read it.
+            norm = nn.LayerNorm(
+                epsilon=1e-5, name=f"norm_{layer}", dtype=dt, param_dtype=pdt
+            )
             attn_out = TokenMultiheadAttention(
                 num_heads=cfg.num_heads,
                 relu_qkv=cfg.relu_qkv,
@@ -157,18 +170,14 @@ class TransformerEncoder(nn.Module):
                 dtype=dt,
                 param_dtype=pdt,
             )(x, mask=mask, deterministic=deterministic)
-            x = nn.LayerNorm(
-                epsilon=1e-5, name=f"norm1_{layer}", dtype=dt, param_dtype=pdt
-            )(x + attn_out)
+            x = x + norm(attn_out)
 
             h = nn.Dense(
                 cfg.hidden_dim, name=f"ffn1_{layer}", dtype=dt, param_dtype=pdt
             )(x)
             h = _tp_constrain(nn.relu(h), cfg.tp_axis)
             h = nn.Dense(d, name=f"ffn2_{layer}", dtype=dt, param_dtype=pdt)(h)
-            x = nn.LayerNorm(
-                epsilon=1e-5, name=f"norm2_{layer}", dtype=dt, param_dtype=pdt
-            )(x + h)
+            x = x + norm(h)
 
             if cfg.scale_out:
                 x = x * jnp.asarray(math.sqrt(0.5), x.dtype)  # L122

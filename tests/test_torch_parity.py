@@ -223,20 +223,20 @@ def test_transformer_encoder_matches_torch_replica():
         o = (w @ vh).permute(0, 2, 1, 3).reshape(b, s, d)
         attn_out = lin(attn["out_linear"], o)
 
-        x = x + attn_out
-        ln1 = params[f"norm1_{layer}"]
-        x = torch.nn.functional.layer_norm(
-            x, (d,), torch.tensor(np.asarray(ln1["scale"])),
-            torch.tensor(np.asarray(ln1["bias"])), eps=1e-5,
-        )
+        # x = skip + LN(branch): one shared LN per layer on both branch
+        # outputs — the original's structure (test_reference_exec.py).
+        ln = params[f"norm_{layer}"]
+
+        def norm(v):
+            return torch.nn.functional.layer_norm(
+                v, (d,), torch.tensor(np.asarray(ln["scale"])),
+                torch.tensor(np.asarray(ln["bias"])), eps=1e-5,
+            )
+
+        x = x + norm(attn_out)
         h = torch.relu(lin(params[f"ffn1_{layer}"], x))
         h = lin(params[f"ffn2_{layer}"], h)
-        x = x + h
-        ln2 = params[f"norm2_{layer}"]
-        x = torch.nn.functional.layer_norm(
-            x, (d,), torch.tensor(np.asarray(ln2["scale"])),
-            torch.tensor(np.asarray(ln2["bias"])), eps=1e-5,
-        )
+        x = x + norm(h)
         x = x * math.sqrt(0.5)
 
     got = m.apply(variables, jnp.asarray(x_np), deterministic=True)
@@ -414,10 +414,10 @@ def test_autoencoder32k_full_model_matches_torch():
         def forward(self, x):
             h = torch.relu(self.stem_bn(self.stem(x)))
             h = self.l2(self.l1(h))
-            for i, (c, b) in enumerate(zip(self.sq, self.sq_bn)):
-                h = b(c(h))
-                if i < 3:
-                    h = torch.relu(h)
+            for c, b in zip(self.sq, self.sq_bn):
+                # ReLU on every squeeze stage incl. the latent — proven by
+                # executing the AE_32K bytecode (test_reference_exec.py).
+                h = torch.relu(b(c(h)))
             lat = h
             for c, b in zip(self.dc, self.dc_bn):
                 h = torch.relu(b(c(h)))
