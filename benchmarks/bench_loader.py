@@ -88,10 +88,39 @@ def main() -> None:
         csv_path = os.path.join(td, "clips.csv")
         with open(csv_path, "w") as f:
             f.write("\n".join(rows) + "\n")
-        from tchvp_tpu.data.manifest import ClipDataset
+        from tchvp_tpu.data.manifest import ClipDataset, read_manifest
 
+        # Reference pattern: single-thread PIL decode+resize of every
+        # frame, every epoch (Dataloader.py:17-23) — no cache, no pool.
+        class RefStyle:
+            def __init__(self):
+                self.rows = read_manifest(csv_path)
+                self.nb = len(self.rows) // BATCH
+
+            def __iter__(self):
+                for bi in range(self.nb):
+                    clips_ = []
+                    for r in self.rows[bi * BATCH : (bi + 1) * BATCH]:
+                        frames = []
+                        for p in r:
+                            with Image.open(p) as im:
+                                im = im.convert("RGB").resize(
+                                    (SIZE, SIZE), Image.BILINEAR
+                                )
+                                frames.append(np.asarray(im, dtype=np.uint8))
+                        clips_.append(np.stack(frames))
+                    yield np.stack(clips_)
+
+        bench(RefStyle(), "pil-per-frame (reference pattern)", clip_bytes)
+
+        # tchvp manifest path: thread-pool decode + RAM cache. Prefetch
+        # measured separately — its overlap thread pays for itself only
+        # when the consumer does device work between batches; a bare
+        # drain loop on a 1-core host shows its GIL-handoff cost instead.
         ds = ClipDataset(csv_path, BATCH, image_size=SIZE)
-        bench(ds, "pil-per-frame (reference pattern)", clip_bytes)
+        bench(ds, "manifest-fast (pool+cache)", clip_bytes)
+        ds = ClipDataset(csv_path, BATCH, image_size=SIZE, prefetch=True)
+        bench(ds, "manifest-fast +prefetch (1-core drain worst case)", clip_bytes)
 
 
 if __name__ == "__main__":

@@ -55,7 +55,9 @@ def _image_data(args, supervised: bool):
 
     cls = ImageMaskDataset if supervised else ImageDataset
     mk = lambda csv, seed: (  # noqa: E731
-        cls(csv, args.batch_size, args.image_size, seed=seed) if csv else None
+        cls(csv, args.batch_size, args.image_size, seed=seed, prefetch=True)
+        if csv
+        else None
     )
     return mk(args.train_csv, 0), mk(args.val_csv, 1), mk(args.test_csv, 2)
 
@@ -149,7 +151,8 @@ def cmd_video(args) -> None:
         from tchvp_tpu.data.manifest import ClipDataset
 
         data = ClipDataset(
-            args.train_csv, args.batch_size, args.image_size, args.clip_len
+            args.train_csv, args.batch_size, args.image_size, args.clip_len,
+            prefetch=True,
         )
     cfg = TrainConfig(
         model_name="video",

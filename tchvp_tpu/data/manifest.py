@@ -14,6 +14,26 @@ Host work is file I/O + JPEG decode only; resize/normalize/augment run
 on-device in the jitted preprocessing stage (:mod:`tchvp_tpu.data.pipeline`).
 Batches are delivered as stacked numpy NHWC uint8 (raw) or float32.
 
+Ingest is deliberately faster than the reference's per-item PIL loop
+(``Dataloader.py:17-23``):
+
+* decode fans out over a shared thread pool (PIL releases the GIL inside
+  libjpeg/zlib), ``TCHVP_DECODE_THREADS`` to override;
+* decoded frames are cached in RAM up to ``TCHVP_DECODE_CACHE_MB``
+  (default 2048) so repeat epochs are memcpy, not re-decode — the
+  reference re-decodes every image every epoch;
+* JPEG downscaling uses draft mode (DCT-domain 1/2/4/8 pre-scale) so a
+  large photo headed for 224px never fully decodes;
+* host resize only happens when the decoded size differs from the target
+  (fixed-size corpora skip it; the on-device pipeline also resizes, so
+  callers may pass ``host_resize=False`` to ship native-size uint8);
+* with ``prefetch=True`` a background thread decodes the next batches
+  while the consumer (the jitted train step, which releases the GIL on
+  device dispatch) runs the current one. Off by default: in a
+  drain-speed loop on a single-core host the queue handoff costs more
+  GIL switches than it saves — enable it where real device work runs
+  between batches (the CLI training paths do).
+
 The reference's header-row bug (``generateDataset.py:22`` writes a header,
 recovered ``dataset.py`` L56-59 then reads it as a path) and its
 ``__len__ = N - N % batch`` truncation (L21-22) are fixed here with header
@@ -24,6 +44,9 @@ from __future__ import annotations
 
 import csv
 import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -32,6 +55,67 @@ try:
     from PIL import Image
 except ImportError:  # pragma: no cover
     Image = None
+
+_POOL: Optional[ThreadPoolExecutor] = None
+_POOL_LOCK = threading.Lock()
+
+
+def _pool() -> ThreadPoolExecutor:
+    """Shared decode pool. PIL's decoders release the GIL, so threads
+    overlap file I/O and decompression even on small hosts."""
+    global _POOL
+    with _POOL_LOCK:
+        if _POOL is None:
+            workers = int(
+                os.environ.get("TCHVP_DECODE_THREADS", min(8, os.cpu_count() or 1))
+            )
+            _POOL = ThreadPoolExecutor(
+                max_workers=max(1, workers), thread_name_prefix="tchvp-decode"
+            )
+    return _POOL
+
+
+class _DecodeCache:
+    """Byte-budgeted cache of decoded frames, keyed by (path, gray, size).
+
+    The reference re-decodes every image on every epoch; for corpora that
+    fit in RAM this turns epochs 2..N into array lookups. FIFO eviction —
+    epoch iteration revisits everything anyway, so LRU buys nothing.
+    """
+
+    def __init__(self, budget_bytes: int):
+        self.budget = budget_bytes
+        self._data: dict = {}
+        self._used = 0
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        with self._lock:
+            return self._data.get(key)
+
+    def put(self, key, arr: np.ndarray) -> None:
+        with self._lock:
+            if key in self._data:
+                return
+            if self._used + arr.nbytes > self.budget:
+                if arr.nbytes > self.budget:
+                    return
+                while self._used + arr.nbytes > self.budget and self._data:
+                    _, old = self._data.popitem()
+                    self._used -= old.nbytes
+            self._data[key] = arr
+            self._used += arr.nbytes
+
+
+_CACHE: Optional[_DecodeCache] = None
+
+
+def _cache() -> _DecodeCache:
+    global _CACHE
+    if _CACHE is None:
+        mb = int(os.environ.get("TCHVP_DECODE_CACHE_MB", "2048"))
+        _CACHE = _DecodeCache(mb << 20)
+    return _CACHE
 
 
 def read_manifest(csv_file: str, data_fraction: float = 1.0) -> List[List[str]]:
@@ -51,11 +135,15 @@ def read_manifest(csv_file: str, data_fraction: float = 1.0) -> List[List[str]]:
     return rows
 
 
-def _decode(path: str) -> np.ndarray:
-    """JPEG/PNG decode to HWC uint8 RGB on the host."""
+def _decode(path: str, size: Optional[int] = None) -> np.ndarray:
+    """JPEG/PNG decode to HWC uint8 RGB on the host. ``size`` enables
+    JPEG draft mode: libjpeg decodes at 1/2-1/8 scale straight from the
+    DCT coefficients when the target is much smaller than the photo."""
     if Image is None:
         raise RuntimeError("PIL unavailable for image decoding")
     with Image.open(path) as img:
+        if size is not None:
+            img.draft("RGB", (size, size))
         return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
@@ -66,11 +154,70 @@ def _decode_gray(path: str) -> np.ndarray:
 
 
 def _resize_uint8(img: np.ndarray, size: int) -> np.ndarray:
-    """Host-side resize used only when images are ragged; fixed-size
-    corpora skip this and resize on device."""
+    """Host-side resize, skipped when the frame is already on-size
+    (fixed-size corpora never pay it; ragged ones pay only per odd frame —
+    the on-device pipeline handles the general resize)."""
+    if img.shape[0] == size and img.shape[1] == size:
+        return img
     pil = Image.fromarray(img.squeeze(-1) if img.shape[-1] == 1 else img)
     out = np.asarray(pil.resize((size, size), Image.BILINEAR), dtype=np.uint8)
     return out[..., None] if img.shape[-1] == 1 else out
+
+
+def _load_frame(path: str, size: int, gray: bool = False,
+                host_resize: bool = True) -> np.ndarray:
+    """Cached decode(+resize) of one frame."""
+    key = (path, gray, size if host_resize else -1)
+    c = _cache()
+    hit = c.get(key)
+    if hit is not None:
+        return hit
+    img = _decode_gray(path) if gray else _decode(path, size)
+    if host_resize:
+        img = _resize_uint8(img, size)
+    c.put(key, img)
+    return img
+
+
+def _load_many(paths: Sequence[str], size: int, gray: bool = False,
+               host_resize: bool = True) -> List[np.ndarray]:
+    """Thread-pool decode of a batch worth of frames, order-preserving."""
+    if len(paths) <= 1:
+        return [_load_frame(p, size, gray, host_resize) for p in paths]
+    return list(
+        _pool().map(lambda p: _load_frame(p, size, gray, host_resize), paths)
+    )
+
+
+class _Prefetcher:
+    """Background prefetch: the next batch(es) decode while the consumer
+    runs the current one (overlaps host ingest with device compute).
+    Depth 2 so a drain-speed consumer doesn't ping-pong the GIL with the
+    producer on every single batch."""
+
+    def __init__(self, make_iter, depth: int = 2):
+        self._make_iter = make_iter
+        self._depth = depth
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        done = object()
+
+        def worker():
+            try:
+                for item in self._make_iter():
+                    q.put(item)
+            finally:
+                q.put(done)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            yield item
+        t.join()
 
 
 class _Batcher:
@@ -104,21 +251,23 @@ class ImageDataset:
         shuffle: bool = True,
         seed: int = 0,
         data_fraction: float = 1.0,
+        prefetch: bool = False,
     ):
         self.rows = read_manifest(csv_file, data_fraction)
         self.image_size = image_size
+        self.prefetch = prefetch
         self.batcher = _Batcher(len(self.rows), batch_size, shuffle, seed)
 
     def __len__(self) -> int:
         return len(self.batcher)
 
-    def __iter__(self) -> Iterator[np.ndarray]:
+    def _gen(self) -> Iterator[np.ndarray]:
         for idx in self.batcher.batches():
-            imgs = [
-                _resize_uint8(_decode(self.rows[i][0]), self.image_size)
-                for i in idx
-            ]
+            imgs = _load_many([self.rows[i][0] for i in idx], self.image_size)
             yield np.stack(imgs)  # (B, H, W, 3) uint8
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return iter(_Prefetcher(self._gen)) if self.prefetch else self._gen()
 
 
 class ImageMaskDataset:
@@ -132,22 +281,26 @@ class ImageMaskDataset:
         shuffle: bool = True,
         seed: int = 0,
         data_fraction: float = 1.0,
+        prefetch: bool = False,
     ):
         self.rows = read_manifest(csv_file, data_fraction)
         self.image_size = image_size
+        self.prefetch = prefetch
         self.batcher = _Batcher(len(self.rows), batch_size, shuffle, seed)
 
     def __len__(self) -> int:
         return len(self.batcher)
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def _gen(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         for idx in self.batcher.batches():
-            imgs, masks = [], []
-            for i in idx:
-                img_path, mask_path = self.rows[i][0], self.rows[i][1]
-                imgs.append(_resize_uint8(_decode(img_path), self.image_size))
-                masks.append(_resize_uint8(_decode_gray(mask_path), self.image_size))
+            imgs = _load_many([self.rows[i][0] for i in idx], self.image_size)
+            masks = _load_many(
+                [self.rows[i][1] for i in idx], self.image_size, gray=True
+            )
             yield np.stack(imgs), np.stack(masks)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        return iter(_Prefetcher(self._gen)) if self.prefetch else self._gen()
 
 
 class ClipDataset:
@@ -163,25 +316,31 @@ class ClipDataset:
         shuffle: bool = True,
         seed: int = 0,
         data_fraction: float = 1.0,
+        prefetch: bool = False,
     ):
         self.rows = read_manifest(csv_file, data_fraction)
         if clip_len is not None:
             self.rows = [r[:clip_len] for r in self.rows if len(r) >= clip_len]
         self.image_size = image_size
+        self.prefetch = prefetch
         self.batcher = _Batcher(len(self.rows), batch_size, shuffle, seed)
 
     def __len__(self) -> int:
         return len(self.batcher)
 
-    def __iter__(self) -> Iterator[np.ndarray]:
+    def _gen(self) -> Iterator[np.ndarray]:
         for idx in self.batcher.batches():
-            clips = []
+            flat = [p for i in idx for p in self.rows[i]]
+            frames = _load_many(flat, self.image_size)
+            clips, off = [], 0
             for i in idx:
-                frames = [
-                    _resize_uint8(_decode(p), self.image_size) for p in self.rows[i]
-                ]
-                clips.append(np.stack(frames))
+                t = len(self.rows[i])
+                clips.append(np.stack(frames[off : off + t]))
+                off += t
             yield np.stack(clips)  # (B, T, H, W, 3)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return iter(_Prefetcher(self._gen)) if self.prefetch else self._gen()
 
 
 _IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}

@@ -232,3 +232,56 @@ def test_write_manifest_roundtrip(tmp_path):
     assert write_clip_manifest([str(d1), str(d2)], out2, clip_len=2) == 1
     rows = read_manifest(out2)
     assert len(rows) == 1 and len(rows[0]) == 2
+
+
+def test_manifest_fast_ingest(tmp_path):
+    """The reworked CSV ingest (thread-pool decode, RAM cache, optional
+    prefetch) must be a pure speedup: identical batches across cache
+    cold/warm epochs, prefetch on/off, and ragged input sizes."""
+    PIL = pytest.importorskip("PIL.Image")
+    from tchvp_tpu.data import manifest as M
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i, s in enumerate([12, 20, 12, 12]):  # one ragged frame
+        p = tmp_path / f"f{i}.png"
+        PIL.fromarray(rng.integers(0, 256, (s, s, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+        m = tmp_path / f"m{i}.png"
+        PIL.fromarray(rng.integers(0, 256, (s, s), dtype=np.uint8)).save(m)
+
+    img_csv = tmp_path / "imgs.csv"
+    img_csv.write_text("\n".join(paths) + "\n")
+    pair_csv = tmp_path / "pairs.csv"
+    pair_csv.write_text(
+        "\n".join(f"{p},{tmp_path}/m{i}.png" for i, p in enumerate(paths)) + "\n"
+    )
+    clip_csv = tmp_path / "clips.csv"
+    clip_csv.write_text("\n".join(",".join(paths[:3]) for _ in range(2)) + "\n")
+
+    ds = M.ImageDataset(str(img_csv), 2, image_size=12, shuffle=False)
+    cold = [b.copy() for b in ds]  # epoch 1 decodes, epoch 2 hits cache
+    warm = list(ds)
+    assert len(cold) == 2 and cold[0].shape == (2, 12, 12, 3)
+    for a, b in zip(cold, warm):
+        np.testing.assert_array_equal(a, b)
+
+    pf = M.ImageDataset(str(img_csv), 2, image_size=12, shuffle=False,
+                        prefetch=True)
+    for a, b in zip(cold, pf):
+        np.testing.assert_array_equal(a, b)
+
+    dsm = M.ImageMaskDataset(str(pair_csv), 2, image_size=12, shuffle=False)
+    img, mask = next(iter(dsm))
+    assert img.shape == (2, 12, 12, 3) and mask.shape == (2, 12, 12, 1)
+
+    dsc = M.ClipDataset(str(clip_csv), 2, image_size=12, shuffle=False)
+    (clips,) = list(dsc)
+    assert clips.shape == (2, 3, 12, 12, 3)
+    # per-frame content matches a direct decode+resize
+    for t, p in enumerate(paths[:3]):
+        with PIL.open(p) as im:
+            want = np.asarray(
+                im.convert("RGB").resize((12, 12), PIL.BILINEAR), dtype=np.uint8
+            ) if im.size != (12, 12) else np.asarray(im.convert("RGB"))
+        np.testing.assert_array_equal(clips[0, t], want)
