@@ -88,10 +88,11 @@ def config0(results):
     }, results)
 
 
-def _flagship(size, frames, batch, attn="xla", window=0, dtype=jnp.bfloat16):
+def _flagship(size, frames, batch, attn="xla", window=0, dtype=jnp.bfloat16,
+              microbatch=None):
     from tchvp_tpu.config import flagship_video_config
     from tchvp_tpu.data.pipeline import preprocess_clip
-    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.models import VideoHybridNet, microbatched_infer
 
     cfg = flagship_video_config(image_size=size, attn_impl=attn, window_size=window)
     model = VideoHybridNet(config=cfg, dtype=dtype)
@@ -102,14 +103,21 @@ def _flagship(size, frames, batch, attn="xla", window=0, dtype=jnp.bfloat16):
     )
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, size, size, 3)))
 
-    iters = 10
+    # Microbatched configs: the batch already takes ~0.7 s, so host-side
+    # timing is accurate with a single in-jit iteration — and a 10-deep
+    # fori_loop over the lax.map body crashes the remote TPU compiler.
+    iters = 1 if microbatch else 10
 
     @jax.jit
     def loop(variables, raw):
         clip = preprocess_clip(raw, size, dtype=dtype)
 
         def body(i, acc):
-            _, recon = model.apply(variables, clip + i * jnp.asarray(1e-6, dtype))
+            x = clip + i * jnp.asarray(1e-6, dtype)
+            if microbatch:
+                recon = microbatched_infer(model, variables, x, microbatch)
+            else:
+                _, recon = model.apply(variables, x)
             return acc + recon.mean().astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
@@ -129,13 +137,19 @@ def config1(results):
     }, results)
 
 
-def config2(results, batch=4):
-    t, fpb = _flagship(384, 32, batch, attn="flash", window=64)
+def config2(results, batch=16, microbatch=4):
+    """BASELINE spec batch 16 on ONE chip: clips are independent, so
+    ``microbatched_infer`` runs the batch as lax.map groups — peak
+    activation memory is one group's (batch-16 monolithic would need
+    ~29 GB of decoder activations > 16 GB HBM)."""
+    t, fpb = _flagship(384, 32, batch, attn="flash", window=64,
+                       microbatch=microbatch)
     _emit({
         "config": 2,
-        "metric": f"32f 384px batch-{batch} windowed Pallas flash attention",
+        "metric": (f"32f 384px batch-{batch} windowed Pallas flash attention"
+                   + (f", microbatch {microbatch}" if microbatch else "")),
         "frames_per_s_per_chip": round(fpb / t, 1),
-        "p50_clip_latency_ms": round(t / batch * 1000, 2),
+        "p50_batch_latency_ms": round(t * 1000, 2),
         "device": str(jax.devices()[0]),
     }, results)
 
@@ -199,35 +213,39 @@ def config3(results, batch=None):
     }, results)
 
 
-def config4(results):
-    """Streaming: 720p-class frames tiled to 256px patches, chunked scan."""
+def config4(results, resolutions=((1080, 1920), (720, 1280))):
+    """Streaming: high-res frames tiled to 256px patches, chunked scan.
+
+    BASELINE configs[4] specifies 1080p; 720p is kept as a secondary
+    point. 1080p pads to 1152x2048 = 8x5 tiles of 256 after edge-pad."""
     from tchvp_tpu.config import flagship_video_config
     from tchvp_tpu.models import StreamingConfig, VideoHybridNet, stream_video
 
     tile, frames = 256, 16
-    h, w = 720, 1280
     cfg = flagship_video_config(image_size=tile)
     model = VideoHybridNet(config=cfg, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, tile, tile, 3)))
     # chunk 8 measured ~25% faster than chunk 4 (fewer scan steps); the
     # carried context is nearly free.
     scfg = StreamingConfig(tile=tile, chunk_len=8, ctx_frames=4)
-    clip = jnp.asarray(
-        np.random.default_rng(0)
-        .uniform(size=(1, frames, h, w, 3))
-        .astype(np.float32)
-    )
-    # variables as a jit ARG: closure capture would bake the params into
-    # the program as constants (huge HLO, tunnel request-size blowup).
-    fn = jax.jit(lambda v, c: stream_video(model, v, c, scfg))
-    t = _time_loop(fn, variables, clip)
-    _emit({
-        "config": 4,
-        "metric": f"streaming {h}p {frames}f: 256px tiles, chunked ctx attention",
-        "frames_per_s": round(frames / t, 2),
-        "megapixels_per_s": round(frames * h * w / t / 1e6, 1),
-        "device": str(jax.devices()[0]),
-    }, results)
+    for h, w in resolutions:
+        clip = jnp.asarray(
+            np.random.default_rng(0)
+            .uniform(size=(1, frames, h, w, 3))
+            .astype(np.float32)
+        )
+        # variables as a jit ARG: closure capture would bake the params
+        # into the program as constants (huge HLO, tunnel request-size
+        # blowup).
+        fn = jax.jit(lambda v, c: stream_video(model, v, c, scfg))
+        t = _time_loop(fn, variables, clip)
+        _emit({
+            "config": 4,
+            "metric": f"streaming {h}p {frames}f: 256px tiles, chunked ctx attention",
+            "frames_per_s": round(frames / t, 2),
+            "megapixels_per_s": round(frames * h * w / t / 1e6, 1),
+            "device": str(jax.devices()[0]),
+        }, results)
 
 
 def main():

@@ -129,6 +129,13 @@ class TransformerConfig:
     # and the FFN hidden dim split over this axis; requires an ambient
     # `with mesh:` context and num_heads % axis_size == 0). None = off.
     tp_axis: Optional[str] = None
+    # Mesh axis for TRUE sequence-parallel windowed attention: tokens stay
+    # sharded over this axis through the attention — each shard exchanges
+    # one window of k/v with its left neighbor via ppermute (O(window)
+    # ICI bytes) instead of GSPMD all-gathering the whole sequence.
+    # Requires window_size > 0 and (S / axis_size) % window_size == 0;
+    # no-op without an ambient mesh carrying the axis. None = off.
+    seq_axis: Optional[str] = None
 
 
 def flagship_video_config(

@@ -15,6 +15,7 @@ from tchvp_tpu.models.transformer import TokenMultiheadAttention, TransformerEnc
 from tchvp_tpu.models.streaming import (
     StreamingConfig,
     make_streamer,
+    microbatched_infer,
     stream_clip,
     stream_video,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "sinusoidal_posenc",
     "StreamingConfig",
     "make_streamer",
+    "microbatched_infer",
     "stream_clip",
     "stream_video",
 ]

@@ -139,6 +139,37 @@ def stream_video(
     return recon_tiles[:, :, : orig_hw[0], : orig_hw[1], :]
 
 
+def microbatched_infer(
+    model: VideoHybridNet,
+    variables: Any,
+    clip: jnp.ndarray,
+    microbatch: int,
+) -> jnp.ndarray:
+    """Inference at a batch size whose activations exceed HBM.
+
+    Clips in a batch are independent (temporal attention couples frames
+    only within a clip), so a big batch runs as ``B/microbatch``
+    sequential groups via ``lax.map``: peak activation memory is one
+    group's, weights stay resident, and XLA compiles the body once.
+    This is how BASELINE config 2 reaches batch 16 on a single 16 GB
+    chip — the 384px decoder's activations for 512 folded frames would
+    otherwise need ~29 GB (BENCHES.md). Throughput matches the
+    equivalent sequence of small batches; latency of the full batch is
+    the sum of its groups.
+
+    clip: (B, T, H, W, C), B a multiple of ``microbatch``. Returns the
+    reconstruction; jit the call (pure function of its inputs).
+    """
+    b = clip.shape[0]
+    if b % microbatch:
+        raise ValueError(f"batch {b} not a multiple of microbatch {microbatch}")
+    groups = clip.reshape((b // microbatch, microbatch) + clip.shape[1:])
+    recon = jax.lax.map(
+        lambda g: model.apply(variables, g, deterministic=True)[1], groups
+    )
+    return recon.reshape((b,) + recon.shape[2:])
+
+
 def stream_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding for the tile batch: dim 0 (tiles) over the data axis."""
     return NamedSharding(mesh, P(axis, None, None, None, None))

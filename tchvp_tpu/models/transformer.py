@@ -72,6 +72,7 @@ class TokenMultiheadAttention(nn.Module):
     attn_impl: str = "xla"
     window_size: int = 0
     tp_axis: Optional[str] = None
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -118,6 +119,7 @@ class TokenMultiheadAttention(nn.Module):
             dropout_rate=self.attn_dropout,
             dropout_rng=dropout_rng,
             deterministic=deterministic,
+            seq_axis=self.seq_axis,
         )
         return dense("out_linear")(out)
 
@@ -166,6 +168,7 @@ class TransformerEncoder(nn.Module):
                 attn_impl=cfg.attn_impl,
                 window_size=cfg.window_size,
                 tp_axis=cfg.tp_axis,
+                seq_axis=cfg.seq_axis,
                 name=f"attention_{layer}",
                 dtype=dt,
                 param_dtype=pdt,

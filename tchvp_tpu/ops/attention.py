@@ -69,6 +69,58 @@ def sdpa_xla(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def _sdpa_banded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    k_prev0: jnp.ndarray,
+    v_prev0: jnp.ndarray,
+    mask_prev0,
+    *,
+    window_size: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Banded overlapping-window attention core over (B, H, S, Dh).
+
+    Window ``i`` attends to windows ``i-1`` and ``i``. The first window's
+    left context comes from ``k_prev0``/``v_prev0`` (shape (B, H, w, Dh)):
+    zeros for a sequence start, or the halo received from the left
+    neighbor under sequence parallelism. ``mask_prev0`` (bool, may be
+    traced) masks that context out — True at a true sequence start.
+    """
+    b, h, s, dh = q.shape
+    w = window_size
+    assert s % w == 0, f"seq len {s} not a multiple of window {w}"
+    nw = s // w
+
+    qw = q.reshape(b, h, nw, w, dh)
+    kw = k.reshape(b, h, nw, w, dh)
+    vw = v.reshape(b, h, nw, w, dh)
+    k_prev = jnp.concatenate([k_prev0[:, :, None], kw[:, :, :-1]], axis=2)
+    v_prev = jnp.concatenate([v_prev0[:, :, None], vw[:, :, :-1]], axis=2)
+    k_ctx = jnp.concatenate([k_prev, kw], axis=3)  # (b,h,nw,2w,dh)
+    v_ctx = jnp.concatenate([v_prev, vw], axis=3)
+
+    logits = jnp.einsum(
+        "bhnqd,bhnkd->bhnqk", qw, k_ctx, preferred_element_type=jnp.float32
+    ) * jnp.asarray(scale, jnp.float32)
+    # Mask the first window's left context at a sequence start.
+    first = jnp.arange(nw).reshape(1, 1, nw, 1, 1) == 0
+    is_prev = jnp.arange(2 * w).reshape(1, 1, 1, 1, 2 * w) < w
+    drop = first & is_prev & jnp.asarray(mask_prev0)
+    logits = jnp.where(drop, jnp.asarray(-1e9, logits.dtype), logits)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    weights = weights.astype(v.dtype)
+    out = jnp.einsum("bhnqk,bhnkd->bhnqd", weights, v_ctx)
+    return out.reshape(b, h, s, dh)
+
+
 def sdpa_windowed(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -89,35 +141,81 @@ def sdpa_windowed(
     ``window_size`` (pad upstream). Attention-weight dropout matches
     :func:`sdpa_xla` semantics on the banded weights.
     """
+    b, h, _, dh = q.shape
+    scale = 1.0 / math.sqrt(dh) if scale is None else scale
+    zeros = jnp.zeros((b, h, window_size, dh), k.dtype)
+    return _sdpa_banded(
+        q, k, v, zeros, jnp.zeros_like(zeros), True,
+        window_size=window_size, scale=scale, dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng, deterministic=deterministic,
+    )
+
+
+def sdpa_windowed_seq_sharded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    window_size: int,
+    seq_axis: str,
+    scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """TRUE sequence-parallel windowed attention (survey §5.7 decision).
+
+    Tokens shard over the mesh's ``seq_axis`` in contiguous blocks. The
+    banded pattern (window ``i`` attends to ``i-1`` and ``i``) means each
+    shard needs exactly ONE window of keys/values from its left
+    neighbor — a ``ppermute`` halo exchange of O(window) bytes over ICI —
+    instead of the O(S) all-gather GSPMD inserts for full attention over
+    seq-sharded tokens (measured in tests/test_parallel.py). shard 0's
+    halo arrives as ppermute zeros and is masked, reproducing the
+    unsharded first-window semantics exactly; the math is
+    :func:`_sdpa_banded` per shard, so outputs (and grads — ppermute
+    transposes to the reverse permute) match the unsharded path
+    bit-for-bit per shard. Requires S/shards a multiple of window_size.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty or seq_axis not in mesh.axis_names or mesh.shape[seq_axis] == 1:
+        return sdpa_windowed(
+            q, k, v, window_size=window_size, scale=scale,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            deterministic=deterministic,
+        )
+    n = mesh.shape[seq_axis]
     b, h, s, dh = q.shape
     w = window_size
-    assert s % w == 0, f"seq len {s} not a multiple of window {w}"
-    nw = s // w
-    scale = 1.0 / math.sqrt(dh) if scale is None else scale
+    if (s // n) % w:
+        raise ValueError(
+            f"seq shard {s}//{n} not a multiple of window {window_size}"
+        )
+    scale_ = 1.0 / math.sqrt(dh) if scale is None else scale
+    perm = [(i, i + 1) for i in range(n - 1)]
 
-    qw = q.reshape(b, h, nw, w, dh)
-    kw = k.reshape(b, h, nw, w, dh)
-    vw = v.reshape(b, h, nw, w, dh)
-    # Previous window's keys/values (window 0 sees zeros, masked out below).
-    k_prev = jnp.concatenate([jnp.zeros_like(kw[:, :, :1]), kw[:, :, :-1]], axis=2)
-    v_prev = jnp.concatenate([jnp.zeros_like(vw[:, :, :1]), vw[:, :, :-1]], axis=2)
-    k_ctx = jnp.concatenate([k_prev, kw], axis=3)  # (b,h,nw,2w,dh)
-    v_ctx = jnp.concatenate([v_prev, vw], axis=3)
+    def local(ql, kl, vl, rng):
+        # ql: (b, h, s/n, dh) — this shard's contiguous token block.
+        k_halo = jax.lax.ppermute(kl[:, :, -w:], seq_axis, perm)
+        v_halo = jax.lax.ppermute(vl[:, :, -w:], seq_axis, perm)
+        idx = jax.lax.axis_index(seq_axis)
+        local_rng = (
+            jax.random.fold_in(rng, idx) if rng is not None else None
+        )
+        return _sdpa_banded(
+            ql, kl, vl, k_halo, v_halo, idx == 0,
+            window_size=w, scale=scale_, dropout_rate=dropout_rate,
+            dropout_rng=local_rng, deterministic=deterministic,
+        )
 
-    logits = jnp.einsum(
-        "bhnqd,bhnkd->bhnqk", qw, k_ctx, preferred_element_type=jnp.float32
-    ) * jnp.asarray(scale, jnp.float32)
-    # Mask the (zero) previous-window context of the first window.
-    first = jnp.arange(nw).reshape(1, 1, nw, 1, 1) == 0
-    is_prev = jnp.arange(2 * w).reshape(1, 1, 1, 1, 2 * w) < w
-    logits = jnp.where(first & is_prev, jnp.asarray(-1e9, logits.dtype), logits)
-    weights = jax.nn.softmax(logits, axis=-1)
-    if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
-        weights = weights * keep / (1.0 - dropout_rate)
-    weights = weights.astype(v.dtype)
-    out = jnp.einsum("bhnqk,bhnkd->bhnqd", weights, v_ctx)
-    return out.reshape(b, h, s, dh)
+    spec = P(None, None, seq_axis, None)
+    rng_spec = P()
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, rng_spec),
+        out_specs=spec,
+    )(q, k, v, dropout_rng)
 
 
 def multi_head_attention(
@@ -133,12 +231,19 @@ def multi_head_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    seq_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Multi-head attention over already-projected (B, S, D) tokens.
 
     ``impl="auto"`` resolves to the Pallas flash kernel on TPU (measured
     faster and far cheaper to compile for the big spatial token counts)
     and to the XLA einsum path elsewhere.
+
+    ``seq_axis``: with ``window_size > 0`` and an ambient mesh carrying
+    the axis (size > 1), runs the sequence-parallel banded path — tokens
+    stay sharded over the axis, neighbors exchange one window of k/v by
+    ppermute. Takes precedence over ``impl`` (the Pallas kernels compute
+    per-device full sequences; the sharded band is an XLA shard_map).
     """
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     if impl == "auto":
@@ -146,6 +251,15 @@ def multi_head_attention(
     drop_active = dropout_rate > 0.0 and not deterministic
     if drop_active and dropout_rng is None:
         raise ValueError("active attention dropout requires dropout_rng")
+    if seq_axis is not None and window_size > 0 and mask is None:
+        ctx = jax.sharding.get_abstract_mesh()
+        if not ctx.empty and seq_axis in ctx.axis_names and ctx.shape[seq_axis] > 1:
+            out = sdpa_windowed_seq_sharded(
+                qh, kh, vh, window_size=window_size, seq_axis=seq_axis,
+                scale=scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+                deterministic=deterministic,
+            )
+            return _merge_heads(out)
     if impl == "flash" and mask is None:
         from tchvp_tpu.kernels import flash_attention
 

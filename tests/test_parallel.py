@@ -122,3 +122,88 @@ def test_tensor_parallel_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def test_seq_parallel_windowed_attention_matches_unsharded():
+    """TRUE sequence parallelism (survey §5.7 decision): the banded
+    windowed attention over seq-sharded tokens must equal the unsharded
+    computation — forward AND gradients — and its compiled HLO must move
+    only O(window) halo bytes by collective-permute, with no all-gather
+    of the sequence (the cost GSPMD pays for FULL attention over
+    seq-sharded tokens, measured below)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.ops.attention import sdpa_windowed, sdpa_windowed_seq_sharded
+
+    mesh = make_mesh(("seq",))
+    b, h, s, dh, w = 2, 4, 64, 8, 8
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def loss_ref(q, k, v):
+        return (sdpa_windowed(q, k, v, window_size=w) ** 2).sum()
+
+    def loss_sh(q, k, v):
+        return (
+            sdpa_windowed_seq_sharded(q, k, v, window_size=w, seq_axis="seq")
+            ** 2
+        ).sum()
+
+    want, wgrads = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    spec = NamedSharding(mesh, P(None, None, "seq", None))
+    qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
+    with mesh:
+        fn = jax.jit(jax.value_and_grad(loss_sh, argnums=(0, 1, 2)))
+        got, grads = fn(qs, ks, vs)
+        hlo = fn.lower(qs, ks, vs).compile().as_text()
+
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for g, wg in zip(grads, wgrads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wg), atol=1e-4)
+
+    assert "all-gather" not in hlo, "seq-parallel band must not gather the sequence"
+    assert "collective-permute" in hlo, "halo exchange should be a ppermute"
+
+    # The GSPMD alternative: FULL attention over the same seq-sharded
+    # tokens all-gathers k/v — document the collective it inserts.
+    from tchvp_tpu.ops.attention import sdpa_xla
+
+    with mesh:
+        full = jax.jit(lambda a, b_, c: sdpa_xla(a, b_, c))
+        hlo_full = full.lower(qs, ks, vs).compile().as_text()
+    assert "all-gather" in hlo_full or "all-to-all" in hlo_full
+
+
+def test_transformer_seq_axis_end_to_end():
+    """TransformerEncoder with seq_axis sharded over the mesh matches the
+    unsharded model (same params, same inputs)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.config import TransformerConfig
+    from tchvp_tpu.models import TransformerEncoder
+
+    d, s, b, w = 16, 32, 2, 4
+    base = dict(
+        input_dim=d, hidden_dim=24, num_layers=2, num_heads=4,
+        dropout_rate=0.0, window_size=w, attn_impl="windowed",
+    )
+    m_ref = TransformerEncoder(config=TransformerConfig(**base))
+    m_sh = TransformerEncoder(config=TransformerConfig(**base, seq_axis="seq"))
+
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(b, s, d)).astype(np.float32)
+    )
+    variables = m_ref.init(jax.random.PRNGKey(0), x)
+    want = m_ref.apply(variables, x, deterministic=True)
+
+    mesh = make_mesh(("data", "seq"), (2, 4))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None)))
+    with mesh:
+        got = jax.jit(
+            lambda v, t: m_sh.apply(v, t, deterministic=True)
+        )(variables, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

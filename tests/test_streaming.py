@@ -129,3 +129,22 @@ def test_streamer_sharded_over_mesh():
     out = streamer(clip)
     assert out.shape == (8, 4, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_microbatched_infer_matches_full_batch():
+    """lax.map microbatching (BASELINE config 2 at spec batch on one
+    chip) must reproduce the plain batched forward exactly."""
+    from tchvp_tpu.models import microbatched_infer
+
+    model = tiny_model(16)
+    clip = jnp.asarray(
+        np.random.default_rng(7).uniform(size=(6, 4, 16, 16, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), clip[:1])
+    _, want = model.apply(variables, clip, deterministic=True)
+    got = jax.jit(
+        lambda v, c: microbatched_infer(model, v, c, microbatch=2)
+    )(variables, clip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError):
+        microbatched_infer(model, variables, clip, microbatch=4)
