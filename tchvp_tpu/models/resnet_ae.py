@@ -140,6 +140,11 @@ class Decoder32K(nn.Module):
             for i, feat in enumerate((16, 64, 128, 256))
         ]
         self.conv_bns = [bn(f"bn{i}") for i in range(4)]
+        # nn.ConvTranspose, not the polyphase PixelShuffleUpconv: the
+        # matmul+depth-to-space form is numerics-identical but MEASURED
+        # SLOWER here (decoder 41.0 -> 49.2 ms — the depth-to-space
+        # transpose materializes an extra full tensor; XLA's native
+        # lowering already skips the inserted zeros). BENCHES.md.
         self.upconvs = [
             nn.ConvTranspose(feat, (2, 2), strides=(2, 2),
                              name=f"upconv{i}", dtype=dt, param_dtype=pdt)

@@ -41,6 +41,8 @@ class UNet(nn.Module):
             )
 
         def upconv(features: int, name: str) -> nn.ConvTranspose:
+            # Not PixelShuffleUpconv: numerics-identical but measured
+            # slower (materialized depth-to-space transpose; BENCHES.md).
             return nn.ConvTranspose(
                 features,
                 kernel_size=(2, 2),

@@ -229,3 +229,58 @@ class Bottleneck(nn.Module):
             )(x)
             identity = bn("downsample_bn")(identity)
         return nn.relu(out + identity)
+
+
+class PixelShuffleUpconv(nn.Module):
+    """ConvTranspose(k2, s2) computed as matmul + depth-to-space.
+
+    A 2x2-stride-2 transposed conv has non-overlapping taps, so it is
+    EXACTLY out[2i+di, 2j+dj, f] = sum_c x[i,j,c] * K[di,dj,c,f] + b[f]
+    (the polyphase identity, kernels/fused_tail.py:78). XLA lowers
+    ``nn.ConvTranspose`` through zero-inserted/gradient convolutions that
+    leave the MXU badly under-tiled at these shapes — measured 74.5
+    TFLOP/s AND only 242 GB/s for the flagship decoder (neither roof,
+    benchmarks/stage_times.py). This module does the same math as one
+    dense (C -> 4F) matmul at the LOW resolution plus a free reshape.
+
+    Parameter tree is IDENTICAL to ``nn.ConvTranspose(F, (2,2), (2,2))``
+    — kernel (2, 2, C, F) + bias (F,), same initializers — so it is a
+    drop-in swap: checkpoints transfer both ways and the torch-parity
+    mapping (kernel spatially flipped vs torch) is unchanged.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax  # local: blocks.py otherwise only needs jnp
+
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, c, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            self.param_dtype,
+        )
+        dt = self.dtype
+        # flax ConvTranspose applies the kernel spatially FLIPPED relative
+        # to the gather view above (verified numerically vs
+        # nn.ConvTranspose in tests/test_model_shapes.py).
+        w = jnp.flip(kernel, (0, 1)).astype(dt)
+        w = jnp.transpose(w, (2, 0, 1, 3)).reshape(c, 4 * self.features)
+        b_, h, wd = x.shape[0], x.shape[1], x.shape[2]
+        y = jax.lax.dot_general(
+            x.astype(dt), w, (((3,), (0,)), ((), ())),
+            preferred_element_type=dt,
+        )  # (B, H, W, 4F)
+        y = y.reshape(b_, h, wd, 2, 2, self.features)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            b_, 2 * h, 2 * wd, self.features
+        )
+        return y + bias.astype(dt)

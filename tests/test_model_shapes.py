@@ -187,3 +187,29 @@ def test_downsample_ratios_match_reference_at_256():
     assert 256 // 2 ** len(AutoEncoderConfig.notebook_variant().filters) == 4
     # Encoder32K: stem /2 + layer2 /2 -> 64x64x8 = 32768 ("32K", AE_32K L115).
     assert (256 // 4) ** 2 * 8 == 32768
+
+
+def test_pixel_shuffle_upconv_equals_conv_transpose():
+    """PixelShuffleUpconv must be a bit-level drop-in for
+    nn.ConvTranspose((2,2), strides (2,2)): same param tree, same output
+    (the polyphase identity — see ops/blocks.py)."""
+    import flax.linen as nn
+    import numpy as np
+
+    from tchvp_tpu.ops.blocks import PixelShuffleUpconv
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 5, 7, 6)).astype(np.float32)
+    )
+    ref = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    vs = ref.init(jax.random.PRNGKey(0), x)
+    ps = PixelShuffleUpconv(4)
+    # Param trees interchange exactly.
+    vs_ps = ps.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(vs_ps) == jax.tree_util.tree_structure(vs)
+    assert {k: v.shape for k, v in vs_ps["params"].items()} == {
+        k: v.shape for k, v in vs["params"].items()
+    }
+    got = ps.apply(vs, x)
+    want = ref.apply(vs, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
