@@ -18,6 +18,7 @@ With ``--synthetic N`` each workload runs hermetically on generated data
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -251,6 +252,91 @@ def cmd_stream(args) -> None:
         print("streamed 1 batch (compile only); add more batches to time")
 
 
+def cmd_infer(args) -> None:
+    """Batched clip inference from a trained checkpoint: reconstruct every
+    clip, report PSNR + throughput, optionally dump input|output frame
+    pairs. ``--microbatch`` runs over-HBM batches as sequential lax.map
+    groups (the BASELINE config-2 spec-batch path)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tchvp_tpu.config import flagship_video_config
+    from tchvp_tpu.data.pipeline import preprocess_clip
+    from tchvp_tpu.models import VideoHybridNet, microbatched_infer
+    from tchvp_tpu.train import checkpoint as ckpt
+    from tchvp_tpu.utils.imaging import save_side_by_side
+
+    size = args.image_size
+    model = VideoHybridNet(
+        config=flagship_video_config(image_size=size), dtype=jnp.bfloat16
+    )
+    if args.clippack:
+        from tchvp_tpu.data.clippack import ClipPackDataset
+
+        data = ClipPackDataset(args.clippack, args.batch_size, shuffle=False)
+    elif args.train_csv:
+        from tchvp_tpu.data.manifest import ClipDataset
+
+        data = ClipDataset(
+            args.train_csv, args.batch_size, size, args.clip_len or None,
+            shuffle=False, prefetch=True,
+        )
+    else:
+        from tchvp_tpu.data.synthetic import SyntheticClips
+
+        data = SyntheticClips(
+            args.batch_size, args.clip_len, size, max(args.synthetic or 2, 1)
+        )
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, size, size, 3))
+    )
+    if args.checkpoint:
+        restored = ckpt.restore_state(args.checkpoint)
+        variables = {"params": restored["params"], **(
+            {"batch_stats": restored["batch_stats"]}
+            if restored.get("batch_stats") is not None else {}
+        )}
+
+    @jax.jit
+    def run(v, raw):
+        clip = preprocess_clip(raw, size, dtype=jnp.bfloat16)
+        if args.microbatch:
+            recon = microbatched_infer(model, v, clip, args.microbatch)
+        else:
+            _, recon = model.apply(v, clip, deterministic=True)
+        clip32 = clip.astype(jnp.float32)
+        rec32 = recon.astype(jnp.float32)
+        mse = jnp.mean((clip32 - rec32) ** 2)
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        return recon, psnr
+
+    frames, psnrs, t0 = 0, [], None
+    for bi, batch in enumerate(data):
+        raw = jnp.asarray(np.asarray(batch, dtype=np.uint8))
+        recon, psnr = run(variables, raw)
+        psnrs.append(float(psnr))  # sync
+        if t0 is None:
+            t0 = time.perf_counter()  # exclude compile
+        else:
+            frames += raw.shape[0] * raw.shape[1]
+        if bi == 0 and args.out_dir:
+            inp = np.asarray(preprocess_clip(raw, size))
+            out = np.asarray(recon.astype(jnp.float32))
+            for t in range(min(raw.shape[1], 8)):
+                save_side_by_side(
+                    [inp[0, t], out[0, t]],
+                    os.path.join(args.out_dir, f"clip0_frame{t}.jpg"),
+                )
+    msg = f"inferred {len(psnrs)} batches, mean PSNR {np.mean(psnrs):.2f} dB"
+    if frames and t0 is not None:
+        msg += f", {frames / (time.perf_counter() - t0):.1f} frames/s (post-compile)"
+    print(msg)
+
+
 def cmd_pack(args) -> None:
     """Offline: decode a clip CSV manifest into a clippack file once, so
     training epochs stream from the native mmap loader."""
@@ -275,6 +361,7 @@ def main(argv=None) -> None:
         ("transfer", cmd_transfer),
         ("pack", cmd_pack),
         ("stream", cmd_stream),
+        ("infer", cmd_infer),
     ):
         p = sub.add_parser(name)
         _add_common(p)
@@ -291,6 +378,12 @@ def main(argv=None) -> None:
         if name == "pack":
             p.add_argument("--out", default=None)
             p.add_argument("--clip-len", type=int, default=0)
+        if name == "infer":
+            p.add_argument("--clippack", default=None)
+            p.add_argument("--checkpoint", default=None)
+            p.add_argument("--clip-len", type=int, default=8)
+            p.add_argument("--microbatch", type=int, default=0)
+            p.add_argument("--out-dir", default=None)
         if name == "stream":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)

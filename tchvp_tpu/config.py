@@ -208,6 +208,20 @@ class DataConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class IngestConfig:
+    """Host-ingest tuning for the CSV-manifest fast path
+    (``data/manifest.py``; no reference counterpart — the reference
+    re-decodes every image per epoch, single-threaded).
+
+    ``TCHVP_DECODE_THREADS`` / ``TCHVP_DECODE_CACHE_MB`` env vars
+    override at runtime for ops use."""
+
+    decode_threads: Optional[int] = None  # None = min(8, cpu_count)
+    cache_mb: int = 2048  # decoded-frame RAM cache budget
+    prefetch_depth: int = 2  # batches the prefetch thread runs ahead
+
+
+@dataclasses.dataclass(frozen=True)
 class AugmentConfig:
     """Denoising-AE augmentations (reference ``Model.py:44-53,106-109``)."""
 

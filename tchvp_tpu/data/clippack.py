@@ -256,6 +256,7 @@ class ClipPackDataset:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        self.num_threads = num_threads
         if not (0 <= shard_id < num_shards):
             raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
         self.shard_id = shard_id
@@ -297,6 +298,28 @@ class ClipPackDataset:
                 f"global batch {batch_size * num_shards} > {self.n} clips"
             )
 
+    def _reset_native(self) -> None:
+        """Recreate the native loader after a hard loader_next failure.
+
+        The ring position is unknown after rc<0, so draining cannot
+        recover. The C shuffle for epoch e is mt19937_64(seed + e), so a
+        fresh loader seeded ``seed + e`` starts exactly at epoch e's
+        permutation — bit-identical to the NumPy fallback's
+        ``epoch_permutation`` stream. The broken epoch is abandoned: the
+        next iteration serves the FOLLOWING epoch, the same place an
+        abandoned-iterator drain would land."""
+        lib = _load_lib()
+        lib.loader_destroy(self._loader)
+        self._epoch += 1
+        self._consumed = 0
+        self._loader = lib.loader_create(
+            self._reader, self.batch_size, int(self.shuffle),
+            self.seed + self._epoch, self.num_threads, 0,
+            self.shard_id, self.num_shards,
+        )
+        if not self._loader:
+            raise RuntimeError("clippack native loader recreation failed")
+
     @property
     def clip_shape(self) -> Tuple[int, int, int, int]:
         return (self.t, self.h, self.w, self.c)
@@ -321,6 +344,9 @@ class ClipPackDataset:
                         scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     )
                     if rc < 0:
+                        # Ring position unknown after a failure: rebuild
+                        # the loader at this epoch instead of guessing.
+                        self._reset_native()
                         raise RuntimeError("clippack native loader failed")
                 self._consumed = 0
                 self._epoch += 1
@@ -337,6 +363,7 @@ class ClipPackDataset:
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     )
                     if rc < 0:
+                        self._reset_native()  # position unknown: rebuild
                         raise RuntimeError("clippack native loader failed")
                     self._consumed += 1
                     yield out

@@ -57,18 +57,34 @@ except ImportError:  # pragma: no cover
     Image = None
 
 _POOL: Optional[ThreadPoolExecutor] = None
-_POOL_LOCK = threading.Lock()
+_CACHE: Optional["_DecodeCache"] = None
+_SHARED_LOCK = threading.Lock()  # guards both lazy singletons
+
+
+def _ingest_config():
+    """Tuning constants live in :class:`tchvp_tpu.config.IngestConfig`
+    (CLAUDE.md constants rule); TCHVP_* env vars override for ops use."""
+    from tchvp_tpu.config import IngestConfig
+
+    cfg = IngestConfig()
+    threads = os.environ.get("TCHVP_DECODE_THREADS")
+    cache_mb = os.environ.get("TCHVP_DECODE_CACHE_MB")
+    if threads is not None or cache_mb is not None:
+        cfg = IngestConfig(
+            decode_threads=int(threads) if threads else cfg.decode_threads,
+            cache_mb=int(cache_mb) if cache_mb else cfg.cache_mb,
+        )
+    return cfg
 
 
 def _pool() -> ThreadPoolExecutor:
     """Shared decode pool. PIL's decoders release the GIL, so threads
     overlap file I/O and decompression even on small hosts."""
     global _POOL
-    with _POOL_LOCK:
+    with _SHARED_LOCK:
         if _POOL is None:
-            workers = int(
-                os.environ.get("TCHVP_DECODE_THREADS", min(8, os.cpu_count() or 1))
-            )
+            cfg = _ingest_config()
+            workers = cfg.decode_threads or min(8, os.cpu_count() or 1)
             _POOL = ThreadPoolExecutor(
                 max_workers=max(1, workers), thread_name_prefix="tchvp-decode"
             )
@@ -79,8 +95,9 @@ class _DecodeCache:
     """Byte-budgeted cache of decoded frames, keyed by (path, gray, size).
 
     The reference re-decodes every image on every epoch; for corpora that
-    fit in RAM this turns epochs 2..N into array lookups. FIFO eviction —
-    epoch iteration revisits everything anyway, so LRU buys nothing.
+    fit in RAM this turns epochs 2..N into array lookups. FIFO eviction
+    (oldest insertion first) — epoch iteration revisits everything
+    anyway, so LRU buys nothing.
     """
 
     def __init__(self, budget_bytes: int):
@@ -101,20 +118,17 @@ class _DecodeCache:
                 if arr.nbytes > self.budget:
                     return
                 while self._used + arr.nbytes > self.budget and self._data:
-                    _, old = self._data.popitem()
-                    self._used -= old.nbytes
+                    oldest = next(iter(self._data))
+                    self._used -= self._data.pop(oldest).nbytes
             self._data[key] = arr
             self._used += arr.nbytes
 
 
-_CACHE: Optional[_DecodeCache] = None
-
-
 def _cache() -> _DecodeCache:
     global _CACHE
-    if _CACHE is None:
-        mb = int(os.environ.get("TCHVP_DECODE_CACHE_MB", "2048"))
-        _CACHE = _DecodeCache(mb << 20)
+    with _SHARED_LOCK:
+        if _CACHE is None:
+            _CACHE = _DecodeCache(_ingest_config().cache_mb << 20)
     return _CACHE
 
 
@@ -166,13 +180,20 @@ def _resize_uint8(img: np.ndarray, size: int) -> np.ndarray:
 
 def _load_frame(path: str, size: int, gray: bool = False,
                 host_resize: bool = True) -> np.ndarray:
-    """Cached decode(+resize) of one frame."""
+    """Cached decode(+resize) of one frame.
+
+    ``host_resize=False`` ships the TRUE native-size frame (no JPEG
+    draft pre-scale either — draft output is size-dependent, and this
+    key carries no size), for callers that resize on device."""
     key = (path, gray, size if host_resize else -1)
     c = _cache()
     hit = c.get(key)
     if hit is not None:
         return hit
-    img = _decode_gray(path) if gray else _decode(path, size)
+    if gray:
+        img = _decode_gray(path)
+    else:
+        img = _decode(path, size if host_resize else None)
     if host_resize:
         img = _resize_uint8(img, size)
     c.put(key, img)
@@ -195,29 +216,56 @@ class _Prefetcher:
     Depth 2 so a drain-speed consumer doesn't ping-pong the GIL with the
     producer on every single batch."""
 
-    def __init__(self, make_iter, depth: int = 2):
+    def __init__(self, make_iter, depth: Optional[int] = None):
         self._make_iter = make_iter
+        if depth is None:
+            from tchvp_tpu.config import IngestConfig
+
+            depth = IngestConfig().prefetch_depth
         self._depth = depth
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        stop = threading.Event()
         done = object()
+
+        def offer(x) -> bool:
+            """put() that gives up once the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(x, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self._make_iter():
-                    q.put(item)
-            finally:
-                q.put(done)
+                    if not offer(item):
+                        return  # consumer abandoned the iterator
+                offer(done)
+            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+                offer(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is done:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                if isinstance(item, BaseException):
+                    # Decode errors must abort the epoch, exactly like the
+                    # non-prefetching path — not truncate it silently.
+                    raise item
+                yield item
+        finally:
+            # Runs on normal exhaustion AND on early abandonment
+            # (GeneratorExit): release the worker so it can't stay blocked
+            # on a full queue holding decoded batches forever.
+            stop.set()
+            t.join()
 
 
 class _Batcher:

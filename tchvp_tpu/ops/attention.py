@@ -247,11 +247,23 @@ def multi_head_attention(
     """
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     if impl == "auto":
-        impl = "flash" if jax.default_backend() == "tpu" and mask is None else "xla"
+        if jax.default_backend() == "tpu" and mask is None:
+            impl = "flash"
+        elif window_size > 0 and mask is None:
+            # Off-TPU, "auto" with a window must still mean BANDED
+            # attention (flash would have banded it on TPU) — resolving
+            # to full-xla would silently change the math per backend.
+            impl = "windowed"
+        else:
+            impl = "xla"
     drop_active = dropout_rate > 0.0 and not deterministic
     if drop_active and dropout_rng is None:
         raise ValueError("active attention dropout requires dropout_rng")
-    if seq_axis is not None and window_size > 0 and mask is None:
+    banded = window_size > 0 and impl in ("flash", "windowed")
+    if seq_axis is not None and banded and mask is None:
+        # Only when the resolved impl already means banded attention:
+        # impl="xla" computes FULL attention regardless of window_size,
+        # and sharding must never change the math.
         ctx = jax.sharding.get_abstract_mesh()
         if not ctx.empty and seq_axis in ctx.axis_names and ctx.shape[seq_axis] > 1:
             out = sdpa_windowed_seq_sharded(

@@ -68,21 +68,26 @@ def restore_state_into(state, path: str):
     Returns ``(state, raw)`` where ``raw`` is the untemplated payload
     (for ``step`` / ``extra`` — e.g. the reference's full loss-history
     list, ``FCT.py:368-373``).
+
+    One disk read: the untemplated restore loses pytree node types
+    (optax namedtuples come back as lists) but keeps leaf order, so the
+    live state's treedef re-types them via ``jax.tree.unflatten`` —
+    no second full-tensor restore pass.
     """
     raw = restore_state(path)
-    template: Dict[str, Any] = {"params": _to_host(state.params), "step": 0}
+
+    def retype(target, payload):
+        return jax.tree.unflatten(
+            jax.tree.structure(target), jax.tree.leaves(payload)
+        )
+
+    state = state.replace(params=retype(state.params, raw["params"]))
     if "opt_state" in raw and state.opt_state is not None:
-        template["opt_state"] = _to_host(state.opt_state)
+        state = state.replace(opt_state=retype(state.opt_state, raw["opt_state"]))
     if "batch_stats" in raw and state.batch_stats is not None:
-        template["batch_stats"] = _to_host(state.batch_stats)
-    if "extra" in raw:
-        template["extra"] = raw["extra"]
-    restored = ocp.PyTreeCheckpointer().restore(path, item=template)
-    state = state.replace(params=restored["params"])
-    if "opt_state" in template:
-        state = state.replace(opt_state=restored["opt_state"])
-    if "batch_stats" in template:
-        state = state.replace(batch_stats=restored["batch_stats"])
+        state = state.replace(
+            batch_stats=retype(state.batch_stats, raw["batch_stats"])
+        )
     return state, raw
 
 

@@ -225,6 +225,7 @@ class SegmentationFlow(_FlowBase):
         # whole ``loss_train`` list (FCT.py:368-373); part of the resume
         # contract, restored by :meth:`restore`.
         self.loss_history: list = []
+        self.start_epoch: int = 0  # set by restore(); train() continues here
         self._train_step = steps_lib.make_segmentation_train_step(image_size, cfg.loss)
         self._eval_step = steps_lib.make_segmentation_eval_step(image_size, cfg.loss)
 
@@ -243,13 +244,22 @@ class SegmentationFlow(_FlowBase):
         test_data: Optional[Iterable] = None,
         epochs: int = 70,
         lr: Optional[float] = None,
+        start_epoch: Optional[int] = None,
     ) -> TrainState:
+        """``start_epoch`` defaults to where :meth:`restore` left off, so
+        restore() + train() continues epoch numbering, checkpoints, and
+        the loss-history list instead of replaying epoch 1 (the
+        FCT.py:368-373 resume contract)."""
         cfg = self.cfg
         if self.state is None:
             self.init_state(lr)
-        best_loss = float("inf")
+        if start_epoch is None:
+            start_epoch = self.start_epoch
+        # A restored history seeds best-loss so a worse first epoch after
+        # resume doesn't clobber the best checkpoint.
+        best_loss = min(self.loss_history) if self.loss_history else float("inf")
         rng = np.random.default_rng(cfg.seed)
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch + 1, epochs + 1):
             sums, n = {"loss": 0.0, "iou": 0.0}, 0
             nbatches = len(train_data) if hasattr(train_data, "__len__") else None
             sneak = rng.integers(0, nbatches) if nbatches else 0
@@ -316,6 +326,7 @@ class SegmentationFlow(_FlowBase):
         hist = (raw.get("extra") or {}).get("loss_history")
         if hist is not None:
             self.loss_history = [float(v) for v in np.asarray(hist).ravel()]
+        self.start_epoch = int(raw.get("step", 0))
 
     def infer(self, batch: np.ndarray, out_dir: Optional[str] = None) -> np.ndarray:
         """uint8 images -> masks, with Sobel-edge side-by-side dumps — the

@@ -285,3 +285,44 @@ def test_manifest_fast_ingest(tmp_path):
                 im.convert("RGB").resize((12, 12), PIL.BILINEAR), dtype=np.uint8
             ) if im.size != (12, 12) else np.asarray(im.convert("RGB"))
         np.testing.assert_array_equal(clips[0, t], want)
+
+
+def test_prefetcher_propagates_errors_and_releases_worker():
+    """A decode error mid-epoch must abort the iteration (not silently
+    truncate it), and abandoning a prefetching iterator must release the
+    worker thread."""
+    import threading
+    import time
+
+    from tchvp_tpu.data.manifest import _Prefetcher
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    got = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for x in _Prefetcher(boom, depth=1):
+            got.append(x)
+    assert got == [1, 2]
+
+    # Abandonment: worker must not stay blocked on the full queue.
+    before = {t.ident for t in threading.enumerate()}
+
+    def endless():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    it = iter(_Prefetcher(endless, depth=1))
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> finally -> stop + join
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        extra = {t.ident for t in threading.enumerate()} - before
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, "prefetch worker thread leaked after abandonment"

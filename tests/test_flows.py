@@ -240,3 +240,57 @@ def test_video_step_remat_matches_no_remat():
     l1, p1 = run(True)
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
     np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-6)
+
+
+def test_segmentation_restore_resumes_epoch_numbering(tmp_path):
+    """restore() + train() must continue where the checkpoint left off —
+    epoch numbers, best-loss seeding, and the loss-history list (the
+    FCT.py:368-373 resume contract) — not replay epoch 1."""
+    from tchvp_tpu.config import FCTConfig, TrainConfig
+    from tchvp_tpu.models import FCT
+    from tchvp_tpu.train.loops import SegmentationFlow
+
+    def mk():
+        return SegmentationFlow(
+            model=FCT(config=FCTConfig(filters=(2, 2, 2, 2, 2, 2, 2, 2, 2),
+                                       attn_impl="xla")),
+            cfg=TrainConfig(
+                model_name="seg_resume", loss="dice", lr=1e-3,
+                checkpoint_dir=str(tmp_path / "ck"),
+                sample_dir=str(tmp_path / "samples"),
+                log_dir=str(tmp_path / "logs"),
+            ),
+            image_size=32,
+        )
+
+    rng = np.random.default_rng(0)
+    data = [
+        (rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8),
+         rng.integers(0, 255, (2, 32, 32, 1), dtype=np.uint8))
+    ]
+    flow = mk()
+    flow.train(data, epochs=2)
+    assert flow.loss_history and len(flow.loss_history) == 2
+
+    resumed = mk()
+    import tchvp_tpu.train.checkpoint as ckpt
+
+    resumed.restore(ckpt.latest_step_dir(str(tmp_path / "ck")))
+    assert resumed.start_epoch == 2
+    assert len(resumed.loss_history) == 2
+    resumed.train(data, epochs=3)  # continues: exactly ONE more epoch
+    assert len(resumed.loss_history) == 3
+
+
+def test_cli_infer_smoke(workdir, capsys):
+    """`tchvp infer` end-to-end: synthetic clips -> PSNR + frame dumps."""
+    from tchvp_tpu.cli import main
+
+    out = str(workdir / "infer_out")
+    main([
+        "infer", "--synthetic", "2", "--image-size", "32", "--batch-size",
+        "2", "--clip-len", "4", "--microbatch", "1", "--out-dir", out,
+    ])
+    text = capsys.readouterr().out
+    assert "mean PSNR" in text
+    assert len(os.listdir(out)) == 4  # one panel per frame of clip 0
