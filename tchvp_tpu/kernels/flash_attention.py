@@ -836,3 +836,348 @@ def mha(
         float(dropout_rate),
     )
     return out.reshape(b, h, s, dh)
+
+
+# ---------------------------------------------------------------------------
+# Halo-context windowed kernels (sequence parallelism, survey §5.7)
+#
+# Per-shard variant of the banded kernels for seq-sharded tokens: k/v carry
+# ONE extra leading window — the halo ppermute'd from the left neighbor
+# (ops/attention.py::sdpa_windowed_seq_sharded) — so local query window i
+# attends k_ext windows {i, i+1} with no modulo games. `has_prev` is a
+# TRACED (1,) int32: 0 on the true sequence start (shard 0), where the halo
+# window (ppermute zeros) must be masked exactly like the non-halo kernel
+# masks window 0's missing predecessor. Gradients w.r.t. the halo window
+# flow out through dk_ext[:, :w] and ride the ppermute transpose back to
+# the owning shard — JAX AD handles that through the outer concat.
+# ---------------------------------------------------------------------------
+
+
+def _win_halo_fwd_kernel(q_ref, k_ref, v_ref, has_prev_ref, seed_ref, o_ref,
+                         lse_ref, m_scr, l_scr, acc_scr, *, scale: float,
+                         window: int, dropout_rate: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)  # local q window
+    j = pl.program_id(2)  # 0 = left context (k_ext[i]), 1 = own (k_ext[i+1])
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    # Only k_ext[0] can be a masked halo: query 0's left context when the
+    # sequence truly starts on this shard.
+    no_prev = (i == 0) & (j == 0) & (has_prev_ref[0] == 0)
+    s = jnp.where(no_prev, NEG_INF, s)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_scr[:] = m_new
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if dropout_rate > 0.0:
+        # Shard-local element indices (halo column block = -window); the
+        # caller folds the PRNG per shard, so patterns are independent
+        # across shards by construction.
+        keep = _keep_mask(
+            seed_ref[0], b, i * window, (i - 1 + j) * window, s.shape,
+            dropout_rate,
+        )
+        p = p * keep.astype(jnp.float32) / (1.0 - dropout_rate)
+    v = v_ref[0].astype(jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 1)
+    def _final():
+        l = l_scr[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(safe_l)
+
+
+def _win_halo_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        has_prev_ref, seed_ref, dq_ref, acc_scr, *,
+                        scale: float, window: int, dropout_rate: float):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    no_prev = (i == 0) & (j == 0) & (has_prev_ref[0] == 0)
+    s = jnp.where(no_prev, NEG_INF, s)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if dropout_rate > 0.0:
+        keep = _keep_mask(
+            seed_ref[0], b, i * window, (i - 1 + j) * window, s.shape,
+            dropout_rate,
+        )
+        dp = dp * keep.astype(jnp.float32) / (1.0 - dropout_rate)
+    ds = p * (dp - delta) * scale
+    acc_scr[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 1)
+    def _final():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _win_halo_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         has_prev_ref, seed_ref, dk_ref, dv_ref, dk_scr,
+                         dv_scr, *, scale: float, window: int, nq: int,
+                         dropout_rate: float):
+    b = pl.program_id(0)
+    m = pl.program_id(1)   # k_ext window in [0, nq+1)
+    j = pl.program_id(2)   # query ib = m - 1 + j: j=0 own-site, j=1 prev-site
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    ib = m - 1 + j
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    # j=0: k_ext[m] is query (m-1)'s OWN window; j=1: query m's LEFT
+    # context. The latter is masked for query 0 on a true sequence start.
+    valid = (ib >= 0) & (ib < nq)
+    no_prev = (j == 1) & (ib == 0) & (has_prev_ref[0] == 0)
+    ok = valid & jnp.logical_not(no_prev)
+    s = jnp.where(ok, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    p = jnp.where(ok, p, 0.0)
+
+    if dropout_rate > 0.0:
+        keep = (
+            _keep_mask(
+                seed_ref[0], b, ib * window, (m - 1) * window, s.shape,
+                dropout_rate,
+            ).astype(jnp.float32)
+            / (1.0 - dropout_rate)
+        )
+        p_drop = p * keep
+    else:
+        p_drop = p
+
+    dv_scr[:] += jax.lax.dot_general(
+        p_drop, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if dropout_rate > 0.0:
+        dp = dp * keep
+    ds = p * (dp - delta) * scale
+    dk_scr[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 1)
+    def _final():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _win_halo_fwd(q, k_ext, v_ext, has_prev, seed, scale: float, window: int,
+                  interpret: bool, dropout_rate: float):
+    """q: (BH, S, Dh), k_ext/v_ext: (BH, S+window, Dh); S % window == 0."""
+    bh, s, dh = q.shape
+    if s % window:
+        raise ValueError(f"halo kernel needs S % window == 0; {s} % {window}")
+    nq = s // window
+
+    q_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i + j, 0),
+                           memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _win_halo_fwd_kernel, scale=scale, window=window,
+            dropout_rate=dropout_rate,
+        ),
+        grid=(bh, nq, 2),
+        in_specs=[q_spec, kv_spec, kv_spec, _seed_spec(), _seed_spec()],
+        out_specs=[
+            q_spec,
+            pl.BlockSpec((1, window, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, s, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((window, 1), jnp.float32),
+            pltpu.VMEM((window, 1), jnp.float32),
+            pltpu.VMEM((window, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k_ext, v_ext, has_prev, seed)
+    return out, lse[..., 0]
+
+
+def _win_halo_bwd(q, k_ext, v_ext, has_prev, seed, out, lse, do, scale: float,
+                  window: int, interpret: bool, dropout_rate: float):
+    bh, s, dh = q.shape
+    nq = s // window
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    lse3, delta3 = lse[..., None], delta[..., None]
+
+    q_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i + j, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, window, 1), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _win_halo_dq_kernel, scale=scale, window=window,
+            dropout_rate=dropout_rate,
+        ),
+        grid=(bh, nq, 2),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
+                  _seed_spec(), _seed_spec()],
+        out_specs=[q_spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, s, dh), q.dtype)],
+        scratch_shapes=[pltpu.VMEM((window, dh), jnp.float32)],
+        interpret=interpret,
+    )(q, k_ext, v_ext, do, lse3, delta3, has_prev, seed)[0]
+
+    # dk/dv over EXTENDED key windows m in [0, nq+1); query ib = m-1+j
+    # (clamped load, masked in-kernel when out of range).
+    kext_spec = pl.BlockSpec((1, window, dh), lambda b, m, j: (b, m, 0),
+                             memory_space=pltpu.VMEM)
+    qb_spec = pl.BlockSpec(
+        (1, window, dh),
+        lambda b, m, j: (b, jnp.clip(m - 1 + j, 0, pl.num_programs(1) - 2), 0),
+        memory_space=pltpu.VMEM,
+    )
+    rowb_spec = pl.BlockSpec(
+        (1, window, 1),
+        lambda b, m, j: (b, jnp.clip(m - 1 + j, 0, pl.num_programs(1) - 2), 0),
+        memory_space=pltpu.VMEM,
+    )
+    dk_ext, dv_ext = pl.pallas_call(
+        functools.partial(
+            _win_halo_dkv_kernel, scale=scale, window=window, nq=nq,
+            dropout_rate=dropout_rate,
+        ),
+        grid=(bh, nq + 1, 2),
+        in_specs=[qb_spec, kext_spec, kext_spec, qb_spec, rowb_spec,
+                  rowb_spec, _seed_spec(), _seed_spec()],
+        out_specs=[kext_spec, kext_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s + window, dh), k_ext.dtype),
+            jax.ShapeDtypeStruct((bh, s + window, dh), v_ext.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((window, dh), jnp.float32),
+            pltpu.VMEM((window, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k_ext, v_ext, do, lse3, delta3, has_prev, seed)
+    return dq, dk_ext, dv_ext
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _windowed_attention_halo(q, k_ext, v_ext, has_prev, seed, scale, window,
+                             interpret, dropout_rate):
+    out, _ = _win_halo_fwd(
+        q, k_ext, v_ext, has_prev, seed, scale, window, interpret,
+        dropout_rate,
+    )
+    return out
+
+
+def _windowed_attention_halo_fwd(q, k_ext, v_ext, has_prev, seed, scale,
+                                 window, interpret, dropout_rate):
+    out, lse = _win_halo_fwd(
+        q, k_ext, v_ext, has_prev, seed, scale, window, interpret,
+        dropout_rate,
+    )
+    return out, (q, k_ext, v_ext, has_prev, seed, out, lse)
+
+
+def _windowed_attention_halo_bwd(scale, window, interpret, dropout_rate, res,
+                                 do):
+    q, k_ext, v_ext, has_prev, seed, out, lse = res
+    dq, dk_ext, dv_ext = _win_halo_bwd(
+        q, k_ext, v_ext, has_prev, seed, out, lse, do, scale, window,
+        interpret, dropout_rate,
+    )
+    return dq, dk_ext, dv_ext, _seed_cotangent(has_prev), _seed_cotangent(seed)
+
+
+_windowed_attention_halo.defvjp(
+    _windowed_attention_halo_fwd, _windowed_attention_halo_bwd
+)
+
+
+def windowed_mha_halo(
+    q: jnp.ndarray,
+    k_ext: jnp.ndarray,
+    v_ext: jnp.ndarray,
+    *,
+    window_size: int,
+    has_prev,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=None,
+) -> jnp.ndarray:
+    """Banded flash attention with an explicit left-context window.
+
+    q: (B, H, S, Dh); k_ext/v_ext: (B, H, S + window_size, Dh) whose first
+    window is the context (e.g. the seq-parallel ppermute halo).
+    ``has_prev``: traced bool/int — 0 masks the context window (true
+    sequence start). Matches :func:`windowed_mha` exactly when the context
+    window is present (equivalently, equals full banded attention over the
+    concatenated sequence with the first window's outputs dropped).
+    """
+    b, h, s, dh = q.shape
+    scale = 1.0 / math.sqrt(dh) if scale is None else scale
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    seed = _as_seed(dropout_seed, dropout_rate)
+    hp = jnp.asarray(has_prev, jnp.int32).reshape(1)
+    out = _windowed_attention_halo(
+        q.reshape(b * h, s, dh),
+        k_ext.reshape(b * h, s + window_size, dh),
+        v_ext.reshape(b * h, s + window_size, dh),
+        hp, seed, scale, window_size, interpret, float(dropout_rate),
+    )
+    return out.reshape(b, h, s, dh)

@@ -162,6 +162,7 @@ def sdpa_windowed_seq_sharded(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """TRUE sequence-parallel windowed attention (survey §5.7 decision).
 
@@ -176,6 +177,11 @@ def sdpa_windowed_seq_sharded(
     :func:`_sdpa_banded` per shard, so outputs (and grads — ppermute
     transposes to the reverse permute) match the unsharded path
     bit-for-bit per shard. Requires S/shards a multiple of window_size.
+
+    ``use_flash=True`` runs the per-shard band in the Pallas halo kernel
+    (:func:`tchvp_tpu.kernels.flash_attention.windowed_mha_halo`) — the
+    halo rides as one extra leading k/v window; its gradients flow back
+    through the ppermute transpose automatically.
     """
     mesh = jax.sharding.get_abstract_mesh()
     if mesh.empty or seq_axis not in mesh.axis_names or mesh.shape[seq_axis] == 1:
@@ -202,6 +208,26 @@ def sdpa_windowed_seq_sharded(
         local_rng = (
             jax.random.fold_in(rng, idx) if rng is not None else None
         )
+        if use_flash:
+            from tchvp_tpu.kernels import flash_attention
+
+            drop_on = dropout_rate > 0.0 and not deterministic
+            seed = (
+                jax.random.randint(local_rng, (1,), 0,
+                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                if drop_on
+                else None
+            )
+            return flash_attention.windowed_mha_halo(
+                ql,
+                jnp.concatenate([k_halo, kl], axis=2),
+                jnp.concatenate([v_halo, vl], axis=2),
+                window_size=w,
+                has_prev=(idx > 0).astype(jnp.int32),
+                scale=scale_,
+                dropout_rate=dropout_rate if drop_on else 0.0,
+                dropout_seed=seed,
+            )
         return _sdpa_banded(
             ql, kl, vl, k_halo, v_halo, idx == 0,
             window_size=w, scale=scale_, dropout_rate=dropout_rate,
@@ -269,7 +295,7 @@ def multi_head_attention(
             out = sdpa_windowed_seq_sharded(
                 qh, kh, vh, window_size=window_size, seq_axis=seq_axis,
                 scale=scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
-                deterministic=deterministic,
+                deterministic=deterministic, use_flash=(impl == "flash"),
             )
             return _merge_heads(out)
     if impl == "flash" and mask is None:

@@ -240,3 +240,62 @@ def test_attention_op_dispatch_windowed_flash():
     want = multi_head_attention(x, x, x, num_heads=4, impl="windowed", window_size=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_windowed_halo_kernel_matches_banded_core():
+    """Pallas halo variant (seq-parallel per-shard band): fwd and ALL
+    grads — including those of the halo context window, which ride back
+    to the owning shard via the ppermute transpose — must match the XLA
+    banded core with an explicit left context."""
+    from tchvp_tpu.kernels.flash_attention import windowed_mha, windowed_mha_halo
+    from tchvp_tpu.ops.attention import _sdpa_banded
+
+    rng = np.random.default_rng(0)
+    b, h, s, dh, w = 2, 2, 64, 8, 16
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+    ck, cv = (
+        jnp.asarray(rng.normal(size=(b, h, w, dh)).astype(np.float32))
+        for _ in range(2)
+    )
+    scale = 1.0 / np.sqrt(dh)
+    zeros = jnp.zeros((b, h, w, dh))
+
+    # has_prev=0 == the plain windowed kernel (context fully masked).
+    got0 = windowed_mha_halo(
+        q, jnp.concatenate([zeros, k], 2), jnp.concatenate([zeros, v], 2),
+        window_size=w, has_prev=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got0), np.asarray(windowed_mha(q, k, v, window_size=w)),
+        atol=1e-5,
+    )
+
+    ke = jnp.concatenate([ck, k], 2)
+    ve = jnp.concatenate([cv, v], 2)
+
+    def loss_halo(q, ke, ve):
+        return (windowed_mha_halo(q, ke, ve, window_size=w, has_prev=1) ** 2).sum()
+
+    def loss_ref(q, k, v, ck, cv):
+        return (
+            _sdpa_banded(q, k, v, ck, cv, False, window_size=w, scale=scale) ** 2
+        ).sum()
+
+    gh = jax.grad(loss_halo, argnums=(0, 1, 2))(q, ke, ve)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, ck, cv)
+    np.testing.assert_allclose(np.asarray(gh[0]), np.asarray(gr[0]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gh[1][:, :, w:]), np.asarray(gr[1]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gh[2][:, :, w:]), np.asarray(gr[2]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gh[1][:, :, :w]), np.asarray(gr[3]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gh[2][:, :, :w]), np.asarray(gr[4]), atol=1e-4
+    )

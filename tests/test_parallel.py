@@ -207,3 +207,42 @@ def test_transformer_seq_axis_end_to_end():
             lambda v, t: m_sh.apply(v, t, deterministic=True)
         )(variables, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_seq_parallel_flash_matches_unsharded():
+    """The Pallas halo-kernel route of the seq-parallel band (shard_map +
+    ppermute + windowed_mha_halo) must match unsharded sdpa_windowed,
+    forward and gradients, on the 8-device mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.ops.attention import sdpa_windowed, sdpa_windowed_seq_sharded
+
+    mesh = make_mesh(("seq",))
+    b, h, s, dh, w = 2, 4, 64, 8, 8
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def loss_ref(q, k, v):
+        return (sdpa_windowed(q, k, v, window_size=w) ** 2).sum()
+
+    def loss_fl(q, k, v):
+        return (
+            sdpa_windowed_seq_sharded(
+                q, k, v, window_size=w, seq_axis="seq", use_flash=True
+            )
+            ** 2
+        ).sum()
+
+    want, wg = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    spec = NamedSharding(mesh, P(None, None, "seq", None))
+    qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
+    with mesh:
+        got, g = jax.jit(jax.value_and_grad(loss_fl, argnums=(0, 1, 2)))(
+            qs, ks, vs
+        )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for a, b_ in zip(g, wg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
