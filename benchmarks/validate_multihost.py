@@ -68,6 +68,42 @@ with mesh:
 print(f"proc {proc_id}: devices={jax.device_count()} "
       f"local={jax.local_device_count()} losses="
       + ",".join(f"{l:.6f}" for l in losses), flush=True)
+
+# Phase 2: TRUE sequence parallelism ACROSS the process boundary — clip
+# frames shard over all global devices on a pure ("seq",) mesh, so the
+# banded attention's ppermute halo (and its gradient transpose) crosses
+# the inter-process transport on the 3->4 device edge.
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+frames = 8  # x 8 tokens/frame = 64 tokens -> 8 per shard, window 8
+cfg2 = VideoModelConfig(
+    encoder=ResNetAEConfig(layers=(1, 1), token_latent=True),
+    temporal=TransformerConfig(
+        input_dim=(size // 4) ** 2, hidden_dim=8, num_layers=1, num_heads=2,
+        window_size=8, attn_impl="windowed", seq_axis="seq",
+    ),
+)
+model2 = VideoHybridNet(config=cfg2)
+mesh2 = make_mesh(("seq",))
+state2 = create_train_state(
+    model2, jnp.zeros((1, 2, size, size, 3)), make_optimizer(1e-3),
+    jax.random.PRNGKey(0),
+)
+clip_np = np.random.default_rng(7).integers(
+    0, 255, (2, frames, size, size, 3), dtype=np.uint8
+)
+sh = NamedSharding(mesh2, P(None, "seq", None, None, None))
+garr = jax.make_array_from_callback(clip_np.shape, sh, lambda idx: clip_np[idx])
+step2 = make_video_train_step(size, loss="mse")
+with mesh2:
+    state2 = replicate(state2, mesh2)
+    losses2 = []
+    for _ in range(2):
+        state2, m2 = step2(state2, garr)
+        losses2.append(float(m2["loss"]))
+print(f"proc {proc_id}: seq_losses=" + ",".join(f"{l:.6f}" for l in losses2),
+      flush=True)
 """
 
 
@@ -112,7 +148,7 @@ def main(nprocs: int = 2) -> None:
             ok &= p.returncode == 0
         loss_lines = sorted(
             line for out in outs for line in out.splitlines()
-            if line.startswith("proc ")
+            if line.startswith("proc ") and " losses=" in line
         )
         for line in loss_lines:
             print(line)
@@ -124,7 +160,20 @@ def main(nprocs: int = 2) -> None:
         if len(suffixes) != 1:
             print("FAILED: losses diverged across processes")
             raise SystemExit(1)
-        print(f"multihost OK: {nprocs} processes x 4 devices, losses in sync")
+        seq_lines = sorted(
+            line for out in outs for line in out.splitlines()
+            if "seq_losses=" in line
+        )
+        if len(seq_lines) != nprocs:
+            print("FAILED: seq-parallel phase incomplete"); [print(o) for o in outs]
+            raise SystemExit(1)
+        if len({line.split("seq_losses=")[1] for line in seq_lines}) != 1:
+            print("FAILED: seq-parallel losses diverged across processes")
+            raise SystemExit(1)
+        print(
+            f"multihost OK: {nprocs} processes x 4 devices, losses in sync "
+            f"(dp psum + cross-process seq-parallel ppermute)"
+        )
 
 
 if __name__ == "__main__":
