@@ -481,3 +481,50 @@ def test_video_pipeline_matches_executed_pyc():
     toks_j, rec_j = m.apply(variables, jnp.asarray(clip_np))
     got = _np(rec_j).transpose(0, 1, 4, 2, 3)
     _assert_close(got, want, "VideoHybridNet composed pipeline")
+
+
+def test_metrics_match_executed_reference():
+    """Dice / Jaccard / PSNR vs the reference's own executed code
+    (Metrics.py:5-39 class defs; Model.py:30 psnr staticmethod-style).
+    MixedLoss is excluded: its pytorch_msssim dependency does not exist
+    in this environment (our MS-SSIM is validated against scipy in
+    tests/test_msssim.py instead)."""
+    from tchvp_tpu import losses
+
+    ref = load_source_classes("Metrics", ["DiceLoss", "JaccardScore"])
+    model_cls = load_source_classes("Model", ["Model"])["Model"]
+
+    rng = np.random.default_rng(9)
+    # NCHW for the originals; NHWC for ours.
+    pred = rng.uniform(size=(2, 1, 16, 16)).astype(np.float32)
+    true = (rng.uniform(size=(2, 1, 16, 16)) > 0.5).astype(np.float32)
+
+    want_dice = float(ref["DiceLoss"]()(torch.tensor(pred), torch.tensor(true)))
+    got_dice = float(
+        losses.dice_loss(
+            jnp.asarray(pred.transpose(0, 2, 3, 1)),
+            jnp.asarray(true.transpose(0, 2, 3, 1)),
+        )
+    )
+    np.testing.assert_allclose(got_dice, want_dice, atol=1e-6)
+
+    want_iou = float(
+        ref["JaccardScore"]()(torch.tensor(pred > 0.5), torch.tensor(true > 0))
+    )
+    got_iou = float(
+        losses.jaccard_score(
+            jnp.asarray((pred > 0.5).transpose(0, 2, 3, 1)),
+            jnp.asarray((true > 0).transpose(0, 2, 3, 1)),
+        )
+    )
+    np.testing.assert_allclose(got_iou, want_iou, atol=1e-6)
+
+    # Model.psnr only touches torch/F, so the unbound method runs without
+    # constructing the (dependency-laden) Model instance.
+    want_psnr = float(
+        model_cls.psnr(None, torch.tensor(pred), torch.tensor(true))
+    )
+    got_psnr = float(
+        losses.psnr(jnp.asarray(pred), jnp.asarray(true))
+    )
+    np.testing.assert_allclose(got_psnr, want_psnr, rtol=1e-5)
