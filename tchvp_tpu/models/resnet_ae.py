@@ -122,6 +122,10 @@ class Decoder32K(nn.Module):
     """
 
     output_type: str = "image"  # "image" | "mask" (AE_32K L151-158)
+    # Conv-chain widths before the upsamples: (16, 64, 128, 256) in
+    # AE_32K (8-ch latent); the AE_64_4k variant opens at 32 from its
+    # 16-ch latent (proven by executing the AE_64_4k bytecode).
+    conv_features: Sequence[int] = (16, 64, 128, 256)
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -137,9 +141,9 @@ class Decoder32K(nn.Module):
         self.convs = [
             nn.Conv(feat, (3, 3), padding="SAME", use_bias=False,
                     name=f"conv{i}", dtype=dt, param_dtype=pdt)
-            for i, feat in enumerate((16, 64, 128, 256))
+            for i, feat in enumerate(self.conv_features)
         ]
-        self.conv_bns = [bn(f"bn{i}") for i in range(4)]
+        self.conv_bns = [bn(f"bn{i}") for i in range(len(self.conv_features))]
         # nn.ConvTranspose, not the polyphase PixelShuffleUpconv: the
         # matmul+depth-to-space form is numerics-identical but MEASURED
         # SLOWER here (decoder 41.0 -> 49.2 ms — the depth-to-space
@@ -266,8 +270,12 @@ class Autoencoder4K(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        # Executing the AE_64_4k bytecode (tests/test_reference_exec.py)
+        # pinned the real chains: encoder squeezes 512->128->64->32->16
+        # (FOUR stages — round 1 recovered only three) and the decoder
+        # opens its conv chain at 32 from the 16-ch latent.
         cfg = ResNetAEConfig(
-            squeeze_features=(64, 32, 16),  # AE_64_4k L62-81
+            squeeze_features=(128, 64, 32, 16),
             dropout_rate=0.1,  # AE_64_4k Dropout2d 0.1
             output_type=self.output_type,
         )
@@ -279,6 +287,7 @@ class Autoencoder4K(nn.Module):
         )
         self.decoder = Decoder32K(
             output_type=self.output_type,
+            conv_features=(32, 64, 128, 256),
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -292,6 +301,8 @@ class Autoencoder4K(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         latent_map = self.encoder(x, train=train, deterministic=deterministic)
         b, h, w, c = latent_map.shape
-        latent = latent_map.reshape(b, h * w * c)  # flat 4096-d (L118)
-        recon = self.decoder(latent.reshape(b, h, w, c), train=train)
+        # Channel-first flatten — the original's (C, H, W) view order
+        # (AE_64_4k L118), so flat latents interchange with it exactly.
+        latent = jnp.transpose(latent_map, (0, 3, 1, 2)).reshape(b, c * h * w)
+        recon = self.decoder(latent_map, train=train)
         return latent, recon

@@ -528,3 +528,35 @@ def test_metrics_match_executed_reference():
         losses.psnr(jnp.asarray(pred), jnp.asarray(true))
     )
     np.testing.assert_allclose(got_psnr, want_psnr, rtol=1e-5)
+
+
+@pytest.mark.parametrize("output_type", ["image", "mask"])
+def test_autoencoder4k_matches_executed_pyc(output_type):
+    """Autoencoder4K vs the ORIGINAL AE_64_4k bytecode in the 3.8 VM.
+
+    Executing this module exposed two structural divergences in round
+    1's recovery (both fixed): the encoder squeeze chain is
+    512->128->64->32->16 (four stages), and the decoder conv chain opens
+    at 32 from the 16-channel latent."""
+    from tchvp_tpu.models import Autoencoder4K
+
+    cl = load_pyc_classes(
+        "AE_64_4k", ["Bottleneck", "Encoder_32K", "Decoder_32K", "Autoencoder4K"]
+    )
+    t = cl["Autoencoder4K"](output_type).eval()
+
+    m = Autoencoder4K(output_type=output_type)
+    x_np = np.random.default_rng(6).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    variables = _randomize_batch_stats(m.init(KEY, jnp.asarray(x_np)))
+    _transfer_autoencoder32k(t, variables["params"], variables["batch_stats"])
+
+    # Contiguous NCHW: the original's latent `.view` (AE_64_4k L118)
+    # rejects strided tensors; its DataLoader always fed contiguous ones.
+    x_t = torch.tensor(np.ascontiguousarray(x_np.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        want = t(x_t)
+        want_lat = t.encoder(x_t)  # flat (B, 4096), channel-first order
+    lat_j, rec_j = m.apply(variables, jnp.asarray(x_np))
+    _assert_close(_np(lat_j), want_lat.numpy(), f"AE4K[{output_type}] latent")
+    _assert_close(_np(rec_j).transpose(0, 3, 1, 2), want.numpy(),
+                  f"AE4K[{output_type}] recon")
