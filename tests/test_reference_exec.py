@@ -8,10 +8,11 @@ replicas built from the survey; these tests close the loop (VERDICT r1
 * ``FCT.py`` / ``AutoEncoder.py`` / ``UNet.py`` — AST-filtered exec of the
   actual sources (run-on-import tails and dead ``dataset``/``metric``
   imports dropped): tests/reference_exec/ref_loader.py.
-* ``AE_32K`` / ``TransformerEncoder`` — the original 3.8 bytecode from
-  ``/root/reference/__pycache__`` executed by a purpose-built CPython 3.8
-  interpreter (tests/reference_exec/py38_vm.py), since Python 3.12 cannot
-  run 3.8 code objects.
+* ``AE_32K`` / ``AE_256_32K`` / ``AE_64_4k`` / ``TransformerEncoder`` —
+  the original 3.8 bytecode from ``/root/reference/__pycache__`` executed
+  by a purpose-built CPython 3.8 interpreter
+  (tests/reference_exec/py38_vm.py), since Python 3.12 cannot run 3.8
+  code objects.
 
 Weights transfer flax -> executed-original; outputs must agree in eval
 mode to ~fp32 tolerance (much tighter than the 1e-2 requirement, which is
@@ -28,7 +29,10 @@ the flax models once discovered):
 * the original AE_32K squeeze/decoder convs carry biases that are
   mathematically redundant under the BatchNorm that follows (our TPU
   build omits them; porting an original checkpoint folds them into the BN
-  running mean — ``zero_missing_bias`` below).
+  running mean — ``zero_missing_bias`` below);
+* AE_64_4k's encoder squeezes through FOUR stages (512->128->64->32->16;
+  round 1 recovered three) and its decoder conv chain opens at 32 from
+  the 16-channel latent.
 """
 
 import os
@@ -560,3 +564,37 @@ def test_autoencoder4k_matches_executed_pyc(output_type):
     _assert_close(_np(lat_j), want_lat.numpy(), f"AE4K[{output_type}] latent")
     _assert_close(_np(rec_j).transpose(0, 3, 1, 2), want.numpy(),
                   f"AE4K[{output_type}] recon")
+
+
+def test_autoencoder32k_256_matches_executed_pyc():
+    """The AE_256_32K variant (the flagship's frame AE): identical
+    parameters to AE_32K but the encoder RETURNS the latent as
+    (B, 8, 4096) tokens (hardcoded view, L118-119 — only valid at 256²).
+    Our `token_latent=True` path must reproduce both the tokens and the
+    reconstruction against the executed original."""
+    from tchvp_tpu.config import ResNetAEConfig
+    from tchvp_tpu.models import Autoencoder32K
+
+    cl = load_pyc_classes(
+        "AE_256_32K",
+        ["Bottleneck", "Encoder_32K", "Decoder_32K", "Autoencoder32K"],
+    )
+    t = cl["Autoencoder32K"]("image").eval()
+
+    m = Autoencoder32K(
+        config=ResNetAEConfig(layers=(3, 4), token_latent=True)
+    )
+    x_np = (
+        np.random.default_rng(8).uniform(size=(1, 256, 256, 3)).astype(np.float32)
+    )
+    variables = _randomize_batch_stats(m.init(KEY, jnp.asarray(x_np)))
+    _transfer_autoencoder32k(t, variables["params"], variables["batch_stats"])
+
+    x_t = torch.tensor(np.ascontiguousarray(x_np.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        want = t(x_t)
+        want_tokens = t.encoder(x_t)  # (B, 8, 4096)
+    tokens_j, rec_j = m.apply(variables, jnp.asarray(x_np))
+    _assert_close(_np(tokens_j), want_tokens.numpy(), "AE256_32K tokens")
+    _assert_close(_np(rec_j).transpose(0, 3, 1, 2), want.numpy(),
+                  "AE256_32K recon")
