@@ -80,5 +80,8 @@ def load_pyc_classes(
         REFERENCE, "__pycache__", f"{module}.cpython-38.pyc"
     )
     co = load_pyc(path)
-    g = {"torch": torch, "nn": nn, "math": math, "np": np, "numpy": np}
+    from collections import OrderedDict
+
+    g = {"torch": torch, "nn": nn, "math": math, "np": np, "numpy": np,
+         "OrderedDict": OrderedDict}
     return build_classes(co, class_names, g)

@@ -231,13 +231,19 @@ def test_autoencoder_matches_executed_reference():
                   "AutoEncoder recon")
 
 
-def test_unet_matches_executed_reference():
-    """UNet (UNet.py:6-66) exec'd original vs flax, randomized BN stats."""
+@pytest.mark.parametrize("origin", ["source", "pyc"])
+def test_unet_matches_executed_reference(origin):
+    """UNet exec'd original vs flax, randomized BN stats — both the
+    ``UNet.py:6-66`` source AND its orphaned duplicate
+    ``segmentationUNet`` bytecode (survey §0.2) run in the 3.8 VM."""
     from tchvp_tpu.config import UNetConfig
     from tchvp_tpu.models import UNet
 
     f = 8
-    ref = load_source_classes("UNet", ["UNet"])
+    if origin == "source":
+        ref = load_source_classes("UNet", ["UNet"])
+    else:
+        ref = load_pyc_classes("segmentationUNet", ["UNet"])
     t = ref["UNet"](in_channels=3, out_channels=1, init_features=f).eval()
 
     m = UNet(config=UNetConfig(init_features=f))
@@ -496,6 +502,7 @@ def test_metrics_match_executed_reference():
     from tchvp_tpu import losses
 
     ref = load_source_classes("Metrics", ["DiceLoss", "JaccardScore"])
+    ref_pyc = load_pyc_classes("metric", ["DiceLoss", "JaccardScore"])
     model_cls = load_source_classes("Model", ["Model"])["Model"]
 
     rng = np.random.default_rng(9)
@@ -522,6 +529,18 @@ def test_metrics_match_executed_reference():
         )
     )
     np.testing.assert_allclose(got_iou, want_iou, atol=1e-6)
+
+    # The orphaned `metric` bytecode variant must agree too (executed in
+    # the 3.8 VM — covers the last recovered metrics module).
+    np.testing.assert_allclose(
+        float(ref_pyc["DiceLoss"]()(torch.tensor(pred), torch.tensor(true))),
+        want_dice, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(ref_pyc["JaccardScore"]()(torch.tensor(pred > 0.5),
+                                        torch.tensor(true > 0))),
+        want_iou, atol=1e-6,
+    )
 
     # Model.psnr only touches torch/F, so the unbound method runs without
     # constructing the (dependency-laden) Model instance.
