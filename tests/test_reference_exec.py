@@ -617,3 +617,44 @@ def test_autoencoder32k_256_matches_executed_pyc():
     _assert_close(_np(tokens_j), want_tokens.numpy(), "AE256_32K tokens")
     _assert_close(_np(rec_j).transpose(0, 3, 1, 2), want.numpy(),
                   "AE256_32K recon")
+
+
+def test_csv_dataset_len_quirk_executed(tmp_path):
+    """Execute the recovered ``dataset.pyc`` CSVDataset and pin its
+    ``__len__ = N - N % batch`` quirk (survey §7.5: item count truncated
+    to a batch multiple but still an ITEM count, so iterating "len"
+    batches overruns). Our manifest layer deliberately fixes this with
+    true drop-last batching — this test documents the divergence against
+    the reference's own executed code."""
+    import csv as _csv
+
+    from py38_marshal import load_pyc
+    from py38_vm import build_classes
+
+    from tchvp_tpu.data.manifest import ImageDataset
+
+    co = load_pyc(
+        os.path.join("/root/reference", "__pycache__", "dataset.cpython-38.pyc")
+    )
+    g = {"csv": _csv, "DATA_SIZE": 1, "open": open, "list": list,
+         "len": len, "torch": torch}
+    cls = build_classes(co, ["CSVDataset"], g)["CSVDataset"]
+
+    n, batch = 10, 4
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"img{i}.png"
+        pytest.importorskip("PIL.Image").fromarray(
+            np.zeros((4, 4, 3), np.uint8)
+        ).save(p)
+        paths.append(str(p))
+    csv_path = tmp_path / "data.csv"
+    csv_path.write_text("\n".join(paths) + "\n")
+
+    ref_ds = cls(str(csv_path), batch, None)  # (csv_file, batch_size, transforms)
+    assert len(ref_ds) == n - n % batch == 8  # the quirk: 8 "items"
+
+    ours = ImageDataset(str(csv_path), batch_size=batch, image_size=4,
+                        shuffle=False)
+    assert len(ours) == n // batch == 2  # true drop-last batch count
+    assert sum(1 for _ in ours) == 2
