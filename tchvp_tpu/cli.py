@@ -337,6 +337,48 @@ def cmd_infer(args) -> None:
     print(msg)
 
 
+def cmd_port(args) -> None:
+    """Convert a reference PyTorch checkpoint into an orbax checkpoint
+    that every tchvp flow can restore: the migration path for users
+    bringing pretrained reference weights (utils/torch_port.py)."""
+    import jax
+
+    from tchvp_tpu.train import checkpoint as ckpt
+    from tchvp_tpu.utils import torch_port
+
+    if not args.checkpoint or not args.out:
+        raise SystemExit("port: provide --checkpoint (torch file) and --out")
+    sd = torch_port.load_reference_checkpoint(args.checkpoint)
+    importers = {
+        "unet": torch_port.import_unet,
+        "fct": torch_port.import_fct,
+        "autoencoder": torch_port.import_autoencoder,
+        "ae32k": torch_port.import_autoencoder32k,
+        "ae4k": torch_port.import_autoencoder4k,
+    }
+    if args.model == "transformer":
+        n = 1 + max(
+            int(k.split(".")[1]) for k in sd if k.startswith("attention_layers.")
+        )
+        variables = torch_port.import_transformer_encoder(sd, n)
+    elif args.model == "hybrid":
+        if not args.temporal_checkpoint:
+            raise SystemExit("port hybrid: also provide --temporal-checkpoint")
+        tsd = torch_port.load_reference_checkpoint(args.temporal_checkpoint)
+        n = 1 + max(
+            int(k.split(".")[1]) for k in tsd if k.startswith("attention_layers.")
+        )
+        variables = torch_port.import_video_hybrid(sd, tsd, num_layers=n)
+    else:
+        variables = importers[args.model](sd)
+    path = ckpt.save_state(
+        args.out, 0, variables["params"],
+        batch_stats=variables.get("batch_stats"),
+    )
+    n_arrays = len(jax.tree.leaves(variables))
+    print(f"ported {args.model}: {n_arrays} arrays -> {path}")
+
+
 def cmd_pack(args) -> None:
     """Offline: decode a clip CSV manifest into a clippack file once, so
     training epochs stream from the native mmap loader."""
@@ -362,6 +404,7 @@ def main(argv=None) -> None:
         ("pack", cmd_pack),
         ("stream", cmd_stream),
         ("infer", cmd_infer),
+        ("port", cmd_port),
     ):
         p = sub.add_parser(name)
         _add_common(p)
@@ -384,6 +427,14 @@ def main(argv=None) -> None:
             p.add_argument("--clip-len", type=int, default=8)
             p.add_argument("--microbatch", type=int, default=0)
             p.add_argument("--out-dir", default=None)
+        if name == "port":
+            p.add_argument("--checkpoint", default=None,
+                           help="reference torch .tar/.pth file")
+            p.add_argument("--temporal-checkpoint", default=None)
+            p.add_argument("--out", default=None)
+            p.add_argument("--model", default="ae32k",
+                           choices=("unet", "fct", "autoencoder", "ae32k",
+                                    "ae4k", "transformer", "hybrid"))
         if name == "stream":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)

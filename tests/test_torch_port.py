@@ -214,3 +214,29 @@ def test_import_video_hybrid():
 
     _, rec = m.apply(variables, jnp.asarray(clip))
     _close(np.asarray(rec).transpose(0, 1, 4, 2, 3), want, "VideoHybrid import")
+
+
+def test_cli_port_roundtrip(tmp_path):
+    """`tchvp port`: torch file -> orbax checkpoint -> restored flax
+    variables reproduce the original UNet."""
+    from tchvp_tpu.cli import main
+    from tchvp_tpu.config import UNetConfig
+    from tchvp_tpu.models import UNet
+    from tchvp_tpu.train import checkpoint as ckpt
+
+    t = load_source_classes("UNet", ["UNet"])["UNet"](3, 1, 8).eval()
+    _randomize_torch_bn(t)
+    src = str(tmp_path / "unet.pth")
+    torch.save(t.state_dict(), src)
+    out = str(tmp_path / "ported")
+    main(["port", "--model", "unet", "--checkpoint", src, "--out", out])
+
+    restored = ckpt.restore_state(ckpt.latest_step_dir(out))
+    variables = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
+    x = np.random.default_rng(6).uniform(size=(1, 32, 32, 3)).astype(np.float32)
+    want = t(torch.tensor(x.transpose(0, 3, 1, 2))).detach().numpy()
+    got = UNet(config=UNetConfig(init_features=8)).apply(
+        variables, jnp.asarray(x)
+    )
+    _close(np.asarray(got).transpose(0, 3, 1, 2), want, "cli port roundtrip")
