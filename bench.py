@@ -81,19 +81,55 @@ def main() -> None:
 
     med = float(np.median(reps))
     fps = BATCH * FRAMES / med
-    print(
-        json.dumps(
-            {
-                "metric": f"frames/sec/chip {SIZE}x{SIZE}x{FRAMES}f bf16 inference (batch {BATCH})",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "p50_clip_latency_ms": round(med / BATCH * 1000, 2),
-                "device": str(jax.devices()[0]),
-                "attn_impl": ATTN + (f"+win{WINDOW}" if WINDOW else ""),
-            }
-        )
-    )
+
+    result = {
+        "metric": f"frames/sec/chip {SIZE}x{SIZE}x{FRAMES}f bf16 inference (batch {BATCH})",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "p50_clip_latency_ms": round(med / BATCH * 1000, 2),
+        "device": str(jax.devices()[0]),
+        "attn_impl": ATTN + (f"+win{WINDOW}" if WINDOW else ""),
+    }
+
+    # int8 PTQ serving mode (tchvp_tpu/infer/quant.py): same model, convs
+    # quantized with calibrated activation scales — reported alongside,
+    # not as the headline (the metric names bf16).
+    if os.environ.get("BENCH_SKIP_INT8") != "1":
+        try:
+            from tchvp_tpu.data.pipeline import preprocess_clip as _pc
+            from tchvp_tpu.infer import Int8Engine
+
+            calib = _pc(clip_u8, SIZE, dtype=jnp.bfloat16)
+            eng = Int8Engine(model, variables).calibrate([calib])
+
+            @jax.jit
+            def int8_loop(qparams, variables, raw):
+                clip = preprocess_clip(raw, SIZE, dtype=jnp.bfloat16)
+
+                def body(i, acc):
+                    perturbed = clip + (i * jnp.bfloat16(1e-6))
+                    _, recon = eng.apply(qparams, perturbed, variables=variables)
+                    return acc + recon.mean().astype(jnp.float32)
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+            _ = float(int8_loop(eng.qparams, variables, clip_u8))
+            reps8 = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = float(int8_loop(eng.qparams, variables, clip_u8))
+                reps8.append((time.perf_counter() - t0) / iters)
+            med8 = float(np.median(reps8))
+            result["int8_frames_per_s"] = round(BATCH * FRAMES / med8, 1)
+            result["int8_vs_baseline"] = round(
+                BATCH * FRAMES / med8 / BASELINE_FPS, 3
+            )
+            result["int8_psnr_vs_bf16_db"] = round(eng.psnr_vs(calib), 1)
+        except Exception as e:  # keep the headline line robust
+            result["int8_error"] = f"{type(e).__name__}: {e}"[:120]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

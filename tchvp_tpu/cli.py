@@ -301,10 +301,22 @@ def cmd_infer(args) -> None:
             if restored.get("batch_stats") is not None else {}
         )}
 
+    engine = None
+    if args.int8:
+        from tchvp_tpu.infer import Int8Engine
+
+        first = jnp.asarray(np.asarray(next(iter(data)), dtype=np.uint8))
+        calib = preprocess_clip(first, size, dtype=jnp.bfloat16)
+        engine = Int8Engine(model, variables).calibrate([calib])
+        print(f"int8: {len(engine.scales)} convs quantized, "
+              f"{engine.psnr_vs(calib):.1f} dB vs bf16")
+
     @jax.jit
-    def run(v, raw):
+    def run(v, qp, raw):
         clip = preprocess_clip(raw, size, dtype=jnp.bfloat16)
-        if args.microbatch:
+        if engine is not None:
+            _, recon = engine.apply(qp, clip, variables=v)
+        elif args.microbatch:
             recon = microbatched_infer(model, v, clip, args.microbatch)
         else:
             _, recon = model.apply(v, clip, deterministic=True)
@@ -314,10 +326,11 @@ def cmd_infer(args) -> None:
         psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
         return recon, psnr
 
+    qp = engine.qparams if engine is not None else 0
     frames, psnrs, t0 = 0, [], None
     for bi, batch in enumerate(data):
         raw = jnp.asarray(np.asarray(batch, dtype=np.uint8))
-        recon, psnr = run(variables, raw)
+        recon, psnr = run(variables, qp, raw)
         psnrs.append(float(psnr))  # sync
         if t0 is None:
             t0 = time.perf_counter()  # exclude compile
@@ -427,6 +440,8 @@ def main(argv=None) -> None:
             p.add_argument("--clip-len", type=int, default=8)
             p.add_argument("--microbatch", type=int, default=0)
             p.add_argument("--out-dir", default=None)
+            p.add_argument("--int8", action="store_true",
+                           help="int8 PTQ serving mode (infer/quant.py)")
         if name == "port":
             p.add_argument("--checkpoint", default=None,
                            help="reference torch .tar/.pth file")

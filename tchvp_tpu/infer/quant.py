@@ -1,0 +1,205 @@
+"""int8 post-training-quantized inference (serving path, TPU-native).
+
+The v5e MXU runs int8 matmuls at 2x the bf16 rate, and int8 activations
+halve the conv stack's HBM traffic — the flagship's measured bottlenecks
+(BENCHES.md per-stage roofline: encoder at 72% of HBM bandwidth).
+Measured conv-level speedups at flagship shapes: 1.25-1.7x.
+
+Scheme (standard symmetric PTQ):
+* weights: per-output-channel int8, scale = max|W[..., oc]| / 127,
+  quantized once offline (:func:`quantize_conv_params`);
+* activations: per-tensor int8 with STATIC scales from a calibration
+  pass over representative batches (:func:`calibrate_conv_scales`) —
+  serving-friendly, no runtime max-reductions;
+* conv accumulates in int32 on the MXU, dequantizes with
+  ``s_x * s_w[oc]`` and adds the fp bias in the conv epilogue (XLA
+  fuses); BatchNorm/ReLU stay in bf16 — elementwise, bandwidth-trivial,
+  and exact.
+
+Integration is a flax METHOD INTERCEPTOR (``nn.intercept_methods``):
+``nn.Conv`` calls whose module path is in the quant table are replaced
+by the int8 computation; everything else (BN, attention, upsamples) runs
+unchanged. Zero edits to model code; any flax model quantizes the same
+way. Quality is a measured property, not asserted: ``Int8Engine.psnr_vs``
+reports int8-vs-reference-dtype reconstruction PSNR.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _path_key(module) -> str:
+    return "/".join(module.path)
+
+
+def _is_conv(module) -> bool:
+    return type(module) is nn.Conv
+
+
+@contextlib.contextmanager
+def _conv_interceptor(fn: Callable):
+    """Intercept ``nn.Conv.__call__``; ``fn(next_fn, module, x)``."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        if _is_conv(context.module) and context.method_name == "__call__":
+            return fn(next_fn, context.module, *args, **kwargs)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        yield
+
+
+def calibrate_conv_scales(
+    apply_fn: Callable[..., Any],
+    batches: Iterable[Any],
+) -> Dict[str, float]:
+    """Run ``apply_fn(batch)`` over calibration batches, recording each
+    nn.Conv input's max|x| per module path. Returns path -> activation
+    scale (max_abs / 127). Run EAGERLY (not under jit) so the recorded
+    maxima are concrete."""
+    maxima: Dict[str, float] = {}
+
+    def record(next_fn, module, x, **kw):
+        m = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        key = _path_key(module)
+        maxima[key] = max(maxima.get(key, 0.0), m)
+        return next_fn(x, **kw)
+
+    for batch in batches:
+        with _conv_interceptor(record):
+            apply_fn(batch)
+    return {k: (v / 127.0 if v > 0 else 1.0) for k, v in maxima.items()}
+
+
+def quantize_conv_params(
+    variables: Any,
+    paths: Sequence[str],
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Per-output-channel int8 weights for the convs at ``paths``.
+
+    Returns path -> {"w_i8" (HWIO int8), "s_w" (out,) f32, "bias" (out,)
+    f32 or absent}. Paths use the flax module-path join ("a/b/conv")."""
+    params = variables["params"]
+    out: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for path in paths:
+        node = params
+        for part in path.split("/"):
+            node = node[part]
+        w = jnp.asarray(node["kernel"], jnp.float32)
+        s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+        s_w = jnp.where(s_w > 0, s_w, 1.0)
+        q = {
+            "w_i8": jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8),
+            "s_w": s_w,
+        }
+        if "bias" in node:
+            q["bias"] = jnp.asarray(node["bias"], jnp.float32)
+        out[path] = q
+    return out
+
+
+def _int8_conv(module: nn.Conv, x: jnp.ndarray, q: Dict[str, jnp.ndarray],
+               s_x: float) -> jnp.ndarray:
+    """The quantized replacement for one nn.Conv call."""
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(
+        jnp.int8
+    )
+    pad = module.padding
+    if isinstance(pad, str):
+        padding = pad
+    else:
+        padding = tuple((p, p) if isinstance(p, int) else tuple(p) for p in pad)
+    strides = module.strides if module.strides is not None else (1, 1)
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    dn = jax.lax.conv_dimension_numbers(
+        xq.shape, q["w_i8"].shape, ("NHWC", "HWIO", "NHWC")
+    )
+    acc = jax.lax.conv_general_dilated(
+        xq,
+        q["w_i8"],
+        window_strides=tuple(strides),
+        padding=padding,
+        dimension_numbers=dn,
+        feature_group_count=module.feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (q["s_w"] * s_x)
+    if "bias" in q:
+        out = out + q["bias"]
+    return out.astype(module.dtype or x.dtype)
+
+
+class Int8Engine:
+    """Calibrate-once, serve-many int8 inference wrapper.
+
+    >>> eng = Int8Engine(model, variables)
+    >>> eng.calibrate([batch1, batch2])          # eager, once
+    >>> fast = jax.jit(eng.apply)                # int8 convs inside
+    >>> out = fast(eng.qparams, clip)
+
+    ``qparams`` rides as an argument so jit does not bake the weights
+    into the program (tunnel request-size limits; see __graft_entry__).
+    ``exclude``: path substrings to keep in bf16 (e.g. sensitive heads).
+    """
+
+    def __init__(self, model, variables, exclude: Sequence[str] = (),
+                 apply_kwargs: Optional[Dict[str, Any]] = None):
+        self.model = model
+        self.variables = variables
+        self.exclude = tuple(exclude)
+        # kwargs forwarded to model.apply; our models take deterministic,
+        # arbitrary flax modules may not — override with apply_kwargs={}.
+        self.apply_kwargs = (
+            {"deterministic": True} if apply_kwargs is None else dict(apply_kwargs)
+        )
+        self.scales: Optional[Dict[str, float]] = None
+        self.qparams: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None
+
+    def _apply_fp(self, batch):
+        return self.model.apply(self.variables, batch, **self.apply_kwargs)
+
+    def calibrate(self, batches: Iterable[Any]) -> "Int8Engine":
+        scales = calibrate_conv_scales(self._apply_fp, batches)
+        self.scales = {
+            k: v for k, v in scales.items()
+            if not any(e in k for e in self.exclude)
+        }
+        self.qparams = quantize_conv_params(
+            self.variables, sorted(self.scales)
+        )
+        return self
+
+    def apply(self, qparams, batch, variables: Any = None):
+        """int8 forward; jit with qparams as the first argument."""
+        assert self.scales is not None, "call calibrate() first"
+        variables = self.variables if variables is None else variables
+        scales = self.scales
+
+        def quant_conv(next_fn, module, x, **kw):
+            key = _path_key(module)
+            if key in scales:
+                return _int8_conv(module, x, qparams[key], scales[key])
+            return next_fn(x, **kw)
+
+        with _conv_interceptor(quant_conv):
+            return self.model.apply(variables, batch, **self.apply_kwargs)
+
+    def psnr_vs(self, batch) -> float:
+        """Reconstruction PSNR of the int8 output against the
+        reference-dtype output on ``batch`` (quality report)."""
+        ref = self._apply_fp(batch)
+        got = self.apply(self.qparams, batch)
+        ref, got = jax.tree.leaves(ref)[-1], jax.tree.leaves(got)[-1]
+        mse = float(jnp.mean((ref.astype(jnp.float32) -
+                              got.astype(jnp.float32)) ** 2))
+        rng = float(jnp.max(ref.astype(jnp.float32)) -
+                    jnp.min(ref.astype(jnp.float32)))
+        return 20.0 * np.log10(max(rng, 1e-9)) - 10.0 * np.log10(max(mse, 1e-12))
