@@ -121,3 +121,28 @@ def test_calibration_tracks_running_max():
     q = quantize_conv_params(variables, [key])
     assert q[key]["w_i8"].dtype == jnp.int8
     assert q[key]["s_w"].shape == (2,)
+
+
+def test_int8_engine_generalizes_to_fct():
+    """The interceptor engine is model-agnostic: FCT (depthwise conv
+    projections, dilated Wide-Focus convs, grouped feature counts)
+    quantizes without model changes and keeps fidelity."""
+    from tchvp_tpu.config import FCTConfig
+    from tchvp_tpu.models import FCT
+
+    m = FCT(config=FCTConfig(filters=(2, 2, 2, 2, 2, 2, 2, 2, 2),
+                             attn_impl="xla"))
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(1, 32, 32, 3)).astype(np.float32)
+    )
+    variables = m.init(jax.random.PRNGKey(0), x)
+    # Measured sensitivity (this test's shapes): quantizing the
+    # transformer-branch convs (wide_focus + in-branch conv1) costs
+    # ~8 dB; the block conv stacks quantize cleanly. The exclude knob
+    # is the per-model recipe: FCT keeps "trans" in fp.
+    eng = Int8Engine(m, variables, exclude=("trans",)).calibrate([x])
+    assert len(eng.scales) > 20  # the block conv stacks
+    out = jax.jit(eng.apply)(eng.qparams, x)
+    assert bool(jnp.isfinite(out).all())
+    psnr = eng.psnr_vs(x)
+    assert psnr > 28.0, f"FCT int8 fidelity: {psnr:.1f} dB"
