@@ -94,8 +94,16 @@ def main() -> None:
 
     # int8 PTQ serving mode (tchvp_tpu/infer/quant.py): same model, convs
     # quantized with calibrated activation scales — reported alongside,
-    # not as the headline (the metric names bf16).
+    # not as the headline (the metric names bf16). Hard-capped by an
+    # alarm so a slow compile can never cost the headline line.
     if os.environ.get("BENCH_SKIP_INT8") != "1":
+        import signal
+
+        def _int8_timeout(signum, frame):
+            raise TimeoutError("int8 phase exceeded its time budget")
+
+        signal.signal(signal.SIGALRM, _int8_timeout)
+        signal.alarm(int(os.environ.get("BENCH_INT8_BUDGET_S", "600")))
         try:
             from tchvp_tpu.data.pipeline import preprocess_clip as _pc
             from tchvp_tpu.infer import Int8Engine
@@ -128,6 +136,8 @@ def main() -> None:
             result["int8_psnr_vs_bf16_db"] = round(eng.psnr_vs(calib), 1)
         except Exception as e:  # keep the headline line robust
             result["int8_error"] = f"{type(e).__name__}: {e}"[:120]
+        finally:
+            signal.alarm(0)
 
     print(json.dumps(result))
 
