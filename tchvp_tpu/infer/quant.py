@@ -177,10 +177,20 @@ class Int8Engine:
         )
         return self
 
-    def apply(self, qparams, batch, variables: Any = None):
-        """int8 forward; jit with qparams as the first argument."""
+    @contextlib.contextmanager
+    def intercepting(self, qparams):
+        """Activate the int8 conv interceptor around ANY code that
+        applies ``self.model`` — composes with the streaming tiler
+        (``stream_video``), ``microbatched_infer``, or custom drivers:
+
+        >>> def run(qparams, variables, clip):
+        ...     with eng.intercepting(qparams):
+        ...         return stream_video(eng.model, variables, clip, cfg)
+        >>> jax.jit(run)(eng.qparams, variables, clip)
+
+        Pass qparams through as a traced argument (as above) so jit does
+        not bake the weights into the program."""
         assert self.scales is not None, "call calibrate() first"
-        variables = self.variables if variables is None else variables
         scales = self.scales
 
         def quant_conv(next_fn, module, x, **kw):
@@ -190,6 +200,12 @@ class Int8Engine:
             return next_fn(x, **kw)
 
         with _conv_interceptor(quant_conv):
+            yield
+
+    def apply(self, qparams, batch, variables: Any = None):
+        """int8 forward; jit with qparams as the first argument."""
+        variables = self.variables if variables is None else variables
+        with self.intercepting(qparams):
             return self.model.apply(variables, batch, **self.apply_kwargs)
 
     def psnr_vs(self, batch) -> float:

@@ -146,3 +146,40 @@ def test_int8_engine_generalizes_to_fct():
     assert bool(jnp.isfinite(out).all())
     psnr = eng.psnr_vs(x)
     assert psnr > 28.0, f"FCT int8 fidelity: {psnr:.1f} dB"
+
+
+def test_int8_composes_with_streaming_and_microbatch():
+    """intercepting() works around the streaming tiler and lax.map
+    microbatching — the quantized convs engage inside scan/map bodies."""
+    from tchvp_tpu.models import StreamingConfig, microbatched_infer, stream_video
+
+    model = tiny_model()
+    rng = np.random.default_rng(4)
+    clip = jnp.asarray(rng.uniform(size=(2, 4, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    eng = Int8Engine(model, variables).calibrate([clip])
+
+    scfg = StreamingConfig(tile=32, chunk_len=2, ctx_frames=0)
+
+    def run_stream(qp, v, c):
+        with eng.intercepting(qp):
+            return stream_video(model, v, c, scfg)
+
+    got = jax.jit(run_stream)(eng.qparams, variables, clip)
+    ref = stream_video(model, variables, clip, scfg)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(got - ref).max()) > 0  # int8 path engaged
+    mse = float(jnp.mean((got - ref) ** 2))
+    assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 25.0
+
+    def run_micro(qp, v, c):
+        with eng.intercepting(qp):
+            return microbatched_infer(model, v, c, 1)
+
+    got_m = jax.jit(run_micro)(eng.qparams, variables, clip)
+    got_full = eng.apply(eng.qparams, clip)[1]
+    # fp reassociation differs between lax.map bodies and the full
+    # batch program; the int8 math itself is identical.
+    np.testing.assert_allclose(
+        np.asarray(got_m), np.asarray(got_full), atol=1e-3
+    )
