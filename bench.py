@@ -94,8 +94,10 @@ def main() -> None:
 
     # int8 PTQ serving mode (tchvp_tpu/infer/quant.py): same model, convs
     # quantized with calibrated activation scales — reported alongside,
-    # not as the headline (the metric names bf16). Hard-capped by an
-    # alarm so a slow compile can never cost the headline line.
+    # not as the headline (the metric names bf16). The alarm bounds the
+    # Python-level phases (calibration, psnr, retiming loops) — a jit
+    # compile blocking inside one C++ call defers the signal until that
+    # call returns, so this is best-effort, not a hard guarantee.
     if os.environ.get("BENCH_SKIP_INT8") != "1":
         import signal
 

@@ -301,11 +301,22 @@ def cmd_infer(args) -> None:
             if restored.get("batch_stats") is not None else {}
         )}
 
+    import contextlib
+
     engine = None
+    data_iter = data
     if args.int8:
+        import itertools
+
         from tchvp_tpu.infer import Int8Engine
 
-        first = jnp.asarray(np.asarray(next(iter(data)), dtype=np.uint8))
+        # Calibrate on the first batch WITHOUT abandoning the iterator
+        # (a half-consumed native ClipPack iterator forces a full drain
+        # on the next iteration) — the batch rejoins the inference loop.
+        it = iter(data)
+        first_batch = next(it)
+        data_iter = itertools.chain([first_batch], it)
+        first = jnp.asarray(np.asarray(first_batch, dtype=np.uint8))
         calib = preprocess_clip(first, size, dtype=jnp.bfloat16)
         engine = Int8Engine(model, variables).calibrate([calib])
         print(f"int8: {len(engine.scales)} convs quantized, "
@@ -314,12 +325,18 @@ def cmd_infer(args) -> None:
     @jax.jit
     def run(v, qp, raw):
         clip = preprocess_clip(raw, size, dtype=jnp.bfloat16)
-        if engine is not None:
-            _, recon = engine.apply(qp, clip, variables=v)
-        elif args.microbatch:
-            recon = microbatched_infer(model, v, clip, args.microbatch)
-        else:
-            _, recon = model.apply(v, clip, deterministic=True)
+        ctx = (
+            engine.intercepting(qp)
+            if engine is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            # int8 and microbatching compose: the interceptor is active
+            # inside the lax.map body too.
+            if args.microbatch:
+                recon = microbatched_infer(model, v, clip, args.microbatch)
+            else:
+                _, recon = model.apply(v, clip, deterministic=True)
         clip32 = clip.astype(jnp.float32)
         rec32 = recon.astype(jnp.float32)
         mse = jnp.mean((clip32 - rec32) ** 2)
@@ -328,7 +345,7 @@ def cmd_infer(args) -> None:
 
     qp = engine.qparams if engine is not None else 0
     frames, psnrs, t0 = 0, [], None
-    for bi, batch in enumerate(data):
+    for bi, batch in enumerate(data_iter):
         raw = jnp.asarray(np.asarray(batch, dtype=np.uint8))
         recon, psnr = run(variables, qp, raw)
         psnrs.append(float(psnr))  # sync
@@ -370,18 +387,16 @@ def cmd_port(args) -> None:
         "ae4k": torch_port.import_autoencoder4k,
     }
     if args.model == "transformer":
-        n = 1 + max(
-            int(k.split(".")[1]) for k in sd if k.startswith("attention_layers.")
+        variables = torch_port.import_transformer_encoder(
+            sd, torch_port.num_attention_layers(sd)
         )
-        variables = torch_port.import_transformer_encoder(sd, n)
     elif args.model == "hybrid":
         if not args.temporal_checkpoint:
             raise SystemExit("port hybrid: also provide --temporal-checkpoint")
         tsd = torch_port.load_reference_checkpoint(args.temporal_checkpoint)
-        n = 1 + max(
-            int(k.split(".")[1]) for k in tsd if k.startswith("attention_layers.")
+        variables = torch_port.import_video_hybrid(
+            sd, tsd, num_layers=torch_port.num_attention_layers(tsd)
         )
-        variables = torch_port.import_video_hybrid(sd, tsd, num_layers=n)
     else:
         variables = importers[args.model](sd)
     path = ckpt.save_state(

@@ -116,18 +116,25 @@ def _int8_conv(module: nn.Conv, x: jnp.ndarray, q: Dict[str, jnp.ndarray],
         padding = pad
     else:
         padding = tuple((p, p) if isinstance(p, int) else tuple(p) for p in pad)
-    strides = module.strides if module.strides is not None else (1, 1)
-    if isinstance(strides, int):
-        strides = (strides, strides)
+    def _pair(v):
+        if v is None:
+            return (1, 1)
+        return (v, v) if isinstance(v, int) else tuple(v)
+
     dn = jax.lax.conv_dimension_numbers(
         xq.shape, q["w_i8"].shape, ("NHWC", "HWIO", "NHWC")
     )
     acc = jax.lax.conv_general_dilated(
         xq,
         q["w_i8"],
-        window_strides=tuple(strides),
+        window_strides=_pair(module.strides),
         padding=padding,
         dimension_numbers=dn,
+        # Dilations MUST carry over: FCT's Wide-Focus convs use
+        # kernel_dilation 2/3 — dropping it silently computes a
+        # different (dilation-1) convolution with identical shapes.
+        lhs_dilation=_pair(module.input_dilation),
+        rhs_dilation=_pair(module.kernel_dilation),
         feature_group_count=module.feature_group_count,
         preferred_element_type=jnp.int32,
     )
@@ -142,11 +149,14 @@ class Int8Engine:
 
     >>> eng = Int8Engine(model, variables)
     >>> eng.calibrate([batch1, batch2])          # eager, once
-    >>> fast = jax.jit(eng.apply)                # int8 convs inside
-    >>> out = fast(eng.qparams, clip)
+    >>> fast = jax.jit(lambda qp, v, x: eng.apply(qp, x, variables=v))
+    >>> out = fast(eng.qparams, eng.variables, clip)
 
-    ``qparams`` rides as an argument so jit does not bake the weights
-    into the program (tunnel request-size limits; see __graft_entry__).
+    BOTH qparams and variables must ride as jit arguments — anything
+    captured from the engine is baked into the program as constants
+    (on tunneled TPUs the serialized request then blows the size limit;
+    see __graft_entry__). ``jax.jit(eng.apply)(qparams, clip)`` works
+    but embeds the fp variables — fine locally, avoid over a tunnel.
     ``exclude``: path substrings to keep in bf16 (e.g. sensitive heads).
     """
 

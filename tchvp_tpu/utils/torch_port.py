@@ -91,6 +91,20 @@ def _bn(
     return p, s
 
 
+def num_attention_layers(sd) -> int:
+    """Layer count of a TransformerEncoder state_dict (for importers
+    that must infer the architecture from the checkpoint alone)."""
+    idx = [
+        int(k.split(".")[1]) for k in sd if k.startswith("attention_layers.")
+    ]
+    if not idx:
+        raise ValueError(
+            "state_dict has no attention_layers.* keys — not a "
+            "TransformerEncoder checkpoint"
+        )
+    return 1 + max(idx)
+
+
 def import_unet(sd) -> Dict[str, Any]:
     """UNet.py / segmentationUNet state_dict -> flax variables."""
     params: Dict[str, Any] = {}

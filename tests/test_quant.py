@@ -136,12 +136,12 @@ def test_int8_engine_generalizes_to_fct():
         np.random.default_rng(3).uniform(size=(1, 32, 32, 3)).astype(np.float32)
     )
     variables = m.init(jax.random.PRNGKey(0), x)
-    # Measured sensitivity (this test's shapes): quantizing the
-    # transformer-branch convs (wide_focus + in-branch conv1) costs
-    # ~8 dB; the block conv stacks quantize cleanly. The exclude knob
-    # is the per-model recipe: FCT keeps "trans" in fp.
-    eng = Int8Engine(m, variables, exclude=("trans",)).calibrate([x])
-    assert len(eng.scales) > 20  # the block conv stacks
+    # All 100 convs quantize, including the dilated Wide-Focus convs —
+    # the engine must carry kernel_dilation through (a dropped dilation
+    # computes a DIFFERENT conv with identical shapes; this test's
+    # fidelity bound is what catches that class of bug).
+    eng = Int8Engine(m, variables).calibrate([x])
+    assert len(eng.scales) == 100
     out = jax.jit(eng.apply)(eng.qparams, x)
     assert bool(jnp.isfinite(out).all())
     psnr = eng.psnr_vs(x)
