@@ -233,11 +233,32 @@ def cmd_stream(args) -> None:
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
-    streamer = make_streamer(model, variables, scfg, mesh=_mesh(args))
+    engine = None
+    data_iter = data
+    if args.int8:
+        import itertools
+
+        from tchvp_tpu.infer import Int8Engine
+        from tchvp_tpu.ops import tiling
+
+        # Calibrate on REAL tiles of the first batch (and keep the batch
+        # in the streaming loop — no abandoned iterators).
+        it = iter(data)
+        first = next(it)
+        data_iter = itertools.chain([first], it)
+        clip0 = jnp.asarray(np.asarray(first, np.uint8), jnp.float32) / 255.0
+        padded, _ = tiling.pad_frames(clip0, args.tile)
+        tiles, _ = tiling.tile_frames(padded, args.tile)
+        calib = tiles[:4, :2].astype(jnp.bfloat16)
+        engine = Int8Engine(model, variables).calibrate([calib])
+        print(f"int8: {len(engine.scales)} convs quantized")
+    streamer = make_streamer(
+        model, variables, scfg, mesh=_mesh(args), int8_engine=engine
+    )
 
     frames = 0
     t0 = None
-    for batch in data:
+    for batch in data_iter:
         clip = jnp.asarray(np.asarray(batch, dtype=np.uint8), jnp.float32) / 255.0
         out = streamer(clip)
         _ = float(jnp.ravel(out)[0])  # sync
@@ -468,6 +489,8 @@ def main(argv=None) -> None:
         if name == "stream":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--int8", action="store_true",
+                           help="int8 PTQ serving mode (infer/quant.py)")
             p.add_argument("--tile", type=int, default=256)
             p.add_argument("--chunk-len", type=int, default=8)
             p.add_argument("--ctx-frames", type=int, default=4)

@@ -185,6 +185,7 @@ def make_streamer(
     variables: Any,
     cfg: StreamingConfig = StreamingConfig(),
     mesh: Optional[Mesh] = None,
+    int8_engine: Any = None,
 ):
     """Compile a reusable streaming function ``f(clip) -> recon``.
 
@@ -196,7 +197,28 @@ def make_streamer(
     ``variables`` ride as a jit argument, not a closure capture — captured
     params would be baked into the compiled program as constants (hundreds
     of MB of HLO for the flagship).
+
+    ``int8_engine``: a calibrated :class:`tchvp_tpu.infer.Int8Engine` for
+    ``model`` — the conv stack then runs int8 inside the tiled scan
+    (measured 1.30× at 1080p, BENCHES.md). Its qparams ride as a jit
+    argument like the variables.
     """
+    if int8_engine is not None:
+        def run(qp, v, clip):
+            with int8_engine.intercepting(qp):
+                return stream_video(model, v, clip, cfg)
+
+        jitted8 = jax.jit(run)
+
+        def call(clip):
+            if mesh is not None:
+                clip = jax.device_put(
+                    clip, NamedSharding(mesh, P("data", None, None, None, None))
+                )
+            return jitted8(int8_engine.qparams, variables, clip)
+
+        return call
+
     jitted = jax.jit(lambda v, clip: stream_video(model, v, clip, cfg))
 
     if mesh is None:
