@@ -240,3 +240,35 @@ def test_cli_port_roundtrip(tmp_path):
         variables, jnp.asarray(x)
     )
     _close(np.asarray(got).transpose(0, 3, 1, 2), want, "cli port roundtrip")
+
+
+def test_ported_checkpoint_serves_int8():
+    """The full switch-from-the-reference journey: an original AE_32K
+    checkpoint imports via torch_port and serves through the int8 PTQ
+    engine — output stays faithful to the EXECUTED original torch model
+    (quantization noise only)."""
+    from tchvp_tpu.config import ResNetAEConfig
+    from tchvp_tpu.infer import Int8Engine
+    from tchvp_tpu.models import Autoencoder32K
+
+    cl = load_pyc_classes(
+        "AE_32K", ["Bottleneck", "Encoder_32K", "Decoder_32K", "Autoencoder32K"]
+    )
+    t = cl["Autoencoder32K"]("image").eval()
+    _randomize_torch_bn(t)
+    variables = torch_port.import_autoencoder32k(t.state_dict())
+
+    m = Autoencoder32K(config=ResNetAEConfig(layers=(3, 4)))
+    x = np.random.default_rng(7).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    eng = Int8Engine(m, variables).calibrate([jnp.asarray(x)])
+    _, rec = jax.jit(
+        lambda qp, v, b: eng.apply(qp, b, variables=v)
+    )(eng.qparams, variables, jnp.asarray(x))
+
+    with torch.no_grad():
+        want = t(torch.tensor(np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+    got = np.asarray(rec).transpose(0, 3, 1, 2)
+    mse = float(np.mean((got - want.numpy()) ** 2))
+    rng_ = float(want.numpy().max() - want.numpy().min())
+    psnr = 20 * np.log10(max(rng_, 1e-9)) - 10 * np.log10(max(mse, 1e-12))
+    assert psnr > 30.0, f"ported+int8 vs executed original: {psnr:.1f} dB"
