@@ -51,9 +51,10 @@ def test_int8_conv_math_matches_reference():
     wq = np.clip(np.round(w / s_w), -127, 127)
     s_x = float(np.abs(np.asarray(x)).max()) / 127.0
     xq = np.clip(np.round(np.asarray(x, np.float64) / s_x), -127, 127)
-    # Manual SAME conv via jax in int32-exact float64.
+    # Manual SAME conv (int8 values are exact in float32: |q| <= 127
+    # and the contraction fits the 24-bit mantissa at these sizes).
     ref = jax.lax.conv_general_dilated(
-        jnp.asarray(xq, jnp.float64), jnp.asarray(wq, jnp.float64), (1, 1),
+        jnp.asarray(xq, jnp.float32), jnp.asarray(wq, jnp.float32), (1, 1),
         "SAME",
         dimension_numbers=jax.lax.conv_dimension_numbers(
             (1, 8, 8, 3), (3, 3, 3, 4), ("NHWC", "HWIO", "NHWC")
