@@ -21,6 +21,10 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tchvp_tpu.ops import dispatch_trace
+from tchvp_tpu.parallel.mesh import ambient_mesh
 
 
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -53,6 +57,7 @@ def sdpa_xla(
     The reference's additive -1e9 masking (TransformerEncoder.py L54-55) is
     reproduced via a large negative fill.
     """
+    dispatch_trace.record("sdpa_xla")
     dh = q.shape[-1]
     scale = 1.0 / math.sqrt(dh) if scale is None else scale
     logits = jnp.einsum(
@@ -91,6 +96,7 @@ def _sdpa_banded(
     neighbor under sequence parallelism. ``mask_prev0`` (bool, may be
     traced) masks that context out — True at a true sequence start.
     """
+    dispatch_trace.record("banded_core")
     b, h, s, dh = q.shape
     w = window_size
     assert s % w == 0, f"seq len {s} not a multiple of window {w}"
@@ -141,6 +147,7 @@ def sdpa_windowed(
     ``window_size`` (pad upstream). Attention-weight dropout matches
     :func:`sdpa_xla` semantics on the banded weights.
     """
+    dispatch_trace.record("sdpa_windowed")
     b, h, _, dh = q.shape
     scale = 1.0 / math.sqrt(dh) if scale is None else scale
     zeros = jnp.zeros((b, h, window_size, dh), k.dtype)
@@ -149,6 +156,22 @@ def sdpa_windowed(
         window_size=window_size, scale=scale, dropout_rate=dropout_rate,
         dropout_rng=dropout_rng, deterministic=deterministic,
     )
+
+
+def _seq_mesh(seq_axis: Optional[str]):
+    """The ambient mesh iff it carries ``seq_axis`` with size > 1.
+
+    The ONE gate for sequence parallelism — reads the mesh through
+    :func:`tchvp_tpu.parallel.mesh.ambient_mesh` so both the legacy
+    ``with mesh:`` scope and the modern ``set_mesh`` API engage it
+    (round 2 read only the abstract mesh and the path never ran).
+    """
+    if seq_axis is None:
+        return None
+    mesh = ambient_mesh()
+    if mesh is None or seq_axis not in mesh.axis_names or mesh.shape[seq_axis] == 1:
+        return None
+    return mesh
 
 
 def sdpa_windowed_seq_sharded(
@@ -183,8 +206,9 @@ def sdpa_windowed_seq_sharded(
     halo rides as one extra leading k/v window; its gradients flow back
     through the ppermute transpose automatically.
     """
-    mesh = jax.sharding.get_abstract_mesh()
-    if mesh.empty or seq_axis not in mesh.axis_names or mesh.shape[seq_axis] == 1:
+    mesh = _seq_mesh(seq_axis)
+    if mesh is None:
+        dispatch_trace.record("seq_sharded_fallback")
         return sdpa_windowed(
             q, k, v, window_size=window_size, scale=scale,
             dropout_rate=dropout_rate, dropout_rng=dropout_rng,
@@ -200,8 +224,9 @@ def sdpa_windowed_seq_sharded(
     scale_ = 1.0 / math.sqrt(dh) if scale is None else scale
     perm = [(i, i + 1) for i in range(n - 1)]
 
-    def local(ql, kl, vl, rng):
+    def local(ql, kl, vl, rng=None):
         # ql: (b, h, s/n, dh) — this shard's contiguous token block.
+        dispatch_trace.record("seq_sharded_shard_map")
         k_halo = jax.lax.ppermute(kl[:, :, -w:], seq_axis, perm)
         v_halo = jax.lax.ppermute(vl[:, :, -w:], seq_axis, perm)
         idx = jax.lax.axis_index(seq_axis)
@@ -211,6 +236,7 @@ def sdpa_windowed_seq_sharded(
         if use_flash:
             from tchvp_tpu.kernels import flash_attention
 
+            dispatch_trace.record("windowed_mha_halo")
             drop_on = dropout_rate > 0.0 and not deterministic
             seed = (
                 jax.random.randint(local_rng, (1,), 0,
@@ -235,12 +261,23 @@ def sdpa_windowed_seq_sharded(
         )
 
     spec = P(None, None, seq_axis, None)
-    rng_spec = P()
+    # pallas_call outputs carry no varying-mesh-axes metadata, so the
+    # halo-kernel route cannot run under shard_map's vma checker.
+    check_vma = not use_flash
+    # A None rng cannot ride as a shard_map operand (an empty pytree leaf
+    # against a P() spec does not flatten — latent round-2 bug); only pass
+    # the operand when a key is actually present.
+    if dropout_rng is None:
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=check_vma,
+        )(q, k, v)
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec, spec, spec, rng_spec),
+        in_specs=(spec, spec, spec, P()),
         out_specs=spec,
+        check_vma=check_vma,
     )(q, k, v, dropout_rng)
 
 
@@ -286,18 +323,18 @@ def multi_head_attention(
     if drop_active and dropout_rng is None:
         raise ValueError("active attention dropout requires dropout_rng")
     banded = window_size > 0 and impl in ("flash", "windowed")
-    if seq_axis is not None and banded and mask is None:
+    if banded and mask is None and _seq_mesh(seq_axis) is not None:
         # Only when the resolved impl already means banded attention:
         # impl="xla" computes FULL attention regardless of window_size,
-        # and sharding must never change the math.
-        ctx = jax.sharding.get_abstract_mesh()
-        if not ctx.empty and seq_axis in ctx.axis_names and ctx.shape[seq_axis] > 1:
-            out = sdpa_windowed_seq_sharded(
-                qh, kh, vh, window_size=window_size, seq_axis=seq_axis,
-                scale=scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
-                deterministic=deterministic, use_flash=(impl == "flash"),
-            )
-            return _merge_heads(out)
+        # and sharding must never change the math. Without a mesh
+        # carrying the axis, flow on to the regular flash/windowed
+        # dispatch below (impl="flash" must stay flash).
+        out = sdpa_windowed_seq_sharded(
+            qh, kh, vh, window_size=window_size, seq_axis=seq_axis,
+            scale=scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            deterministic=deterministic, use_flash=(impl == "flash"),
+        )
+        return _merge_heads(out)
     if impl == "flash" and mask is None:
         from tchvp_tpu.kernels import flash_attention
 
@@ -311,11 +348,13 @@ def multi_head_attention(
         )
         rate = dropout_rate if drop_active else 0.0
         if window_size > 0:
+            dispatch_trace.record("flash_windowed")
             out = flash_attention.windowed_mha(
                 qh, kh, vh, window_size=window_size, scale=scale,
                 dropout_rate=rate, dropout_seed=seed,
             )
         else:
+            dispatch_trace.record("flash_mha")
             out = flash_attention.mha(
                 qh, kh, vh, scale=scale, dropout_rate=rate, dropout_seed=seed
             )

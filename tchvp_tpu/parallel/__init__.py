@@ -2,6 +2,8 @@
 
 from tchvp_tpu.parallel.input import GlobalBatchLoader, sharded_clippack_loader
 from tchvp_tpu.parallel.mesh import (
+    activate_mesh,
+    ambient_mesh,
     batch_spec,
     host_local_batch_slice,
     initialize_distributed,
@@ -14,6 +16,8 @@ from tchvp_tpu.parallel.mesh import (
 __all__ = [
     "GlobalBatchLoader",
     "sharded_clippack_loader",
+    "activate_mesh",
+    "ambient_mesh",
     "batch_spec",
     "host_local_batch_slice",
     "initialize_distributed",

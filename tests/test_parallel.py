@@ -6,7 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from tchvp_tpu.ops import dispatch_trace
 from tchvp_tpu.parallel import (
+    activate_mesh,
     batch_spec,
     make_mesh,
     replicate,
@@ -85,9 +87,13 @@ def test_graft_entry_compiles():
     assert lowered is not None  # traces + lowers without error
 
 
-def test_tensor_parallel_matches_unsharded():
-    """tp_axis activation sharding must be numerics-neutral: the temporal
-    transformer over a ("data", "model") mesh equals the unsharded run."""
+@pytest.mark.parametrize("mesh_api", ["with_mesh", "set_mesh"])
+def test_tensor_parallel_matches_unsharded(mesh_api):
+    """tp_axis activation sharding must (a) be numerics-neutral AND
+    (b) actually APPLY: round 2's gate read only the abstract mesh, so
+    `with_sharding_constraint` never ran and the equality held trivially
+    (VERDICT round 2). The dispatch-trace marker fails if the constraint
+    is skipped; the HLO must carry the tp all-reduce."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -115,22 +121,29 @@ def test_tensor_parallel_matches_unsharded():
         )
     )
     mesh = make_mesh(("data", "model"), (4, 2))
-    with mesh:
-        got = jax.jit(lambda v, x: tp.apply(v, x, deterministic=True))(
-            variables, x
-        )
+    ctx = mesh if mesh_api == "with_mesh" else jax.sharding.set_mesh(mesh)
+    with ctx:
+        with dispatch_trace.capture() as seen:
+            fn = jax.jit(lambda v, x: tp.apply(v, x, deterministic=True))
+            got = fn(variables, x)
+            hlo = fn.lower(variables, x).compile().as_text()
+    assert "tp_constrain" in seen, f"tp constraint not applied ({mesh_api})"
+    assert "all-reduce" in hlo, "partitioned ffn2/out matmuls need an all-reduce"
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
 
 
-def test_seq_parallel_windowed_attention_matches_unsharded():
+@pytest.mark.parametrize("mesh_api", ["with_mesh", "set_mesh", "activate"])
+def test_seq_parallel_windowed_attention_matches_unsharded(mesh_api):
     """TRUE sequence parallelism (survey §5.7 decision): the banded
     windowed attention over seq-sharded tokens must equal the unsharded
     computation — forward AND gradients — and its compiled HLO must move
     only O(window) halo bytes by collective-permute, with no all-gather
     of the sequence (the cost GSPMD pays for FULL attention over
-    seq-sharded tokens, measured below)."""
+    seq-sharded tokens, measured below). The shard_map body marker makes
+    this test FAIL when the path silently falls back (it did all of
+    round 2 — VERDICT round 2)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from tchvp_tpu.ops.attention import sdpa_windowed, sdpa_windowed_seq_sharded
@@ -156,11 +169,22 @@ def test_seq_parallel_windowed_attention_matches_unsharded():
 
     spec = NamedSharding(mesh, P(None, None, "seq", None))
     qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
-    with mesh:
-        fn = jax.jit(jax.value_and_grad(loss_sh, argnums=(0, 1, 2)))
-        got, grads = fn(qs, ks, vs)
-        hlo = fn.lower(qs, ks, vs).compile().as_text()
+    ctx = {
+        "with_mesh": lambda: mesh,
+        "set_mesh": lambda: jax.sharding.set_mesh(mesh),
+        "activate": lambda: activate_mesh(mesh),
+    }[mesh_api]()
+    with ctx:
+        with dispatch_trace.capture() as seen:
+            fn = jax.jit(jax.value_and_grad(loss_sh, argnums=(0, 1, 2)))
+            got, grads = fn(qs, ks, vs)
+            hlo = fn.lower(qs, ks, vs).compile().as_text()
 
+    assert "seq_sharded_shard_map" in seen, (
+        f"seq-parallel shard_map path not engaged under {mesh_api} "
+        f"(saw {sorted(seen)})"
+    )
+    assert "seq_sharded_fallback" not in seen
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
     for g, wg in zip(grads, wgrads):
         np.testing.assert_allclose(np.asarray(g), np.asarray(wg), atol=1e-4)
@@ -168,14 +192,64 @@ def test_seq_parallel_windowed_attention_matches_unsharded():
     assert "all-gather" not in hlo, "seq-parallel band must not gather the sequence"
     assert "collective-permute" in hlo, "halo exchange should be a ppermute"
 
-    # The GSPMD alternative: FULL attention over the same seq-sharded
-    # tokens all-gathers k/v — document the collective it inserts.
+
+def test_gspmd_full_attention_gathers_sequence():
+    """The GSPMD alternative the band avoids: FULL attention over
+    seq-sharded tokens all-gathers k/v — document the collective."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from tchvp_tpu.ops.attention import sdpa_xla
 
+    mesh = make_mesh(("seq",))
+    q = jnp.ones((2, 4, 64, 8), jnp.float32)
+    spec = NamedSharding(mesh, P(None, None, "seq", None))
+    qs = jax.device_put(q, spec)
     with mesh:
         full = jax.jit(lambda a, b_, c: sdpa_xla(a, b_, c))
-        hlo_full = full.lower(qs, ks, vs).compile().as_text()
+        hlo_full = full.lower(qs, qs, qs).compile().as_text()
     assert "all-gather" in hlo_full or "all-to-all" in hlo_full
+
+
+def test_seq_parallel_dropout_rng_operand():
+    """Active attention dropout through the seq-parallel shard_map: the
+    rng key rides as a replicated operand (round 2 passed None against a
+    leaf P() spec — it could never have flattened)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.ops.attention import sdpa_windowed_seq_sharded
+
+    mesh = make_mesh(("seq",))
+    b, h, s, dh, w = 2, 2, 64, 8, 8
+    q = jnp.asarray(
+        np.random.default_rng(0).normal(size=(b, h, s, dh)).astype(np.float32)
+    )
+    spec = NamedSharding(mesh, P(None, None, "seq", None))
+    qs = jax.device_put(q, spec)
+
+    def loss(q, k, v, key):
+        out = sdpa_windowed_seq_sharded(
+            q, k, v, window_size=w, seq_axis="seq",
+            dropout_rate=0.5, dropout_rng=key, deterministic=False,
+        )
+        return (out ** 2).sum()
+
+    with activate_mesh(mesh):
+        with dispatch_trace.capture() as seen:
+            val, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+                qs, qs, qs, jax.random.PRNGKey(7)
+            )
+    assert "seq_sharded_shard_map" in seen
+    assert np.isfinite(float(val))
+    # Dropout must actually drop: the output differs from deterministic.
+    with activate_mesh(mesh):
+        det = jax.jit(
+            lambda q, k, v: (
+                sdpa_windowed_seq_sharded(
+                    q, k, v, window_size=w, seq_axis="seq"
+                ) ** 2
+            ).sum()
+        )(qs, qs, qs)
+    assert abs(float(val) - float(det)) > 1e-3
 
 
 def test_transformer_seq_axis_end_to_end():
@@ -203,9 +277,11 @@ def test_transformer_seq_axis_end_to_end():
     mesh = make_mesh(("data", "seq"), (2, 4))
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None)))
     with mesh:
-        got = jax.jit(
-            lambda v, t: m_sh.apply(v, t, deterministic=True)
-        )(variables, xs)
+        with dispatch_trace.capture() as seen:
+            got = jax.jit(
+                lambda v, t: m_sh.apply(v, t, deterministic=True)
+            )(variables, xs)
+    assert "seq_sharded_shard_map" in seen, "model-level seq parallelism not engaged"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
@@ -240,9 +316,70 @@ def test_seq_parallel_flash_matches_unsharded():
     spec = NamedSharding(mesh, P(None, None, "seq", None))
     qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
     with mesh:
-        got, g = jax.jit(jax.value_and_grad(loss_fl, argnums=(0, 1, 2)))(
-            qs, ks, vs
-        )
+        with dispatch_trace.capture() as seen:
+            got, g = jax.jit(jax.value_and_grad(loss_fl, argnums=(0, 1, 2)))(
+                qs, ks, vs
+            )
+    assert "windowed_mha_halo" in seen, (
+        f"Pallas halo kernel not reached through the sharded band "
+        f"(saw {sorted(seen)})"
+    )
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
     for a, b_ in zip(g, wg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "impl,window,seq_axis,mesh_axes,expect",
+    [
+        # No mesh: seq_axis falls back; impl decides the core.
+        ("xla", 0, None, None, {"sdpa_xla"}),
+        ("xla", 8, None, None, {"sdpa_xla"}),  # xla NEVER bands
+        ("windowed", 8, None, None, {"sdpa_windowed", "banded_core"}),
+        ("windowed", 8, "seq", None, {"sdpa_windowed", "banded_core"}),
+        # Mesh without the axis: same fallback to the unsharded band.
+        ("windowed", 8, "seq", ("data",), {"sdpa_windowed", "banded_core"}),
+        # Mesh carrying the axis: the TRUE seq-parallel shard_map path.
+        ("windowed", 8, "seq", ("seq",), {"seq_sharded_shard_map", "banded_core"}),
+        ("flash", 8, "seq", ("seq",), {"seq_sharded_shard_map", "windowed_mha_halo"}),
+        # xla + seq_axis + mesh: sharding must NOT change the math — full
+        # attention stays full (GSPMD may gather, but no banding).
+        ("xla", 8, "seq", ("seq",), {"sdpa_xla"}),
+    ],
+)
+def test_attention_dispatch_matrix(impl, window, seq_axis, mesh_axes, expect):
+    """Execution-proof of multi_head_attention's dispatch: for each
+    (impl, window, seq_axis, mesh) cell, assert WHICH core traced.
+    Numeric equality can't catch silent fallthroughs (VERDICT round 2,
+    next-round item 4) — only markers can."""
+    from contextlib import nullcontext
+
+    from tchvp_tpu.ops.attention import multi_head_attention
+
+    # s=64 over an 8-way seq mesh -> 8 tokens/shard = exactly one window.
+    b, s, d, heads = 2, 64, 16, 2
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(b, s, d)).astype(np.float32)
+    )
+    if mesh_axes is None:
+        ctx, x_in = nullcontext(), x
+    else:
+        mesh = make_mesh(mesh_axes)
+        ctx = activate_mesh(mesh)
+        if "seq" in mesh_axes:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x_in = jax.device_put(x, NamedSharding(mesh, P(None, "seq", None)))
+        else:
+            x_in = x
+
+    def run(t):
+        return multi_head_attention(
+            t, t, t, heads, impl=impl, window_size=window, seq_axis=seq_axis
+        )
+
+    with ctx:
+        with dispatch_trace.capture() as seen:
+            out = jax.jit(run)(x_in)
+    assert expect <= seen, f"expected {sorted(expect)}, traced {sorted(seen)}"
+    assert out.shape == x.shape
