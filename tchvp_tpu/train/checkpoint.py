@@ -69,26 +69,66 @@ def restore_state_into(state, path: str):
     (for ``step`` / ``extra`` — e.g. the reference's full loss-history
     list, ``FCT.py:368-373``).
 
-    One disk read: the untemplated restore loses pytree node types
-    (optax namedtuples come back as lists) but keeps leaf order, so the
-    live state's treedef re-types them via ``jax.tree.unflatten`` —
-    no second full-tensor restore pass.
+    One disk read: the untemplated restore loses pytree node types —
+    optax namedtuples come back as dicts keyed by FIELD NAME, plain
+    tuples as lists — so the live state re-types them recursively,
+    matching namedtuple fields by name. (Round 2 paired flat
+    ``jax.tree.leaves`` of the payload — sorted-key order — with the
+    live treedef — field-declaration order; any namedtuple with
+    non-alphabetical fields, e.g. optax ``ApplyIfFiniteState`` from
+    ``make_optimizer(skip_nonfinite_updates=N)``, would silently permute
+    optimizer leaves. Advisor finding, round 2.)
     """
     raw = restore_state(path)
-
-    def retype(target, payload):
-        return jax.tree.unflatten(
-            jax.tree.structure(target), jax.tree.leaves(payload)
-        )
-
-    state = state.replace(params=retype(state.params, raw["params"]))
+    state = state.replace(params=_retype(state.params, raw["params"]))
     if "opt_state" in raw and state.opt_state is not None:
-        state = state.replace(opt_state=retype(state.opt_state, raw["opt_state"]))
+        state = state.replace(opt_state=_retype(state.opt_state, raw["opt_state"]))
     if "batch_stats" in raw and state.batch_stats is not None:
         state = state.replace(
-            batch_stats=retype(state.batch_stats, raw["batch_stats"])
+            batch_stats=_retype(state.batch_stats, raw["batch_stats"])
         )
     return state, raw
+
+
+def _retype(target, payload):
+    """Rebuild ``payload`` (an untemplated orbax restore) with ``target``'s
+    pytree node types, matching namedtuple fields by NAME and sequence
+    elements positionally. Leaf shape/dtype mismatches raise."""
+    fields = getattr(target, "_fields", None)
+    if fields is not None:  # namedtuple (optax states)
+        if payload is None and not fields:  # e.g. optax.EmptyState
+            return type(target)()
+        if not isinstance(payload, dict):
+            raise ValueError(
+                f"expected name-keyed dict for {type(target).__name__}, "
+                f"got {type(payload).__name__}"
+            )
+        return type(target)(
+            **{f: _retype(getattr(target, f), payload[f]) for f in fields}
+        )
+    if isinstance(target, dict):
+        if not isinstance(payload, dict):
+            raise ValueError(
+                f"expected dict payload, got {type(payload).__name__}"
+            )
+        return type(target)(
+            (k, _retype(v, payload[k])) for k, v in target.items()
+        )
+    if isinstance(target, (list, tuple)):
+        if not isinstance(payload, (list, tuple)) or len(payload) != len(target):
+            raise ValueError(
+                f"sequence length mismatch: live {len(target)} vs "
+                f"checkpoint {len(payload) if isinstance(payload, (list, tuple)) else type(payload).__name__}"
+            )
+        return type(target)(_retype(t, p) for t, p in zip(target, payload))
+    # Leaf: sanity-check against the live state before adopting.
+    t_shape = getattr(target, "shape", None)
+    p_shape = getattr(payload, "shape", None)
+    if t_shape is not None and p_shape is not None and tuple(t_shape) != tuple(p_shape):
+        raise ValueError(
+            f"checkpoint leaf shape {tuple(p_shape)} != live {tuple(t_shape)}"
+        )
+    return payload
 
 
 def save_params(directory: str, name: str, params: Any) -> str:

@@ -130,3 +130,59 @@ def test_video_flow_recovers_from_nan(tmp_path):
     with pytest.raises(TrainingDiverged):
         flow2.train(nan_batches, epochs=1, clip_len=2,
                     health=HealthMonitor(nan_tolerance=2, warmup_steps=0))
+
+
+def test_restore_state_into_apply_if_finite(tmp_path):
+    """Resume with skip_nonfinite_updates>0: ApplyIfFiniteState's fields
+    are NOT alphabetical (notfinite_count, last_finite, total_notfinite,
+    inner_state), so a flat-leaf-order retype silently permutes optimizer
+    leaves — e.g. an inner Adam moment lands in notfinite_count (round-2
+    advisor, medium). The name-aware retype must reproduce every leaf in
+    its right slot and the right node types."""
+    import flax.linen as nn
+
+    from tchvp_tpu.train import checkpoint as ckpt
+    from tchvp_tpu.train.state import create_train_state
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3)(nn.relu(nn.Dense(5)(x)))
+
+    model = Tiny()
+    x = jnp.ones((2, 4))
+    tx = make_optimizer(1e-2, skip_nonfinite_updates=4)
+    state = create_train_state(model, x, tx, jax.random.PRNGKey(0))
+
+    # Take a couple of real steps so moments are distinctive (nonzero).
+    def loss_fn(p):
+        return jnp.mean(model.apply({"params": p}, x) ** 2)
+
+    for _ in range(3):
+        grads = jax.grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+
+    path = ckpt.save_state(
+        str(tmp_path / "ck"), int(state.step), state.params,
+        opt_state=state.opt_state,
+    )
+
+    fresh = create_train_state(model, x, tx, jax.random.PRNGKey(1))
+    restored, _ = ckpt.restore_state_into(fresh, path)
+
+    # Same node types (namedtuples, not dicts/lists)...
+    assert jax.tree.structure(restored.opt_state) == jax.tree.structure(
+        state.opt_state
+    )
+    # ...and every leaf exactly where it was saved.
+    for got, want in zip(
+        jax.tree.leaves(restored.opt_state), jax.tree.leaves(state.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # The counters specifically (the fields a permutation would corrupt).
+    assert int(restored.opt_state.notfinite_count) == int(
+        state.opt_state.notfinite_count
+    )
+    assert int(restored.opt_state.total_notfinite) == int(
+        state.opt_state.total_notfinite
+    )
