@@ -244,7 +244,11 @@ def cmd_stream(args) -> None:
         # Calibrate on REAL tiles of the first batch (and keep the batch
         # in the streaming loop — no abandoned iterators).
         it = iter(data)
-        first = next(it)
+        try:
+            first = next(it)
+        except StopIteration:
+            print("stream --int8: no batches to calibrate on (empty dataset)")
+            return
         data_iter = itertools.chain([first], it)
         clip0 = jnp.asarray(np.asarray(first, np.uint8), jnp.float32) / 255.0
         padded, _ = tiling.pad_frames(clip0, args.tile)
@@ -335,7 +339,11 @@ def cmd_infer(args) -> None:
         # (a half-consumed native ClipPack iterator forces a full drain
         # on the next iteration) — the batch rejoins the inference loop.
         it = iter(data)
-        first_batch = next(it)
+        try:
+            first_batch = next(it)
+        except StopIteration:
+            print("infer --int8: no batches to calibrate on (empty dataset)")
+            return
         data_iter = itertools.chain([first_batch], it)
         first = jnp.asarray(np.asarray(first_batch, dtype=np.uint8))
         calib = preprocess_clip(first, size, dtype=jnp.bfloat16)
@@ -499,6 +507,11 @@ def main(argv=None) -> None:
             p.add_argument("--width", type=int, default=1280)
 
     args = parser.parse_args(argv)
+    # Persistent XLA compile cache: FCT-256 is ~286 s cold / ~25 s warm
+    # per process over the tunnel — warm every process after the first.
+    from tchvp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args.fn(args)
 
 

@@ -184,3 +184,73 @@ def test_int8_composes_with_streaming_and_microbatch():
     np.testing.assert_allclose(
         np.asarray(got_m), np.asarray(got_full), atol=1e-3
     )
+
+
+def test_int8_conv_handles_int_padding():
+    """flax accepts padding=1 (bare int); the int8 path must too
+    (round-2 advisor, low: TypeError at trace time before)."""
+
+    class One(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(4, (3, 3), padding=1, name="c")(x)
+
+    m = One()
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 8, 8, 3)).astype(np.float32)
+    )
+    variables = m.init(jax.random.PRNGKey(0), x)
+    eng = Int8Engine(m, variables, apply_kwargs={}).calibrate([x])
+    got = eng.apply(eng.qparams, x)
+    ref = m.apply(variables, x)
+    assert got.shape == ref.shape
+    # int8 ~ fp to quantization error.
+    assert float(jnp.max(jnp.abs(got - ref))) < 0.1
+
+
+def test_int8_dense_math_matches_reference():
+    """quantize_dense=True: one nn.Dense through the engine == manual
+    symmetric PTQ math (VERDICT r2 #6)."""
+
+    class One(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(6, name="d")(x)
+
+    m = One()
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 5, 8)).astype(np.float32)
+    )
+    variables = m.init(jax.random.PRNGKey(0), x)
+    eng = Int8Engine(
+        m, variables, apply_kwargs={}, quantize_dense=True
+    ).calibrate([x])
+    assert "d" in eng.qparams
+    got = np.asarray(eng.apply(eng.qparams, x), np.float64)
+
+    w = np.asarray(variables["params"]["d"]["kernel"], np.float64)
+    b = np.asarray(variables["params"]["d"]["bias"], np.float64)
+    s_w = np.abs(w).max(axis=0) / 127.0
+    s_x = np.abs(np.asarray(x, np.float64)).max() / 127.0
+    wq = np.clip(np.round(w / s_w), -127, 127)
+    xq = np.clip(np.round(np.asarray(x, np.float64) / s_x), -127, 127)
+    want = (xq @ wq) * (s_w * s_x) + b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_dense_fidelity_on_transformer():
+    """Dense+conv quantization end to end on the hybrid model: output
+    stays close to the fp path (PSNR gate)."""
+    size = 32
+    m = tiny_model(size)
+    clip = jnp.asarray(
+        np.random.default_rng(2).integers(0, 255, (1, 4, size, size, 3)),
+        jnp.uint8,
+    ).astype(jnp.float32) / 255.0
+    variables = m.init(jax.random.PRNGKey(0), clip)
+    eng = Int8Engine(m, variables, quantize_dense=True).calibrate([clip])
+    # Dense layers actually made it into the quant set.
+    assert any("linear" in k or "ffn" in k or "dense" in k.lower()
+               for k in eng.qparams), sorted(eng.qparams)
+    psnr = eng.psnr_vs(clip)
+    assert psnr > 25.0, f"int8(+dense) PSNR {psnr:.1f} dB too low"
