@@ -10,14 +10,16 @@ Capability-equivalent to reference ``FCT.py:24-132``, redesigned NHWC:
 * attention -> conv -> residual -> LayerNorm -> FFN -> residual block
   (``FCT.py:84-102``).
 
-The reference's ``conv_k``/``conv_v`` receive ``padding=stride_kv`` (int 1)
-while ``conv_q`` gets ``"same"`` (``FCT.py:31-35``) — identical padding math
-for kernel 3 / stride 1, so a single 'SAME' depthwise conv covers all three
+The reference's ``conv_k``/``conv_v`` receive ``padding=stride_kv`` (an
+int) while ``conv_q`` gets ``padding_q`` (``FCT.py:31-35`` — ``padding_kv``
+is accepted but never used); identical padding math for kernel 3 /
+stride 1, and the quirk is replicated exactly for other strides
 (survey §7.5 quirk registry).
 """
 
 from __future__ import annotations
 
+from typing import Union
 
 import flax.linen as nn
 import jax
@@ -26,23 +28,53 @@ import jax.numpy as jnp
 from tchvp_tpu.ops.attention import TorchMultiheadAttention
 
 
+def _conv_padding(pad: Union[str, int]):
+    if isinstance(pad, str):
+        return pad.upper()
+    return ((pad, pad), (pad, pad))
+
+
 class ConvProjAttention(nn.Module):
-    """Conv-projected spatial self-attention over NHWC feature maps."""
+    """Conv-projected spatial self-attention over NHWC feature maps.
+
+    Full reference constructor surface (``FCT.py:25``):
+    ``kernel_size``/``stride_q``/``stride_kv``/``padding_q`` shape the
+    depthwise projections (a strided-projection CvT variant: fewer k/v
+    tokens, output at q's spatial dims — the reference's own ``forward``
+    cannot actually run strided, its ``view`` uses the input shape,
+    ``FCT.py:69-77``). ``padding_kv`` is accepted for parity but unused,
+    exactly like the reference, whose conv_k/conv_v take
+    ``padding=stride_kv`` instead (``FCT.py:33,35`` quirk). ``proj_drop``
+    is implemented as real output dropout; the reference declares it and
+    comments the application out (``FCT.py:30,78``), so the default 0.0
+    matches it bit-for-bit.
+    """
 
     channels: int
     num_heads: int
     attn_impl: str = "xla"
     use_bias: bool = True  # attention_bias (FCT.py:25)
+    kernel_size: int = 3
+    stride_q: int = 1
+    stride_kv: int = 1
+    padding_q: Union[str, int] = "same"
+    padding_kv: Union[str, int] = "same"  # dead in the reference too
+    proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     def _projection(self, x: jnp.ndarray, name: str) -> jnp.ndarray:
         c = self.channels
+        if name == "q":
+            stride, pad = self.stride_q, _conv_padding(self.padding_q)
+        else:
+            # FCT.py:33,35: conv_k/conv_v get padding=stride_kv (int).
+            stride, pad = self.stride_kv, _conv_padding(self.stride_kv)
         x = nn.Conv(
             c,
-            kernel_size=(3, 3),
-            strides=(1, 1),
-            padding="SAME",
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(stride, stride),
+            padding=pad,
             feature_group_count=c,  # depthwise, groups=channels (FCT.py:31)
             use_bias=self.use_bias,
             name=f"conv_{name}",
@@ -58,11 +90,17 @@ class ConvProjAttention(nn.Module):
         )(x)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
         b, h, w, c = x.shape
-        q = self._projection(x, "q").reshape(b, h * w, c)
-        k = self._projection(x, "k").reshape(b, h * w, c)
-        v = self._projection(x, "v").reshape(b, h * w, c)
+        q = self._projection(x, "q")
+        hq, wq = q.shape[1], q.shape[2]
+        q = q.reshape(b, hq * wq, c)
+        k = self._projection(x, "k")
+        k = k.reshape(b, k.shape[1] * k.shape[2], c)
+        v = self._projection(x, "v")
+        v = v.reshape(b, v.shape[1] * v.shape[2], c)
         out = TorchMultiheadAttention(
             features=c,
             num_heads=self.num_heads,
@@ -72,7 +110,10 @@ class ConvProjAttention(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(q, k, v)
-        return out.reshape(b, h, w, c)
+        out = out.reshape(b, hq, wq, c)
+        if self.proj_drop > 0.0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
 
 
 class WideFocus(nn.Module):

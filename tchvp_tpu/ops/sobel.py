@@ -40,5 +40,11 @@ def sobel_edges(x: jnp.ndarray) -> jnp.ndarray:
         mag = jnp.sqrt(jnp.sum(g * g, axis=-1))
         outs.append(mag)
     mag = jnp.stack(outs, axis=-1)
-    denom = jnp.maximum(jnp.max(mag), 1e-8)
-    return mag / denom
+    # Degenerate flat input: the reference divides by np.max(...) == 0 and
+    # NaNs out (FCT.py:401); fp rounding can also leave ~1e-7 residue on a
+    # constant image, which a bare max-normalize would amplify to full
+    # scale. Treat a max gradient below 1e-5 of the input range as "no
+    # edges" and return zeros.
+    mx = jnp.max(mag)
+    floor = 1e-5 * jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8)
+    return jnp.where(mx > floor, mag / jnp.maximum(mx, floor), jnp.zeros_like(mag))

@@ -213,3 +213,44 @@ def test_pixel_shuffle_upconv_equals_conv_transpose():
     got = ps.apply(vs, x)
     want = ref.apply(vs, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_conv_proj_attention_stride_and_proj_drop():
+    """Reference constructor surface (FCT.py:25): stride_q/stride_kv
+    express a strided-projection CvT variant (the reference's own forward
+    can't run it — its view uses the input shape, FCT.py:69-77); output
+    lands at q's spatial dims with fewer k/v tokens. proj_drop is real
+    dropout (the reference stubs it, FCT.py:30,78): default 0.0 matches
+    bit-for-bit, active rates perturb the train-mode output."""
+    import numpy as np
+
+    from tchvp_tpu.ops.conv_attention import ConvProjAttention
+
+    c, heads = 8, 2
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 16, 16, c)).astype(np.float32)
+    )
+
+    # Strided kv: q keeps 16x16, kv tokens shrink 4x; output at q dims.
+    m = ConvProjAttention(channels=c, num_heads=heads, stride_kv=2)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(vs, x).shape == (2, 16, 16, c)
+
+    # Strided q: output spatial dims halve.
+    mq = ConvProjAttention(channels=c, num_heads=heads, stride_q=2)
+    vq = mq.init(jax.random.PRNGKey(0), x)
+    assert mq.apply(vq, x).shape == (2, 8, 8, c)
+
+    # proj_drop=0.0 (default) is exactly the previous computation; an
+    # active rate changes train-mode output but not eval.
+    base = ConvProjAttention(channels=c, num_heads=heads)
+    vb = base.init(jax.random.PRNGKey(0), x)
+    want = base.apply(vb, x)
+    pd = ConvProjAttention(channels=c, num_heads=heads, proj_drop=0.3)
+    np.testing.assert_array_equal(
+        np.asarray(pd.apply(vb, x, deterministic=True)), np.asarray(want)
+    )
+    dropped = pd.apply(
+        vb, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert not np.allclose(np.asarray(dropped), np.asarray(want))
