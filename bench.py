@@ -39,6 +39,9 @@ WINDOW = int(os.environ.get("BENCH_WINDOW", "0"))
 
 
 def main() -> None:
+    from tchvp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = flagship_video_config(image_size=SIZE, attn_impl=ATTN, window_size=WINDOW)
     model = VideoHybridNet(config=cfg, dtype=jnp.bfloat16)
 
@@ -88,6 +91,9 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "p50_clip_latency_ms": round(med / BATCH * 1000, 2),
+        # Run-to-run variance of the 3 timing reps (VERDICT r2 weak #4:
+        # decide whether headline drift is noise or regression).
+        "rep_spread_pct": round(100.0 * (max(reps) - min(reps)) / med, 2),
         "device": str(jax.devices()[0]),
         "attn_impl": ATTN + (f"+win{WINDOW}" if WINDOW else ""),
     }
@@ -134,6 +140,9 @@ def main() -> None:
             result["int8_frames_per_s"] = round(BATCH * FRAMES / med8, 1)
             result["int8_vs_baseline"] = round(
                 BATCH * FRAMES / med8 / BASELINE_FPS, 3
+            )
+            result["int8_rep_spread_pct"] = round(
+                100.0 * (max(reps8) - min(reps8)) / med8, 2
             )
             result["int8_psnr_vs_bf16_db"] = round(eng.psnr_vs(calib), 1)
         except Exception as e:  # keep the headline line robust

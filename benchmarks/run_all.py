@@ -249,6 +249,9 @@ def config4(results, resolutions=((1080, 1920), (720, 1280))):
 
 
 def main():
+    from tchvp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("configs", nargs="*", type=int, default=None)
     ap.add_argument("--out", default=None)

@@ -60,6 +60,9 @@ def cost(fn, *args):
 
 
 def main():
+    from tchvp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = flagship_video_config(image_size=SIZE)
     model = VideoHybridNet(config=cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)

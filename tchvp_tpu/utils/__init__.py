@@ -1,5 +1,6 @@
 """Utilities: image artifact dumps, profiling hooks, misc helpers."""
 
+from tchvp_tpu.utils.cache import enable_compilation_cache
 from tchvp_tpu.utils.imaging import (
     save_image,
     save_sample_triplet,
@@ -10,6 +11,7 @@ from tchvp_tpu.utils.profiling import StepTimer, annotate, trace
 from tchvp_tpu.utils.summary import count_params, describe, summarize
 
 __all__ = [
+    "enable_compilation_cache",
     "count_params",
     "describe",
     "summarize",
