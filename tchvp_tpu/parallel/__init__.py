@@ -1,6 +1,13 @@
 """Parallelism layer: mesh construction, shardings, multi-host helpers."""
 
 from tchvp_tpu.parallel.input import GlobalBatchLoader, sharded_clippack_loader
+from tchvp_tpu.parallel.pipeline import (
+    extract_transformer_layers,
+    pipeline_apply,
+    shard_stages,
+    stack_layer_params,
+    transformer_layer_fn,
+)
 from tchvp_tpu.parallel.mesh import (
     activate_mesh,
     ambient_mesh,
@@ -19,6 +26,11 @@ __all__ = [
     "activate_mesh",
     "ambient_mesh",
     "batch_spec",
+    "extract_transformer_layers",
+    "pipeline_apply",
+    "shard_stages",
+    "stack_layer_params",
+    "transformer_layer_fn",
     "host_local_batch_slice",
     "initialize_distributed",
     "make_mesh",

@@ -1,0 +1,210 @@
+"""GPipe-style pipeline parallelism over homogeneous stages (⊕C).
+
+The reference is single-device (``FCT.py:276``, ``Model.py:17``) — the
+parallel layer is build-new (SURVEY §2.1 ⊕C). dp/sp/tp exist in
+``parallel/mesh.py`` + ``ops/attention.py``; this module adds the fourth
+axis: stages of a deep network live on different devices of a ``pipe``
+mesh axis, microbatches stream through, and activations hop stage→stage
+over ICI by ``ppermute``.
+
+Targets homogeneous stage stacks — here the temporal
+``TransformerEncoder``'s layers, whose activations are ``(B, S, D)``
+throughout, the classic transformer pipeline. The schedule is plain
+GPipe: with ``P`` stages and ``M`` microbatches the loop runs
+``M + P - 1`` ticks and the bubble fraction is ``(P-1)/(M+P-1)`` —
+choose ``M >= 4*P`` for >80% utilization.
+
+Design notes (TPU-first):
+* one ``lax.fori_loop`` over ticks inside ``shard_map``; every device
+  runs the SAME program each tick (SPMD — no data-dependent control
+  flow), stage identity comes from ``lax.axis_index``;
+* stage parameters ride stacked with a leading stage dim sharded over
+  ``pipe``, so each device reads only its own stage's weights
+  (``stack_layer_params``);
+* the activation hop is a single ``ppermute`` of one microbatch of
+  activations per tick — O(b·S·D) ICI bytes, no gathers;
+* autodiff: the whole schedule is a functional scan — grads flow back
+  through the reverse ppermute automatically (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def stack_layer_params(layer_params: Sequence[Any]) -> Any:
+    """Stack per-layer param pytrees into one tree with a leading layer
+    dim (layers must be structurally identical — true for repeated
+    transformer layers)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layer_params)
+
+
+def shard_stages(stacked: Any, mesh: Mesh, axis: str = "pipe") -> Any:
+    """Place stacked stage params with the leading (stage) dim sharded
+    over the ``pipe`` axis: each device holds only its stage's weights."""
+
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        )
+
+    return jax.tree.map(put, stacked)
+
+
+def pipeline_apply(
+    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stacked_params: Any,
+    x: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    microbatches: Optional[int] = None,
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Run ``stage_fn`` P times over ``x`` as a P-stage GPipe pipeline.
+
+    ``stage_fn(params_i, mb) -> mb``: ONE stage's computation on one
+    microbatch (e.g. one transformer layer; activations must keep their
+    shape so they can hop between stages).
+    ``stacked_params``: pytree with leading dim P (see
+    :func:`stack_layer_params`), sharded or shardable over ``axis``.
+    ``x``: (B, ...) global batch; B must divide into ``microbatches``
+    (default: the pipe axis size, the minimum sensible choice).
+    ``batch_axis``: optional data-parallel mesh axis — each microbatch's
+    batch dim stays sharded over it (dp x pp composition).
+
+    Returns ``stage_{P-1}(...stage_0(x))`` exactly — the schedule is an
+    execution strategy, not a math change (asserted in
+    tests/test_parallel.py against the sequential composition, fwd+bwd).
+    """
+    n = mesh.shape[axis]
+    m = microbatches or n
+    b = x.shape[0]
+    if b % m:
+        raise ValueError(f"batch {b} not divisible into {m} microbatches")
+    mb = b // m
+    ticks = m + n - 1
+    # (M, mb, ...) microbatch-major layout.
+    xs = x.reshape((m, mb) + x.shape[1:])
+
+    fwd_perm = [(i, i + 1) for i in range(n - 1)]
+
+    def body(params_local, xs_local):
+        # params_local: this stage's params (leading dim 1).
+        # xs_local: (M, mb, ...) microbatches, replicated over pipe.
+        from tchvp_tpu.ops import dispatch_trace
+
+        dispatch_trace.record("pipeline_shard_map")
+        params_i = jax.tree.map(lambda t: t[0], params_local)
+        idx = jax.lax.axis_index(axis)
+        # The carries vary by stage from tick 1 on; mark them varying
+        # over the pipe axis up front so the fori_loop carry type is
+        # stable (shard_map vma typing).
+        act0 = jax.lax.pcast(jnp.zeros_like(xs_local[0]), (axis,), to="varying")
+        out0 = jax.lax.pcast(jnp.zeros_like(xs_local), (axis,), to="varying")
+
+        def tick(t, carry):
+            act, outs = carry
+            # Activations hop one stage to the right.
+            recv = jax.lax.ppermute(act, axis, fwd_perm)
+            # Stage 0 ingests microbatch t (a dummy repeat after t >= M
+            # whose results are never collected).
+            feed = xs_local[jnp.minimum(t, m - 1)]
+            inp = jnp.where(idx == 0, feed, recv)
+            act = stage_fn(params_i, inp)
+            # The last stage finished microbatch t-(n-1) this tick; write
+            # unconditionally, keep the old buffer unless collecting.
+            done = t - (n - 1)
+            collect = (idx == n - 1) & (done >= 0)
+            slot = jnp.maximum(done, 0)
+            upd = jax.lax.dynamic_update_index_in_dim(outs, act, slot, axis=0)
+            outs = jnp.where(collect, upd, outs)
+            return act, outs
+
+        _, outs = jax.lax.fori_loop(0, ticks, tick, (act0, out0))
+        # Output lives on the last stage only; psum of masked buffers
+        # replicates it across the pipe axis.
+        return jax.lax.psum(
+            jnp.where(idx == n - 1, outs, jnp.zeros_like(outs)), axis
+        )
+
+    p_spec = jax.tree.map(
+        lambda t: P(axis, *([None] * (t.ndim - 1))), stacked_params
+    )
+    # Microbatches replicate over the pipe axis; their batch dim can stay
+    # sharded over a data axis (dp x pp).
+    x_spec = P(None, batch_axis, *([None] * (x.ndim - 1)))
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(p_spec, x_spec),
+        out_specs=x_spec,
+    )(stacked_params, xs)
+    return out.reshape((b,) + x.shape[1:])
+
+
+def extract_transformer_layers(variables: Any, num_layers: int) -> Any:
+    """Pull the per-layer param subtrees out of an initialized
+    :class:`tchvp_tpu.models.TransformerEncoder` and stack them for
+    :func:`pipeline_apply` (layer ``i`` owns ``norm_i`` / ``attention_i``
+    / ``ffn1_i`` / ``ffn2_i``)."""
+    params = variables["params"]
+    layers = []
+    for i in range(num_layers):
+        layers.append(
+            {
+                "norm": params[f"norm_{i}"],
+                "attention": params[f"attention_{i}"],
+                "ffn1": params[f"ffn1_{i}"],
+                "ffn2": params[f"ffn2_{i}"],
+            }
+        )
+    return stack_layer_params(layers)
+
+
+def transformer_layer_fn(config) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
+    """One TransformerEncoder layer as a ``stage_fn`` for
+    :func:`pipeline_apply` — the same math as
+    ``models/transformer.py::TransformerEncoder`` body (deterministic
+    mode), reconstructed functionally so one stage = one layer."""
+    import math
+
+    from tchvp_tpu.ops.attention import multi_head_attention
+
+    def dense(p, x):
+        return x @ p["kernel"] + p["bias"]
+
+    def layer_norm(p, x, eps=1e-5):
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
+
+    def fn(p, x):
+        d = x.shape[-1]
+        a = p["attention"]
+        q, k, v = (
+            dense(a[f"{name}_linear"], x) for name in ("q", "k", "v")
+        )
+        if config.relu_qkv:
+            q, k, v = jax.nn.relu(q), jax.nn.relu(k), jax.nn.relu(v)
+        attn = multi_head_attention(
+            q, k, v, config.num_heads,
+            impl=config.attn_impl,
+            window_size=config.window_size,
+            scale=1.0 / math.sqrt(d),
+            seq_axis=config.seq_axis,
+        )
+        attn = dense(a["out_linear"], attn)
+        x = x + layer_norm(p["norm"], attn)
+        h = jax.nn.relu(dense(p["ffn1"], x))
+        x = x + layer_norm(p["norm"], dense(p["ffn2"], h))
+        if config.scale_out:
+            x = x * jnp.asarray(np.sqrt(0.5), x.dtype)
+        return x
+
+    return fn
