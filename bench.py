@@ -117,7 +117,13 @@ def main() -> None:
             from tchvp_tpu.infer import Int8Engine
 
             calib = _pc(clip_u8, SIZE, dtype=jnp.bfloat16)
-            eng = Int8Engine(model, variables).calibrate([calib])
+            # BENCH_INT8_DENSE=1 also quantizes nn.Dense (attention
+            # projections / FFNs) — measured separately from the conv-only
+            # default so the two modes stay comparable across rounds.
+            dense = os.environ.get("BENCH_INT8_DENSE") == "1"
+            eng = Int8Engine(
+                model, variables, quantize_dense=dense
+            ).calibrate([calib])
 
             @jax.jit
             def int8_loop(qparams, variables, raw):
