@@ -49,6 +49,30 @@ def _import_resolvable(node: ast.stmt) -> bool:
     return all(r in allowed for r in roots)
 
 
+def _check_class_body(cls: ast.ClassDef, path: str) -> None:
+    """Reject class-scope statements beyond defs/assigns/docstrings.
+
+    The AST filter keeps whole ClassDef nodes; arbitrary code at CLASS
+    scope (imports, calls, exec) would still run at exec() time even
+    though module-level statements are dropped (round-2 advisor).
+    Method bodies only run when a test instantiates/calls the class —
+    that is the point of executed-reference testing — but class scope
+    runs unconditionally, so it is held to a declarations-only shape."""
+    for node in cls.body:
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Assign,
+                   ast.AnnAssign, ast.Pass, ast.ClassDef)
+        ):
+            continue
+        if isinstance(node, ast.Expr) and isinstance(node.value, ast.Constant):
+            continue  # docstring
+        raise ValueError(
+            f"{path}: class {cls.name} has a non-declaration statement at "
+            f"class scope (line {node.lineno}: {type(node).__name__}) — "
+            f"refusing to exec untrusted class-scope code"
+        )
+
+
 def load_source_classes(
     module: str, class_names: Sequence[str]
 ) -> Dict[str, type]:
@@ -62,6 +86,9 @@ def load_source_classes(
         if _import_resolvable(n)
         or (isinstance(n, ast.ClassDef) and n.name in class_names)
     ]
+    for n in keep:
+        if isinstance(n, ast.ClassDef):
+            _check_class_body(n, path)
     found = {n.name for n in keep if isinstance(n, ast.ClassDef)}
     missing = set(class_names) - found
     if missing:
