@@ -254,8 +254,11 @@ def cmd_stream(args) -> None:
         padded, _ = tiling.pad_frames(clip0, args.tile)
         tiles, _ = tiling.tile_frames(padded, args.tile)
         calib = tiles[:4, :2].astype(jnp.bfloat16)
-        engine = Int8Engine(model, variables).calibrate([calib])
-        print(f"int8: {len(engine.scales)} convs quantized")
+        engine = Int8Engine(
+            model, variables, quantize_dense=args.int8_dense
+        ).calibrate([calib])
+        print(f"int8: {len(engine.scales)} layers quantized"
+              + (" (convs+dense)" if args.int8_dense else ""))
     streamer = make_streamer(
         model, variables, scfg, mesh=_mesh(args), int8_engine=engine
     )
@@ -347,8 +350,10 @@ def cmd_infer(args) -> None:
         data_iter = itertools.chain([first_batch], it)
         first = jnp.asarray(np.asarray(first_batch, dtype=np.uint8))
         calib = preprocess_clip(first, size, dtype=jnp.bfloat16)
-        engine = Int8Engine(model, variables).calibrate([calib])
-        print(f"int8: {len(engine.scales)} convs quantized, "
+        engine = Int8Engine(
+            model, variables, quantize_dense=args.int8_dense
+        ).calibrate([calib])
+        print(f"int8: {len(engine.scales)} layers quantized, "
               f"{engine.psnr_vs(calib):.1f} dB vs bf16")
 
     @jax.jit
@@ -486,6 +491,10 @@ def main(argv=None) -> None:
             p.add_argument("--out-dir", default=None)
             p.add_argument("--int8", action="store_true",
                            help="int8 PTQ serving mode (infer/quant.py)")
+            p.add_argument("--int8-dense", action="store_true",
+                           help="with --int8: also quantize nn.Dense "
+                                "(attention/FFN projections; +1.3%% on the "
+                                "flagship at -0.7 dB, BENCHES.md)")
         if name == "port":
             p.add_argument("--checkpoint", default=None,
                            help="reference torch .tar/.pth file")
@@ -499,6 +508,10 @@ def main(argv=None) -> None:
             p.add_argument("--checkpoint", default=None)
             p.add_argument("--int8", action="store_true",
                            help="int8 PTQ serving mode (infer/quant.py)")
+            p.add_argument("--int8-dense", action="store_true",
+                           help="with --int8: also quantize nn.Dense "
+                                "(attention/FFN projections; +1.3%% on the "
+                                "flagship at -0.7 dB, BENCHES.md)")
             p.add_argument("--tile", type=int, default=256)
             p.add_argument("--chunk-len", type=int, default=8)
             p.add_argument("--ctx-frames", type=int, default=4)
