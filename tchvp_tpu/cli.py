@@ -522,6 +522,9 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     # Persistent XLA compile cache: FCT-256 is ~286 s cold / ~25 s warm
     # per process over the tunnel — warm every process after the first.
+    if getattr(args, "int8_dense", False) and not getattr(args, "int8", False):
+        parser.error("--int8-dense requires --int8 (it extends the PTQ "
+                     "engine, it does not enable it)")
     from tchvp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

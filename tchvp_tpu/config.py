@@ -66,6 +66,20 @@ class UNetConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SobelConfig:
+    """Sobel edge visualization (reference ``FCT.py:398-402``).
+
+    ``edge_floor_rel``: max gradient below this fraction of the input
+    range counts as "no edges" — output is zero instead of the
+    reference's divide-by-zero NaNs (or fp rounding residue amplified
+    to full scale by the max-normalize). ``eps`` guards a zero input.
+    """
+
+    edge_floor_rel: float = 1e-5
+    eps: float = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
 class FCTConfig:
     """Fully Convolutional Transformer (reference ``FCT.py:210-254``)."""
 

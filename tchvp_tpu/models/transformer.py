@@ -43,6 +43,10 @@ from tchvp_tpu.ops import dispatch_trace
 from tchvp_tpu.ops.attention import multi_head_attention
 from tchvp_tpu.parallel.mesh import ambient_mesh
 
+# LayerNorm epsilon shared with the functional per-layer rebuild in
+# parallel/pipeline.py::transformer_layer_fn — one source of truth.
+LN_EPS = 1e-5
+
 
 def _tp_constrain(x: jnp.ndarray, tp_axis: Optional[str]) -> jnp.ndarray:
     """Shard the trailing (feature) dim over ``tp_axis`` when set.
@@ -168,7 +172,7 @@ class TransformerEncoder(nn.Module):
             # x = skip + LN(branch(x)), not LN(x + branch) as round 1's
             # survey read it.
             norm = nn.LayerNorm(
-                epsilon=1e-5, name=f"norm_{layer}", dtype=dt, param_dtype=pdt
+                epsilon=LN_EPS, name=f"norm_{layer}", dtype=dt, param_dtype=pdt
             )
             attn_out = TokenMultiheadAttention(
                 num_heads=cfg.num_heads,

@@ -261,24 +261,23 @@ def sdpa_windowed_seq_sharded(
         )
 
     spec = P(None, None, seq_axis, None)
-    # pallas_call outputs carry no varying-mesh-axes metadata, so the
-    # halo-kernel route cannot run under shard_map's vma checker.
-    check_vma = not use_flash
     # A None rng cannot ride as a shard_map operand (an empty pytree leaf
     # against a P() spec does not flatten — latent round-2 bug); only pass
     # the operand when a key is actually present.
-    if dropout_rng is None:
-        return jax.shard_map(
-            local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-            check_vma=check_vma,
-        )(q, k, v)
+    in_specs = (spec, spec, spec)
+    operands = (q, k, v)
+    if dropout_rng is not None:
+        in_specs += (P(),)
+        operands += (dropout_rng,)
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec, spec, spec, P()),
+        in_specs=in_specs,
         out_specs=spec,
-        check_vma=check_vma,
-    )(q, k, v, dropout_rng)
+        # pallas_call outputs carry no varying-mesh-axes metadata, so the
+        # halo-kernel route cannot run under shard_map's vma checker.
+        check_vma=not use_flash,
+    )(*operands)
 
 
 def multi_head_attention(

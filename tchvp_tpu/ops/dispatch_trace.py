@@ -18,25 +18,27 @@ inside the capture scope, or the cached trace will record nothing.
 from __future__ import annotations
 
 import contextlib
-from typing import Iterator, Set
+from typing import Iterator, List, Set
 
-_seen: Set[str] = set()
-_depth: int = 0
+# One set per active capture scope: markers record into ALL of them, so
+# nested captures (e.g. a test wrapping dryrun_multichip, which captures
+# internally) neither wipe the outer scope's markers nor leak inner
+# markers past their own scope boundary incorrectly.
+_scopes: List[Set[str]] = []
 
 
 def record(name: str) -> None:
     """Mark that the named core was traced (no-op outside capture())."""
-    if _depth:
-        _seen.add(name)
+    for scope in _scopes:
+        scope.add(name)
 
 
 @contextlib.contextmanager
 def capture() -> Iterator[Set[str]]:
-    """Enable recording; yields the live set of marker names seen."""
-    global _depth
-    _seen.clear()
-    _depth += 1
+    """Enable recording; yields this scope's live set of marker names."""
+    scope: Set[str] = set()
+    _scopes.append(scope)
     try:
-        yield _seen
+        yield scope
     finally:
-        _depth -= 1
+        _scopes.remove(scope)

@@ -7,12 +7,18 @@ gradient-magnitude image never leaves the device until save time.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tchvp_tpu.config import SobelConfig
 
-def sobel_edges(x: jnp.ndarray) -> jnp.ndarray:
+
+def sobel_edges(
+    x: jnp.ndarray, config: Optional[SobelConfig] = None
+) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H, W, C) normalized [0,1] gradient magnitude.
 
     Matches scipy's default axis-0/axis-1 sobel pair + magnitude + max
@@ -43,8 +49,11 @@ def sobel_edges(x: jnp.ndarray) -> jnp.ndarray:
     # Degenerate flat input: the reference divides by np.max(...) == 0 and
     # NaNs out (FCT.py:401); fp rounding can also leave ~1e-7 residue on a
     # constant image, which a bare max-normalize would amplify to full
-    # scale. Treat a max gradient below 1e-5 of the input range as "no
-    # edges" and return zeros.
+    # scale. A max gradient below edge_floor_rel of the input range is
+    # "no edges" -> zeros (thresholds in config.SobelConfig).
+    cfg = config or SobelConfig()
     mx = jnp.max(mag)
-    floor = 1e-5 * jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8)
+    floor = cfg.edge_floor_rel * jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32))), cfg.eps
+    )
     return jnp.where(mx > floor, mag / jnp.maximum(mx, floor), jnp.zeros_like(mag))

@@ -20,7 +20,14 @@ from typing import Any, Iterator, Optional, Sequence, Tuple, Union
 import jax
 import numpy as np
 from jax.sharding import AbstractMesh, Mesh, NamedSharding, PartitionSpec as P
-from jax._src import mesh as _mesh_lib
+
+try:  # jax._src has no stability guarantee; the legacy `with mesh:`
+    # resource env is only reachable through it. If a jax upgrade moves
+    # it, degrade to the modern set_mesh-only path instead of failing
+    # the whole package import.
+    from jax._src import mesh as _mesh_lib
+except ImportError:  # pragma: no cover - depends on jax version
+    _mesh_lib = None
 
 
 def ambient_mesh() -> Optional[Union[Mesh, AbstractMesh]]:
@@ -43,9 +50,13 @@ def ambient_mesh() -> Optional[Union[Mesh, AbstractMesh]]:
     am = jax.sharding.get_abstract_mesh()
     if am is not None and not am.empty:
         return am
-    pm = _mesh_lib.thread_resources.env.physical_mesh
-    if pm is not None and not pm.empty:
-        return pm
+    if _mesh_lib is not None:
+        try:
+            pm = _mesh_lib.thread_resources.env.physical_mesh
+        except AttributeError:  # pragma: no cover - jax internals moved
+            pm = None
+        if pm is not None and not pm.empty:
+            return pm
     return None
 
 

@@ -83,6 +83,15 @@ def pipeline_apply(
     tests/test_parallel.py against the sequential composition, fwd+bwd).
     """
     n = mesh.shape[axis]
+    stages = jax.tree.leaves(stacked_params)[0].shape[0]
+    if stages != n:
+        # shard_map would hand each device stages/n layers and the body
+        # would silently apply only the first — wrong math, no error.
+        raise ValueError(
+            f"{stages} stacked stages over a {n}-device '{axis}' axis: "
+            f"one stage per device required (group layers into {n} stage "
+            f"functions, or use a {stages}-device axis)"
+        )
     m = microbatches or n
     b = x.shape[0]
     if b % m:
@@ -179,10 +188,22 @@ def transformer_layer_fn(config) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
     def dense(p, x):
         return x @ p["kernel"] + p["bias"]
 
-    def layer_norm(p, x, eps=1e-5):
+    from tchvp_tpu.models.transformer import LN_EPS
+
+    def layer_norm(p, x, eps=LN_EPS):
         mu = x.mean(axis=-1, keepdims=True)
         var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
         return (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
+
+    if config.seq_axis is not None:
+        # A seq-sharded attention opens a second shard_map inside the
+        # pipeline body and changes the fori_loop carry's varying axes
+        # (opaque vma TypeError at trace time). sp composes with pp at
+        # the data level, not inside a pipelined stage.
+        raise ValueError(
+            "pp x sp inside a stage is unsupported: build the pipelined "
+            "layer fn from a config with seq_axis=None"
+        )
 
     def fn(p, x):
         d = x.shape[-1]

@@ -473,9 +473,19 @@ def test_pipeline_composes_with_data_parallel():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_pipelined_transformer_matches_model():
+@pytest.mark.parametrize(
+    "variant",
+    [
+        {},
+        {"relu_qkv": False, "scale_out": False},
+        {"attn_impl": "windowed", "window_size": 2},
+    ],
+)
+def test_pipelined_transformer_matches_model(variant):
     """The temporal TransformerEncoder pipelined one-layer-per-stage over
-    4 devices == the plain model.apply (deterministic)."""
+    4 devices == the plain model.apply (deterministic) — across config
+    variants, so the functional per-layer rebuild cannot silently desync
+    from the flax module."""
     from tchvp_tpu.config import TransformerConfig
     from tchvp_tpu.models import TransformerEncoder
     from tchvp_tpu.parallel import (
@@ -487,7 +497,7 @@ def test_pipelined_transformer_matches_model():
     d, s, b, L = 16, 6, 8, 4
     cfg = TransformerConfig(
         input_dim=d, hidden_dim=24, num_layers=L, num_heads=4,
-        dropout_rate=0.0,
+        dropout_rate=0.0, **variant,
     )
     model = TransformerEncoder(config=cfg)
     x = jnp.asarray(
@@ -508,3 +518,45 @@ def test_pipelined_transformer_matches_model():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def test_pipeline_rejects_bad_stage_configs():
+    """Guards: stage count must equal the pipe axis size (a mismatch
+    would silently drop layers), and a seq-parallel stage config is an
+    unsupported composition with a clear error."""
+    from tchvp_tpu.config import TransformerConfig
+    from tchvp_tpu.parallel import (
+        pipeline_apply,
+        stack_layer_params,
+        transformer_layer_fn,
+    )
+
+    layers = [{"w": jnp.ones((4, 4))} for _ in range(8)]
+    stacked = stack_layer_params(layers)
+    mesh = make_mesh(("pipe",), (4,), jax.devices()[:4])
+    with pytest.raises(ValueError, match="one stage per device"):
+        pipeline_apply(
+            lambda p, t: t @ p["w"], stacked, jnp.ones((4, 4)), mesh=mesh
+        )
+
+    with pytest.raises(ValueError, match="seq_axis=None"):
+        transformer_layer_fn(
+            TransformerConfig(
+                input_dim=16, hidden_dim=8, num_layers=4, num_heads=4,
+                window_size=4, attn_impl="windowed", seq_axis="seq",
+            )
+        )
+
+
+def test_dispatch_trace_nested_captures():
+    """Nested captures keep independent marker sets (a nested scope must
+    not wipe or pollute the outer one)."""
+    from tchvp_tpu.ops import dispatch_trace as dt
+
+    with dt.capture() as outer:
+        dt.record("a")
+        with dt.capture() as inner:
+            dt.record("b")
+        dt.record("c")
+    assert outer == {"a", "b", "c"}
+    assert inner == {"b"}
