@@ -106,7 +106,10 @@ def _video_model(args):
     from tchvp_tpu.models import Autoencoder4K, Autoencoder32K, VideoHybridNet
 
     if args.model == "hybrid":
-        return VideoHybridNet(config=flagship_video_config(args.image_size))
+        return VideoHybridNet(config=flagship_video_config(
+            args.image_size,
+            num_experts=getattr(args, "num_experts", 0),
+        ))
 
     class FrameAE(nn.Module):
         """Fold clip frames into the batch around a per-frame AE."""
@@ -155,11 +158,15 @@ def cmd_video(args) -> None:
             args.train_csv, args.batch_size, args.image_size, args.clip_len,
             prefetch=True,
         )
+    if args.num_experts and args.model != "hybrid":
+        raise SystemExit("--num-experts applies to --model hybrid only "
+                         "(the temporal transformer's FFNs)")
     cfg = TrainConfig(
         model_name="video",
         loss=args.loss or ("mse" if args.image_size <= 160 else "mixed"),
         lr=args.lr,
         checkpoint_dir=args.checkpoint_dir,
+        moe_aux_weight=args.moe_aux_weight if args.num_experts else 0.0,
     )
     model = _video_model(args)
     flow = VideoFlow(model, cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
@@ -478,6 +485,12 @@ def main(argv=None) -> None:
             p.add_argument("--save-every", type=int, default=10)
             p.add_argument("--model", default="hybrid",
                            choices=("hybrid", "ae32k", "ae4k"))
+            p.add_argument("--num-experts", type=int, default=0,
+                           help="Switch-MoE FFN in the temporal transformer "
+                                "(ops/moe.py); 0 = reference-dense FFNs")
+            p.add_argument("--moe-aux-weight", type=float, default=0.01,
+                           help="load-balance aux-loss weight (with "
+                                "--num-experts)")
         if name == "transfer":
             p.add_argument("--pretrained", default=None)
         if name == "pack":

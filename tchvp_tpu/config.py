@@ -150,6 +150,19 @@ class TransformerConfig:
     # Requires window_size > 0 and (S / axis_size) % window_size == 0;
     # no-op without an ambient mesh carrying the axis. None = off.
     seq_axis: Optional[str] = None
+    # Mixture-of-Experts FFN (build-new component — the reference's FFNs
+    # are all dense, recovered TransformerEncoder.py L107): num_experts
+    # >= 2 replaces each layer's Linear->ReLU->Linear FFN with a
+    # Switch-style top-1 routed pool of that exact shape per expert
+    # (ops/moe.py). 0 (default) keeps the reference math everywhere.
+    num_experts: int = 0
+    # Static per-expert slot headroom over the perfectly-balanced share;
+    # tokens past capacity fall through to the residual connection.
+    expert_capacity_factor: float = 1.25
+    # Mesh axis for TRUE expert parallelism: expert weights shard over
+    # this axis (shard_map; one psum combines the disjoint partial
+    # outputs). No-op without an ambient mesh carrying the axis.
+    ep_axis: Optional[str] = None
 
 
 def flagship_video_config(
@@ -159,10 +172,14 @@ def flagship_video_config(
     num_layers: int = 2,
     attn_impl: str = "xla",
     window_size: int = 0,
+    num_experts: int = 0,
+    ep_axis: Optional[str] = None,
 ) -> "VideoModelConfig":
     """The benchmark flagship: per-frame CNN encoder -> temporal transformer
     -> decoder at the BASELINE 224x224x16-frame operating point. The token
-    embedding dim is the flattened latent map, (image_size/4)^2."""
+    embedding dim is the flattened latent map, (image_size/4)^2.
+    ``num_experts >= 2`` swaps the temporal FFNs for routed Switch-MoE
+    pools (ops/moe.py); 0 keeps the reference-dense math."""
     d = (image_size // 4) ** 2
     if d % num_heads:
         raise ValueError(f"latent dim {d} not divisible by {num_heads} heads")
@@ -174,6 +191,8 @@ def flagship_video_config(
             num_heads=num_heads,
             attn_impl=attn_impl,
             window_size=window_size,
+            num_experts=num_experts,
+            ep_axis=ep_axis,
         )
     )
 
@@ -270,6 +289,10 @@ class TrainConfig:
     mesh_axes: Tuple[str, ...] = ("data",)
     sync_batch_norm: bool = True
     dtype: str = "bfloat16"  # compute dtype for the jitted step
+    # Weight on the Switch load-balance loss sown by MoE FFN layers
+    # (ops/moe.py); 0.0 = not collected. Only meaningful when the model's
+    # TransformerConfig.num_experts >= 2.
+    moe_aux_weight: float = 0.0
 
 
 def dtype_policy(cfg: TrainConfig) -> DTypePolicy:

@@ -41,6 +41,7 @@ from jax.sharding import PartitionSpec as P
 from tchvp_tpu.config import TransformerConfig
 from tchvp_tpu.ops import dispatch_trace
 from tchvp_tpu.ops.attention import multi_head_attention
+from tchvp_tpu.ops.moe import MoEFFN
 from tchvp_tpu.parallel.mesh import ambient_mesh
 
 # LayerNorm epsilon shared with the functional per-layer rebuild in
@@ -188,11 +189,25 @@ class TransformerEncoder(nn.Module):
             )(x, mask=mask, deterministic=deterministic)
             x = x + norm(attn_out)
 
-            h = nn.Dense(
-                cfg.hidden_dim, name=f"ffn1_{layer}", dtype=dt, param_dtype=pdt
-            )(x)
-            h = _tp_constrain(nn.relu(h), cfg.tp_axis)
-            h = nn.Dense(d, name=f"ffn2_{layer}", dtype=dt, param_dtype=pdt)(h)
+            if cfg.num_experts >= 2:
+                # Routed FFN pool (build-new; see ops/moe.py). Each expert
+                # is the exact reference FFN shape; num_experts=0 (the
+                # default) keeps the dense branch below.
+                h = MoEFFN(
+                    num_experts=cfg.num_experts,
+                    hidden_dim=cfg.hidden_dim,
+                    capacity_factor=cfg.expert_capacity_factor,
+                    ep_axis=cfg.ep_axis,
+                    name=f"moe_{layer}",
+                    dtype=dt,
+                    param_dtype=pdt,
+                )(x)
+            else:
+                h = nn.Dense(
+                    cfg.hidden_dim, name=f"ffn1_{layer}", dtype=dt, param_dtype=pdt
+                )(x)
+                h = _tp_constrain(nn.relu(h), cfg.tp_axis)
+                h = nn.Dense(d, name=f"ffn2_{layer}", dtype=dt, param_dtype=pdt)(h)
             x = x + norm(h)
 
             if cfg.scale_out:

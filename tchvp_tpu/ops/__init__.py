@@ -22,6 +22,7 @@ from tchvp_tpu.ops.blocks import (
     DeepSupervisionBlock,
     EncoderBlock,
 )
+from tchvp_tpu.ops.moe import MoEFFN, total_load_balance_loss
 from tchvp_tpu.ops.msssim import ms_ssim, ssim
 from tchvp_tpu.ops.tiling import pad_frames, tile_frames, untile_frames
 
@@ -40,6 +41,8 @@ __all__ = [
     "DecoderBlock",
     "DeepSupervisionBlock",
     "EncoderBlock",
+    "MoEFFN",
+    "total_load_balance_loss",
     "ms_ssim",
     "ssim",
     "pad_frames",

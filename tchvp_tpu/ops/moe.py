@@ -1,0 +1,261 @@
+"""Mixture-of-Experts FFN with TRUE expert parallelism (ep).
+
+The reference has NO MoE anywhere (SURVEY §2: dense convs + dense FFNs
+only — the temporal transformer's FFN is ``Linear(d,h)->ReLU->Linear(h,d)``,
+recovered ``TransformerEncoder.py`` L107). This module is a build-new
+⊕-style component in the spirit of SURVEY §2.1 rows ⊕A-⊕D: it widens that
+FFN into a routed expert pool so the temporal model scales parameters
+without scaling per-token FLOPs, and supplies the ``ep`` leg of the
+dp x sp x tp x pp x ep parallel surface. ``num_experts=0`` (the default
+everywhere) keeps the exact reference math.
+
+TPU-first design decisions:
+
+* **Switch-style top-1 routing with static capacity.** Every shape is
+  static under jit: the dispatch/combine tensors are one-hot einsums that
+  lower to MXU matmuls — no gather/scatter, no dynamic shapes, no
+  data-dependent control flow. Tokens beyond an expert's capacity are
+  dropped (their FFN contribution is zero; the residual connection in the
+  caller carries them through unchanged) — the standard Switch
+  Transformer trade for static shapes.
+* **Per-example capacity groups.** Routing/capacity is computed per batch
+  row, so a token's fate never depends on which other examples share the
+  batch (serving determinism), and the group size is the static sequence
+  length.
+* **Expert parallelism via shard_map + one psum.** Expert weights shard
+  over the mesh's ``ep_axis`` (stacked leading E dim); each shard routes
+  the full token set (the router is one d x E matmul — cheap), slices the
+  dispatch columns of its LOCAL experts, runs only those FFNs (the heavy
+  FLOPs divide by the axis size), and a single ``psum`` over the ep axis
+  combines — each token is owned by exactly one expert, so the partial
+  outputs are disjoint and the sum is exact. ICI traffic: O(tokens x d)
+  per layer. The body records a trace-time marker
+  (``ops/dispatch_trace.py``) so tests FAIL if the shard_map silently
+  falls back (round-2 verdict rule: assert WHICH core ran).
+* **fp32 routing.** Router logits/softmax/cumsum run in fp32 regardless
+  of the compute dtype; expert matmuls run in the module ``dtype``
+  (bf16 on TPU).
+
+The gate is :func:`tchvp_tpu.parallel.mesh.ambient_mesh`, so both the
+legacy ``with mesh:`` scope and the modern ``jax.sharding.set_mesh`` API
+engage the ep path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tchvp_tpu.ops import dispatch_trace
+from tchvp_tpu.parallel.mesh import ambient_mesh
+
+
+def expert_capacity(
+    tokens_per_group: int, num_experts: int, capacity_factor: float
+) -> int:
+    """Static per-expert slot count, rounded up to a multiple of 8.
+
+    8 is the fp32 min-tile sublane count (CLAUDE.md Pallas rule of thumb);
+    rounding the slot dim keeps the (E, B, C, d) expert matmuls tileable.
+    Extra slots are provably inert: their dispatch/combine weights are 0.
+    """
+    c = math.ceil(tokens_per_group * capacity_factor / num_experts)
+    return max(8, -(-c // 8) * 8)
+
+
+def _route(
+    tokens: jnp.ndarray, router: jnp.ndarray, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-1 dispatch/combine tensors, all fp32, all statically shaped.
+
+    tokens: (B, S, d); router: (d, E).
+    Returns dispatch (B, S, E, C) in {0,1}, combine = dispatch * gate,
+    and the scalar Switch load-balance auxiliary loss
+    (E * mean_e[frac_tokens_e * mean_prob_e]; 1.0 = perfectly balanced).
+    """
+    f32 = jnp.float32
+    logits = jnp.einsum("bsd,de->bse", tokens.astype(f32), router.astype(f32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    gate = jnp.max(probs, axis=-1)  # (B, S)
+    expert = jnp.argmax(probs, axis=-1)  # (B, S)
+    onehot = jax.nn.one_hot(expert, logits.shape[-1], dtype=f32)  # (B, S, E)
+    # Slot index of each token within its expert's queue, per batch row:
+    # inclusive cumsum along S gives rank 1..k at the token's own expert
+    # column; -1 makes it 0-based.
+    pos = jnp.sum(jnp.cumsum(onehot, axis=1) * onehot, axis=-1) - 1.0
+    keep = (pos < capacity).astype(f32)  # (B, S)
+    slot = jax.nn.one_hot(pos.astype(jnp.int32), capacity, dtype=f32)  # (B, S, C)
+    dispatch = onehot[..., :, None] * slot[..., None, :]
+    dispatch = dispatch * keep[..., None, None]  # (B, S, E, C)
+    combine = dispatch * gate[..., None, None]
+    # Load-balance aux (Switch Transformer eq. 4): differentiable through
+    # probs, piecewise-constant through the argmax fractions.
+    frac = jnp.mean(onehot, axis=(0, 1))  # tokens routed per expert
+    prob = jnp.mean(probs, axis=(0, 1))  # mean router prob per expert
+    aux = logits.shape[-1] * jnp.sum(frac * prob)
+    return dispatch, combine, aux
+
+
+def _expert_ffn(
+    dispatch: jnp.ndarray,
+    combine: jnp.ndarray,
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """Dispatch -> per-expert Linear/ReLU/Linear -> weighted combine.
+
+    dispatch/combine: (B, S, E, C); x: (B, S, d); w1: (E, d, H),
+    w2: (E, H, d). All four einsums are batched matmuls the MXU tiles
+    directly; empty slots compute relu(b1) @ w2 + b2 but carry a zero
+    combine weight, so they cannot leak into the output.
+    """
+    dt = dtype
+    xe = jnp.einsum("bsec,bsd->ebcd", dispatch.astype(dt), x.astype(dt))
+    h = jax.nn.relu(
+        jnp.einsum("ebcd,edh->ebch", xe, w1.astype(dt))
+        + b1.astype(dt)[:, None, None, :]
+    )
+    ye = (
+        jnp.einsum("ebch,ehd->ebcd", h, w2.astype(dt))
+        + b2.astype(dt)[:, None, None, :]
+    )
+    return jnp.einsum("ebcd,bsec->bsd", ye, combine.astype(dt))
+
+
+class MoEFFN(nn.Module):
+    """Routed drop-in for the temporal transformer's dense FFN.
+
+    Per expert the math is exactly the reference FFN shape
+    (``Linear(d,hidden)->ReLU->Linear(hidden,d)``, TransformerEncoder.py
+    L107), scaled by the router gate. Sows the load-balance loss under
+    ``intermediates/load_balance_loss`` for the training loop to add.
+    """
+
+    num_experts: int
+    hidden_dim: int
+    capacity_factor: float = 1.25
+    ep_axis: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, s, d = x.shape
+        e, hdim = self.num_experts, self.hidden_dim
+        if e < 2:
+            raise ValueError(f"MoEFFN needs >= 2 experts, got {e}")
+        cap = expert_capacity(s, e, self.capacity_factor)
+        pdt = self.param_dtype
+        router = self.param(
+            "router", nn.initializers.lecun_normal(), (d, e), pdt
+        )
+        # Per-expert fan-in matches nn.Dense's lecun_normal on (d, H).
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+        w1 = self.param("w1", init, (e, d, hdim), pdt)
+        b1 = self.param("b1", nn.initializers.zeros, (e, hdim), pdt)
+        w2 = self.param("w2", init, (e, hdim, d), pdt)
+        b2 = self.param("b2", nn.initializers.zeros, (e, d), pdt)
+
+        mesh = self._ep_mesh()
+        if mesh is None:
+            dispatch_trace.record("moe_dense")
+            dispatch, combine, aux = _route(x, router, cap)
+            out = _expert_ffn(dispatch, combine, x, w1, b1, w2, b2, self.dtype)
+        else:
+            out, aux = _moe_ep_shard_map(
+                x, router, w1, b1, w2, b2,
+                mesh=mesh, ep_axis=self.ep_axis, capacity=cap,
+                dtype=self.dtype,
+            )
+        self.sow("intermediates", "load_balance_loss", aux)
+        return out.astype(self.dtype)
+
+    def _ep_mesh(self):
+        """Ambient mesh iff it carries ``ep_axis`` with size > 1 — the ONE
+        gate for expert parallelism (mirrors ops/attention.py::_seq_mesh)."""
+        if self.ep_axis is None:
+            return None
+        mesh = ambient_mesh()
+        if (
+            mesh is None
+            or self.ep_axis not in mesh.axis_names
+            or mesh.shape[self.ep_axis] == 1
+        ):
+            return None
+        if self.num_experts % mesh.shape[self.ep_axis]:
+            raise ValueError(
+                f"{self.num_experts} experts not divisible by ep axis "
+                f"'{self.ep_axis}' of size {mesh.shape[self.ep_axis]}"
+            )
+        return mesh
+
+
+def total_load_balance_loss(variables) -> jnp.ndarray:
+    """Sum every ``load_balance_loss`` sown anywhere under ``variables``.
+
+    ``model.apply(..., mutable=["intermediates"])`` returns the sown
+    collection; pass either the full mutated-variables dict or just its
+    ``intermediates`` subtree. Returns fp32 0.0 when the model has no MoE
+    layers, so training loops can add ``aux_weight * total_load_balance_loss``
+    unconditionally.
+    """
+    total = jnp.float32(0.0)
+    leaves = jax.tree_util.tree_flatten_with_path(variables)[0]
+    for path, leaf in leaves:
+        if any(
+            getattr(k, "key", None) == "load_balance_loss" for k in path
+        ):
+            total = total + jnp.asarray(leaf, jnp.float32)
+    return total
+
+
+def _moe_ep_shard_map(
+    x: jnp.ndarray,
+    router: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    mesh,
+    ep_axis: str,
+    capacity: int,
+    dtype: jnp.dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expert-sharded MoE: weights split over ``ep_axis``, one psum combines.
+
+    Each shard holds E/n experts. Routing runs replicated (full E columns);
+    the shard slices its experts' dispatch/combine columns by its axis
+    index, computes only those FFNs, and psums the disjoint partial
+    outputs. The aux loss is computed from replicated inputs, identical on
+    every shard.
+    """
+    n = mesh.shape[ep_axis]
+    e_local = w1.shape[0] // n
+
+    def local(xl, rl, w1l, b1l, w2l, b2l):
+        dispatch_trace.record("moe_ep_shard_map")
+        dispatch, combine, aux = _route(xl, rl, capacity)
+        lo = jax.lax.axis_index(ep_axis) * e_local
+        d_loc = jax.lax.dynamic_slice_in_dim(dispatch, lo, e_local, axis=2)
+        c_loc = jax.lax.dynamic_slice_in_dim(combine, lo, e_local, axis=2)
+        part = _expert_ffn(d_loc, c_loc, xl, w1l, b1l, w2l, b2l, dtype)
+        return jax.lax.psum(part, ep_axis), aux
+
+    rep = P()
+    exp = P(ep_axis)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(rep, rep, exp, exp, exp, exp),
+        out_specs=(rep, rep),
+    )(x, router, w1, b1, w2, b2)

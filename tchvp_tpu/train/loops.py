@@ -504,6 +504,7 @@ class VideoFlow(_FlowBase):
         self._train_step = steps_lib.make_video_train_step(
             image_size, cfg.loss, loss_alpha, loss_beta, remat=remat,
             data_range=cfg.mixed_data_range,
+            moe_aux_weight=cfg.moe_aux_weight,
         )
         self._eval_step = steps_lib.make_video_eval_step(image_size)
 

@@ -52,24 +52,37 @@ def _loss_fn_by_name(
     raise ValueError(f"unknown loss {name!r}")
 
 
-def _apply(state: TrainState, params, x, train: bool, rngs=None, **kw):
-    """Model apply handling optional BatchNorm state."""
-    if state.batch_stats is not None:
-        variables = {"params": params, "batch_stats": state.batch_stats}
-        if train:
-            out, mut = state.apply_fn(
-                variables, x, train=True, deterministic=False,
-                rngs=rngs, mutable=["batch_stats"], **kw,
-            )
-            return out, mut["batch_stats"]
-        return state.apply_fn(variables, x, **kw), None
+def _apply(
+    state: TrainState,
+    params,
+    x,
+    train: bool,
+    rngs=None,
+    want_intermediates: bool = False,
+    **kw,
+):
+    """Model apply handling optional BatchNorm state.
+
+    Returns ``(out, new_batch_stats_or_None)`` — or, with
+    ``want_intermediates=True`` in train mode, ``(out, mutated_dict)``
+    where the dict carries both ``batch_stats`` (if any) and the sown
+    ``intermediates`` (MoE load-balance losses, ops/moe.py)."""
+    has_bn = state.batch_stats is not None
     variables = {"params": params}
-    if train:
-        return (
-            state.apply_fn(variables, x, deterministic=False, rngs=rngs, **kw),
-            None,
-        )
-    return state.apply_fn(variables, x, **kw), None
+    if has_bn:
+        variables["batch_stats"] = state.batch_stats
+    if not train:
+        return state.apply_fn(variables, x, **kw), None
+    call_kw = dict(deterministic=False, rngs=rngs, **kw)
+    if has_bn:
+        call_kw["train"] = True
+    mutable = (["batch_stats"] if has_bn else []) + (
+        ["intermediates"] if want_intermediates else []
+    )
+    if mutable:
+        out, mut = state.apply_fn(variables, x, mutable=mutable, **call_kw)
+        return (out, mut) if want_intermediates else (out, mut["batch_stats"])
+    return state.apply_fn(variables, x, **call_kw), None
 
 
 def make_denoising_train_step(
@@ -208,6 +221,7 @@ def make_video_train_step(
     noise_std: float = 0.05,
     remat: bool = False,
     data_range: float = 1.0,
+    moe_aux_weight: float = 0.0,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
     """Video AE/pipeline step (recovered AE_256_32K L226-330 semantics:
     gaussian input noise x0.05, MixedLoss(0.3, 0.7) reconstruction).
@@ -216,8 +230,13 @@ def make_video_train_step(
     is donated (HBM buffer reuse). ``remat=True`` rematerializes the
     forward during backprop (jax.checkpoint) — trades ~30% more FLOPs for
     activation memory, the lever for long clips / big batches
-    (BASELINE config 3)."""
+    (BASELINE config 3). ``moe_aux_weight`` > 0 adds the Switch
+    load-balance loss sown by MoE FFN layers (ops/moe.py) to the
+    objective and reports it as the ``moe_aux`` metric — required for a
+    ``num_experts``-configured temporal transformer to keep its experts
+    balanced."""
     loss_fn_inner = _loss_fn_by_name(loss, alpha, beta, data_range)
+    want_aux = moe_aux_weight > 0.0
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
@@ -228,25 +247,36 @@ def make_video_train_step(
 
         def forward(params, x):
             return _apply(
-                state, params, x, train=True, rngs={"dropout": k_drop}
+                state, params, x, train=True, rngs={"dropout": k_drop},
+                want_intermediates=want_aux,
             )
 
         if remat:
             forward = jax.checkpoint(forward)
 
         def loss_of(params):
-            (tokens, recon), new_stats = forward(params, noisy)
+            (tokens, recon), mut = forward(params, noisy)
             # MS-SSIM is a 2D metric: fold frames into batch.
             flat_r = recon.reshape((b * t,) + recon.shape[2:])
             flat_c = clean.reshape((b * t,) + clean.shape[2:])
-            return loss_fn_inner(flat_r, flat_c), (recon, new_stats)
+            total = loss_fn_inner(flat_r, flat_c)
+            if want_aux:
+                from tchvp_tpu.ops.moe import total_load_balance_loss
 
-        (loss_val, (recon, new_stats)), grads = jax.value_and_grad(
+                aux = total_load_balance_loss(mut)
+                new_stats = mut.get("batch_stats") if mut else None
+                return total + moe_aux_weight * aux, (recon, new_stats, aux)
+            return total, (recon, mut, jnp.float32(0.0))
+
+        (loss_val, (recon, new_stats, aux)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads=grads)
         state = state.replace(rng=rng, batch_stats=new_stats or state.batch_stats)
-        return state, {"loss": loss_val, "psnr": losses.psnr(recon, clean)}
+        metrics = {"loss": loss_val, "psnr": losses.psnr(recon, clean)}
+        if want_aux:
+            metrics["moe_aux"] = aux
+        return state, metrics
 
     return step
 

@@ -1,0 +1,244 @@
+"""MoE FFN + expert parallelism (build-new component; ops/moe.py).
+
+The reference has no MoE (SURVEY §2: dense FFNs only) — these tests pin
+the build-new routed FFN: static-shape Switch routing, capacity drops,
+and the ep shard_map path. Per the round-2 verdict rule, the ep tests
+assert WHICH core ran (dispatch_trace markers), so they FAIL if the
+shard_map silently falls back to the dense branch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tchvp_tpu.config import TransformerConfig
+from tchvp_tpu.models import TransformerEncoder
+from tchvp_tpu.ops import dispatch_trace
+from tchvp_tpu.ops.moe import (
+    MoEFFN,
+    _route,
+    expert_capacity,
+    total_load_balance_loss,
+)
+from tchvp_tpu.parallel import activate_mesh, make_mesh
+
+
+def _data(b=2, s=16, d=32, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=(b, s, d)), jnp.float32
+    )
+
+
+def _apply(module, variables, x):
+    out, mut = module.apply(variables, x, mutable=["intermediates"])
+    return out, total_load_balance_loss(mut)
+
+
+def test_moe_dense_shapes_marker_and_aux():
+    x = _data()
+    m = MoEFFN(num_experts=4, hidden_dim=48)
+    vs = m.init(jax.random.PRNGKey(0), x)
+    with dispatch_trace.capture() as seen:
+        out, aux = jax.jit(lambda v, x: _apply(m, v, x))(vs, x)
+    assert "moe_dense" in seen and "moe_ep_shard_map" not in seen
+    assert out.shape == x.shape
+    # Perfectly balanced routing scores 1.0; any routing is >= 1.0 and
+    # bounded by E (all tokens on one expert).
+    assert 1.0 <= float(aux) <= 4.0
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_expert_capacity_static_and_tiled():
+    # ceil(16 * 1.25 / 4) = 5 -> rounded up to the 8-sublane tile.
+    assert expert_capacity(16, 4, 1.25) == 8
+    assert expert_capacity(1024, 8, 1.0) == 128
+    assert expert_capacity(4, 4, 0.1) == 8  # floor of one tile
+
+
+def test_moe_needs_two_experts():
+    x = _data()
+    with pytest.raises(ValueError, match=">= 2 experts"):
+        MoEFFN(num_experts=1, hidden_dim=8).init(jax.random.PRNGKey(0), x)
+
+
+def test_capacity_overflow_tokens_get_zero_output():
+    # 64 tokens, 2 experts, capacity forced to the 8-slot floor: at least
+    # one expert must overflow; overflowing tokens' FFN output is exactly
+    # zero (the caller's residual carries them unchanged).
+    x = _data(b=1, s=64, d=16, seed=3)
+    m = MoEFFN(num_experts=2, hidden_dim=8, capacity_factor=0.01)
+    vs = m.init(jax.random.PRNGKey(1), x)
+    out, _ = _apply(m, vs, x)
+    cap = expert_capacity(64, 2, 0.01)
+    assert cap == 8
+    dispatch, _, _ = _route(x, vs["params"]["router"], cap)
+    kept = jnp.sum(dispatch, axis=(2, 3))  # (B, S) in {0,1}
+    assert float(jnp.sum(kept)) < 64  # overflow actually happened
+    dropped_rows = np.asarray(out)[np.asarray(kept) == 0.0]
+    assert dropped_rows.size > 0
+    np.testing.assert_array_equal(dropped_rows, 0.0)
+    kept_rows = np.asarray(out)[np.asarray(kept) == 1.0]
+    assert np.abs(kept_rows).max() > 0.0
+
+
+@pytest.mark.parametrize("mesh_api", ["with_mesh", "set_mesh", "activate"])
+def test_moe_ep_matches_dense(mesh_api):
+    """Expert-sharded shard_map == dense routing, and it must actually run
+    under BOTH mesh APIs (marker assertion — fails on silent fallback)."""
+    x = _data(b=2, s=24, d=32, seed=5)
+    m = MoEFFN(num_experts=4, hidden_dim=48, ep_axis="expert")
+    vs = m.init(jax.random.PRNGKey(2), x)
+    want, want_aux = jax.jit(lambda v, x: _apply(m, v, x))(vs, x)
+
+    mesh = make_mesh(("data", "expert"), (2, 4))
+    ctx = {
+        "with_mesh": lambda: mesh,
+        "set_mesh": lambda: jax.sharding.set_mesh(mesh),
+        "activate": lambda: activate_mesh(mesh),
+    }[mesh_api]()
+    with ctx:
+        with dispatch_trace.capture() as seen:
+            got, aux = jax.jit(lambda v, x: _apply(m, v, x))(vs, x)
+            jax.block_until_ready(got)
+    assert "moe_ep_shard_map" in seen, f"ep path not engaged: {sorted(seen)}"
+    assert "moe_dense" not in seen
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    np.testing.assert_allclose(float(aux), float(want_aux), atol=1e-6)
+
+
+def test_moe_ep_grads_match_dense():
+    x = _data(b=2, s=24, d=32, seed=7)
+    m = MoEFFN(num_experts=4, hidden_dim=48, ep_axis="expert")
+    vs = m.init(jax.random.PRNGKey(3), x)
+
+    def loss(v, x):
+        out, aux = _apply(m, v, x)
+        return jnp.sum(out**2) + 0.01 * aux
+
+    g_dense = jax.jit(jax.grad(loss))(vs, x)
+    mesh = make_mesh(("expert",), (4,), jax.devices()[:4])
+    with activate_mesh(mesh):
+        g_ep = jax.jit(jax.grad(loss))(vs, x)
+        jax.block_until_ready(g_ep)
+    flat_d = jax.tree_util.tree_leaves_with_path(g_dense)
+    flat_e = jax.tree_util.tree_leaves(g_ep)
+    for (path, gd), ge in zip(flat_d, flat_e):
+        np.testing.assert_allclose(
+            np.asarray(gd), np.asarray(ge), atol=2e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    # Routing must be trainable: the router gradient is nonzero.
+    assert float(jnp.linalg.norm(g_dense["params"]["router"])) > 0.0
+
+
+def test_moe_ep_requires_divisible_experts():
+    x = _data()
+    m = MoEFFN(num_experts=6, hidden_dim=16, ep_axis="expert")
+    vs = m.init(jax.random.PRNGKey(0), x)
+    mesh = make_mesh(("expert",), (4,), jax.devices()[:4])
+    with activate_mesh(mesh):
+        with pytest.raises(ValueError, match="not divisible by ep axis"):
+            m.apply(vs, x)
+
+
+def test_moe_ignores_mesh_without_axis():
+    x = _data()
+    m = MoEFFN(num_experts=4, hidden_dim=16, ep_axis="expert")
+    vs = m.init(jax.random.PRNGKey(0), x)
+    mesh = make_mesh(("data",), (8,))
+    with activate_mesh(mesh):
+        with dispatch_trace.capture() as seen:
+            jax.jit(lambda v, x: m.apply(v, x))(vs, x)
+    assert "moe_dense" in seen and "moe_ep_shard_map" not in seen
+
+
+def test_transformer_moe_integration():
+    """TransformerEncoder(num_experts=4) routes its FFN through MoEFFN,
+    trains (grads flow into experts AND router), engages ep on a mesh,
+    and num_experts=0 keeps the exact dense param structure."""
+    cfg = dict(input_dim=32, hidden_dim=48, num_layers=2, num_heads=4,
+               dropout_rate=0.0)
+    x = _data(b=2, s=12, d=32, seed=9)
+
+    dense = TransformerEncoder(config=TransformerConfig(**cfg))
+    dv = dense.init(jax.random.PRNGKey(0), x)
+    assert "ffn1_0" in dv["params"] and "moe_0" not in dv["params"]
+
+    moe = TransformerEncoder(
+        config=TransformerConfig(**cfg, num_experts=4, ep_axis="expert")
+    )
+    mv = moe.init(jax.random.PRNGKey(0), x)
+    assert "moe_0" in mv["params"] and "ffn1_0" not in mv["params"]
+    assert mv["params"]["moe_1"]["w1"].shape == (4, 32, 48)
+
+    def loss(v, x):
+        out, mut = moe.apply(v, x, mutable=["intermediates"])
+        return jnp.sum(out**2) + 0.01 * total_load_balance_loss(mut)
+
+    # Two sown aux losses (one per layer), both counted.
+    _, mut = moe.apply(mv, x, mutable=["intermediates"])
+    aux = total_load_balance_loss(mut)
+    assert float(aux) >= 2.0  # >= 1.0 per layer
+
+    g = jax.jit(jax.grad(loss))(mv, x)
+    for layer in (0, 1):
+        for p in ("router", "w1", "w2"):
+            assert float(jnp.linalg.norm(g["params"][f"moe_{layer}"][p])) > 0.0
+
+    mesh = make_mesh(("data", "expert"), (2, 4))
+    want = jax.jit(lambda v, x: moe.apply(v, x))(mv, x)
+    with activate_mesh(mesh):
+        with dispatch_trace.capture() as seen:
+            got = jax.jit(lambda v, x: moe.apply(v, x))(mv, x)
+            jax.block_until_ready(got)
+    assert "moe_ep_shard_map" in seen
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_video_train_step_with_moe_aux():
+    """The flagship train step collects + optimizes the load-balance loss
+    when the temporal transformer is MoE-configured (moe_aux_weight > 0)."""
+    from tchvp_tpu.config import TransformerConfig, VideoModelConfig
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train import create_train_state, make_optimizer
+    from tchvp_tpu.train.steps import make_video_train_step
+
+    size = 32
+    cfg = VideoModelConfig(
+        temporal=TransformerConfig(
+            input_dim=(size // 4) ** 2, hidden_dim=32, num_layers=1,
+            num_heads=4, num_experts=4,
+        )
+    )
+    model = VideoHybridNet(config=cfg)
+    clip = jnp.zeros((2, 4, size, size, 3), jnp.float32)
+    state = create_train_state(
+        model, clip, make_optimizer(1e-3), jax.random.PRNGKey(0)
+    )
+    step = make_video_train_step(size, loss="mse", moe_aux_weight=0.01)
+    batch = np.random.default_rng(0).integers(
+        0, 255, (2, 4, size, size, 3), dtype=np.uint8
+    )
+    # Copy out: the step donates the state, deleting its buffers.
+    p_before = np.asarray(state.params["temporal"]["moe_0"]["router"])
+    state, metrics = step(state, jnp.asarray(batch))
+    assert "moe_aux" in metrics
+    assert 1.0 <= float(metrics["moe_aux"]) <= 4.0
+    assert np.isfinite(float(metrics["loss"]))
+    # The router actually trained (aux loss grads reached it).
+    p_after = np.asarray(state.params["temporal"]["moe_0"]["router"])
+    assert np.abs(p_after - p_before).max() > 0.0
+
+
+def test_total_load_balance_loss_without_moe_is_zero():
+    cfg = TransformerConfig(
+        input_dim=16, hidden_dim=24, num_layers=1, num_heads=4,
+        dropout_rate=0.0,
+    )
+    model = TransformerEncoder(config=cfg)
+    x = _data(b=1, s=4, d=16)
+    vs = model.init(jax.random.PRNGKey(0), x)
+    _, mut = model.apply(vs, x, mutable=["intermediates"])
+    assert float(total_load_balance_loss(mut)) == 0.0
+    assert float(total_load_balance_loss({})) == 0.0
