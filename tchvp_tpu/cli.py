@@ -287,11 +287,69 @@ def cmd_stream(args) -> None:
         print("streamed 1 batch (compile only); add more batches to time")
 
 
+def _clip_data(args, size):
+    """Shared clip-source selection for the inference commands."""
+    if args.clippack:
+        from tchvp_tpu.data.clippack import ClipPackDataset
+
+        return ClipPackDataset(args.clippack, args.batch_size, shuffle=False)
+    if args.train_csv:
+        from tchvp_tpu.data.manifest import ClipDataset
+
+        return ClipDataset(
+            args.train_csv, args.batch_size, size, args.clip_len or None,
+            shuffle=False, prefetch=True,
+        )
+    from tchvp_tpu.data.synthetic import SyntheticClips
+
+    return SyntheticClips(
+        args.batch_size, args.clip_len, size, max(args.synthetic or 2, 1)
+    )
+
+
+def _infer_exported(args) -> None:
+    """Serve a .tchvp AOT artifact (`tchvp export`): no model code, no
+    retrace — the program, weights, and fused preprocessing all come from
+    the artifact."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tchvp_tpu.infer import export as export_lib
+
+    m = export_lib.load_artifact(args.exported)
+    size = int(m.meta["meta"].get("image_size", args.image_size))
+    data = _clip_data(args, size)
+    frames, psnrs, t0 = 0, [], None
+    for batch in data:
+        raw = jnp.asarray(np.asarray(batch, dtype=np.uint8))
+        recon = m(raw)
+        from tchvp_tpu.data.pipeline import preprocess_clip
+
+        clip32 = np.asarray(preprocess_clip(raw, size), np.float32)
+        rec32 = np.asarray(recon, np.float32)
+        mse = float(np.mean((clip32 - rec32) ** 2))
+        psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+        if t0 is None:
+            t0 = time.perf_counter()  # exclude the first (load) call
+        else:
+            frames += raw.shape[0] * raw.shape[1]
+    msg = (
+        f"served {len(psnrs)} batches from {args.exported} "
+        f"(platforms {list(m.platforms)}), mean PSNR {np.mean(psnrs):.2f} dB"
+    )
+    if frames and t0 is not None:
+        msg += f", {frames / (time.perf_counter() - t0):.1f} frames/s (post-load)"
+    print(msg)
+
+
 def cmd_infer(args) -> None:
     """Batched clip inference from a trained checkpoint: reconstruct every
     clip, report PSNR + throughput, optionally dump input|output frame
     pairs. ``--microbatch`` runs over-HBM batches as sequential lax.map
-    groups (the BASELINE config-2 spec-batch path)."""
+    groups (the BASELINE config-2 spec-batch path). ``--exported`` serves
+    a `tchvp export` artifact instead."""
     import time
 
     import jax
@@ -304,27 +362,13 @@ def cmd_infer(args) -> None:
     from tchvp_tpu.train import checkpoint as ckpt
     from tchvp_tpu.utils.imaging import save_side_by_side
 
+    if args.exported:
+        return _infer_exported(args)
     size = args.image_size
     model = VideoHybridNet(
         config=flagship_video_config(image_size=size), dtype=jnp.bfloat16
     )
-    if args.clippack:
-        from tchvp_tpu.data.clippack import ClipPackDataset
-
-        data = ClipPackDataset(args.clippack, args.batch_size, shuffle=False)
-    elif args.train_csv:
-        from tchvp_tpu.data.manifest import ClipDataset
-
-        data = ClipDataset(
-            args.train_csv, args.batch_size, size, args.clip_len or None,
-            shuffle=False, prefetch=True,
-        )
-    else:
-        from tchvp_tpu.data.synthetic import SyntheticClips
-
-        data = SyntheticClips(
-            args.batch_size, args.clip_len, size, max(args.synthetic or 2, 1)
-        )
+    data = _clip_data(args, size)
 
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 2, size, size, 3))
@@ -408,6 +452,62 @@ def cmd_infer(args) -> None:
     print(msg)
 
 
+def cmd_export(args) -> None:
+    """AOT-export the flagship serving function (uint8 clip -> recon,
+    preprocessing fused in) to a .tchvp artifact via jax.export: the
+    serving fleet loads StableHLO + weights, no model code, no retrace
+    (infer/export.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tchvp_tpu.config import flagship_video_config
+    from tchvp_tpu.infer import export as export_lib
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train import checkpoint as ckpt
+
+    if not args.out:
+        raise SystemExit("export: provide --out (artifact path)")
+    size = args.image_size
+    model = VideoHybridNet(
+        config=flagship_video_config(image_size=size), dtype=jnp.bfloat16
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, size, size, 3))
+    )
+    if args.checkpoint:
+        restored = ckpt.restore_state(args.checkpoint)
+        variables = {"params": restored["params"], **(
+            {"batch_stats": restored["batch_stats"]}
+            if restored.get("batch_stats") is not None else {}
+        )}
+    platforms = (
+        tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+        if args.platforms else None
+    )
+    exported, weights = export_lib.export_video_model(
+        model, variables,
+        clip_len=args.clip_len, image_size=size,
+        platforms=platforms, symbolic_batch=not args.static_batch,
+    )
+    export_lib.save_artifact(
+        args.out, exported, weights,
+        meta={
+            "model": "hybrid",
+            "image_size": size,
+            "clip_len": args.clip_len,
+            "checkpoint": args.checkpoint or "",
+        },
+    )
+    import os as _os
+
+    print(
+        f"exported hybrid {size}px x {args.clip_len}f -> {args.out} "
+        f"({_os.path.getsize(args.out) / 1e6:.1f} MB, "
+        f"platforms {list(exported.platforms)}, "
+        f"batch {'symbolic' if not args.static_batch else 'static'})"
+    )
+
+
 def cmd_port(args) -> None:
     """Convert a reference PyTorch checkpoint into an orbax checkpoint
     that every tchvp flow can restore: the migration path for users
@@ -473,6 +573,7 @@ def main(argv=None) -> None:
         ("pack", cmd_pack),
         ("stream", cmd_stream),
         ("infer", cmd_infer),
+        ("export", cmd_export),
         ("port", cmd_port),
     ):
         p = sub.add_parser(name)
@@ -499,6 +600,9 @@ def main(argv=None) -> None:
         if name == "infer":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--exported", default=None,
+                           help="serve a .tchvp AOT artifact "
+                                "(`tchvp export`) instead of a checkpoint")
             p.add_argument("--clip-len", type=int, default=8)
             p.add_argument("--microbatch", type=int, default=0)
             p.add_argument("--out-dir", default=None)
@@ -508,6 +612,17 @@ def main(argv=None) -> None:
                            help="with --int8: also quantize nn.Dense "
                                 "(attention/FFN projections; +1.3%% on the "
                                 "flagship at -0.7 dB, BENCHES.md)")
+        if name == "export":
+            p.add_argument("--out", default=None,
+                           help="artifact path (.tchvp zip)")
+            p.add_argument("--checkpoint", default=None)
+            p.add_argument("--clip-len", type=int, default=8)
+            p.add_argument("--platforms", default=None,
+                           help="comma list, e.g. tpu,cpu (default: "
+                                "current backend)")
+            p.add_argument("--static-batch", action="store_true",
+                           help="pin the batch dim instead of exporting "
+                                "it symbolically")
         if name == "port":
             p.add_argument("--checkpoint", default=None,
                            help="reference torch .tar/.pth file")

@@ -1,9 +1,25 @@
 """Inference engines (serving-side optimizations over the flax models)."""
 
+from tchvp_tpu.infer.export import (
+    ServingModel,
+    export_serving,
+    export_video_model,
+    load_artifact,
+    save_artifact,
+)
 from tchvp_tpu.infer.quant import (
     Int8Engine,
     calibrate_conv_scales,
     quantize_conv_params,
 )
 
-__all__ = ["Int8Engine", "calibrate_conv_scales", "quantize_conv_params"]
+__all__ = [
+    "Int8Engine",
+    "ServingModel",
+    "calibrate_conv_scales",
+    "export_serving",
+    "export_video_model",
+    "load_artifact",
+    "quantize_conv_params",
+    "save_artifact",
+]

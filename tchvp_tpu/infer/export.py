@@ -1,0 +1,178 @@
+"""AOT serving artifacts: compiled-model export via ``jax.export``.
+
+The reference deploys by shipping the Python model code + a torch
+checkpoint and re-running eager torch at the destination
+(``/root/reference/FCT.py:410-412`` instant-start eager inference;
+``Model.py:17`` checkpoint load). The TPU-native serving story is
+ahead-of-time: trace + lower the jitted inference function ONCE, and ship
+the lowered StableHLO — the serving fleet needs jax and this loader, not
+the model zoo, and gets bit-identical programs with zero retrace risk.
+
+One artifact = one zip file:
+
+* ``fn.jaxexp`` — ``jax.export`` serialization of ``fn(weights, batch)``
+  (StableHLO + calling convention). Weights ride as an *argument*, not
+  baked constants — a flagship's hundreds of MB of params would bloat
+  the program and blow tunneled-compile request limits
+  (same rule as ``__graft_entry__.entry``).
+* ``weights.msgpack`` — the weight pytree (flax serialization).
+* ``meta.json`` — artifact version, platforms, input spec, user metadata.
+
+Batch-polymorphic by default: the batch dim is exported symbolically
+(``jax.export.symbolic_shape``), so one artifact serves any batch size;
+set ``symbolic_batch=False`` for models whose lowering needs a static
+batch. Multi-platform: pass ``platforms=("tpu", "cpu")`` to lower for
+both — the same file serves on a TPU pod and on a CPU canary.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from jax import export as jax_export
+
+ARTIFACT_VERSION = 1
+_FN_NAME = "fn.jaxexp"
+_WEIGHTS_NAME = "weights.msgpack"
+_META_NAME = "meta.json"
+
+
+def export_serving(
+    fn: Callable[[Any, jnp.ndarray], Any],
+    weights: Any,
+    example_batch: jnp.ndarray,
+    *,
+    platforms: Optional[Sequence[str]] = None,
+    symbolic_batch: bool = True,
+) -> Tuple[jax_export.Exported, Any]:
+    """Lower ``fn(weights, batch)`` ahead of time.
+
+    Returns ``(exported, weights)`` ready for :func:`save_artifact`.
+    ``platforms=None`` lowers for the current default backend; pass an
+    explicit tuple (e.g. ``("tpu", "cpu")``) for a multi-platform
+    artifact.
+    """
+    jitted = jax.jit(fn)
+    if symbolic_batch:
+        specs = jax_export.symbolic_args_specs(
+            (weights, example_batch),
+            (None, "b, " + ", ".join("_" * (example_batch.ndim - 1))),
+        )
+    else:
+        specs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            (weights, example_batch),
+        )
+    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jax_export.export(jitted, **kw)(*specs)
+    return exported, weights
+
+
+def save_artifact(
+    path: str,
+    exported: jax_export.Exported,
+    weights: Any,
+    meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write the serving zip (StableHLO + weights + metadata)."""
+    record = {
+        "artifact_version": ARTIFACT_VERSION,
+        "platforms": list(exported.platforms),
+        "batch_aval": str(exported.in_avals[-1]),
+        "out_avals": [str(a) for a in exported.out_avals],
+        "meta": meta or {},
+    }
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as z:
+        z.writestr(_FN_NAME, exported.serialize())
+        z.writestr(_WEIGHTS_NAME, serialization.to_bytes(weights))
+        z.writestr(_META_NAME, json.dumps(record, indent=2))
+
+
+class ServingModel:
+    """A loaded artifact: ``model(batch)`` runs the AOT program.
+
+    The deserialized program is re-verified by jax at call time; running
+    on a platform the artifact was not lowered for raises — that is the
+    point (no silent retrace/recompile in serving).
+    """
+
+    def __init__(self, exported: jax_export.Exported, weights: Any,
+                 meta: Dict[str, Any]):
+        self._exported = exported
+        self._weights = weights
+        self._on_device = False
+        self.meta = meta
+
+    @property
+    def platforms(self) -> Tuple[str, ...]:
+        return tuple(self._exported.platforms)
+
+    def __call__(self, batch: jnp.ndarray) -> Any:
+        if not self._on_device:
+            # Pin weights to device ONCE — serving from host numpy would
+            # re-transfer the whole weight pytree on every call (74 MB
+            # per request for the flagship; brutal over a tunnel).
+            self._weights = jax.tree.map(jnp.asarray, self._weights)
+            self._on_device = True
+        return self._exported.call(self._weights, batch)
+
+
+def load_artifact(path: str) -> ServingModel:
+    with zipfile.ZipFile(path, "r") as z:
+        meta = json.loads(z.read(_META_NAME).decode("utf-8"))
+        if meta.get("artifact_version") != ARTIFACT_VERSION:
+            raise ValueError(
+                f"artifact version {meta.get('artifact_version')} "
+                f"!= supported {ARTIFACT_VERSION}"
+            )
+        exported = jax_export.deserialize(z.read(_FN_NAME))
+        # Weight pytree structure/dtypes travel inside the msgpack blob:
+        # from_bytes with a None template reconstructs plain dict/list
+        # trees, which is exactly what flax variables are.
+        weights = serialization.msgpack_restore(z.read(_WEIGHTS_NAME))
+    # msgpack_restore yields numpy arrays; push to device lazily at the
+    # first call (jax handles host arrays as operands).
+    return ServingModel(exported, weights, meta)
+
+
+def export_video_model(
+    model,
+    variables: Any,
+    *,
+    clip_len: int,
+    image_size: int,
+    platforms: Optional[Sequence[str]] = None,
+    symbolic_batch: bool = True,
+    preprocess: bool = True,
+) -> Tuple[jax_export.Exported, Any]:
+    """Flagship-style clip model -> AOT artifact contents.
+
+    Exports ``batch (B,T,H,W,3) -> reconstruction`` (uint8 in when
+    ``preprocess=True`` — the fused on-device uint8->float->resize path
+    rides inside the program, mirroring the jitted training step's
+    data handling).
+    """
+    from tchvp_tpu.data import pipeline
+
+    def fn(weights, batch):
+        x = (
+            pipeline.preprocess_clip(batch, image_size)
+            if preprocess
+            else batch
+        )
+        _, recon = model.apply(weights, x)
+        return recon
+
+    dtype = jnp.uint8 if preprocess else jnp.float32
+    example = jnp.zeros((1, clip_len, image_size, image_size, 3), dtype)
+    return export_serving(
+        fn, variables, example,
+        platforms=platforms, symbolic_batch=symbolic_batch,
+    )

@@ -1,0 +1,125 @@
+"""AOT serving artifacts (infer/export.py, `tchvp export`).
+
+The TPU-native replacement for the reference's ship-the-Python-code
+deployment (`/root/reference/FCT.py:410-412` eager inference from a
+checkpoint): serialize the lowered StableHLO + weights, reload with zero
+model code, get bit-identical outputs and batch polymorphism.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tchvp_tpu.config import flagship_video_config
+from tchvp_tpu.data import pipeline
+from tchvp_tpu.infer import export as export_lib
+from tchvp_tpu.models import VideoHybridNet
+
+SIZE = 32
+CLIP_LEN = 4
+
+
+@pytest.fixture(scope="module")
+def hybrid():
+    cfg = flagship_video_config(image_size=SIZE)
+    model = VideoHybridNet(config=cfg)
+    vs = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, CLIP_LEN, SIZE, SIZE, 3))
+    )
+    return model, vs
+
+
+def _batch(b, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).integers(
+            0, 255, (b, CLIP_LEN, SIZE, SIZE, 3), dtype=np.uint8
+        )
+    )
+
+
+def test_roundtrip_bit_exact_and_batch_polymorphic(hybrid, tmp_path):
+    model, vs = hybrid
+    exported, w = export_lib.export_video_model(
+        model, vs, clip_len=CLIP_LEN, image_size=SIZE
+    )
+    path = str(tmp_path / "m.tchvp")
+    export_lib.save_artifact(path, exported, w, meta={"model": "hybrid"})
+    assert os.path.getsize(path) > 0
+
+    m = export_lib.load_artifact(path)
+    assert m.meta["meta"]["model"] == "hybrid"
+    for b, seed in ((1, 0), (3, 1)):  # symbolic batch dim: any size works
+        raw = _batch(b, seed)
+        got = m(raw)
+        want = model.apply(vs, pipeline.preprocess_clip(raw, SIZE))[1]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=1e-6,
+        )
+
+
+def test_static_batch_rejects_other_sizes(hybrid, tmp_path):
+    model, vs = hybrid
+    exported, w = export_lib.export_video_model(
+        model, vs, clip_len=CLIP_LEN, image_size=SIZE, symbolic_batch=False
+    )
+    path = str(tmp_path / "static.tchvp")
+    export_lib.save_artifact(path, exported, w)
+    m = export_lib.load_artifact(path)
+    m(_batch(1))  # the traced size works
+    with pytest.raises(ValueError):
+        m(_batch(2))  # any other size must be rejected, not retraced
+
+
+def test_version_mismatch_rejected(hybrid, tmp_path, monkeypatch):
+    model, vs = hybrid
+    exported, w = export_lib.export_video_model(
+        model, vs, clip_len=CLIP_LEN, image_size=SIZE, symbolic_batch=False
+    )
+    path = str(tmp_path / "v.tchvp")
+    monkeypatch.setattr(export_lib, "ARTIFACT_VERSION", 99)
+    export_lib.save_artifact(path, exported, w)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="artifact version"):
+        export_lib.load_artifact(path)
+
+
+def test_export_serving_generic_fn(tmp_path):
+    """export_serving works for arbitrary (weights, batch) functions —
+    e.g. the int8 engine's apply — not just the flagship wrapper."""
+    w = {"scale": jnp.float32(3.0), "bias": jnp.ones((4,), jnp.float32)}
+
+    def fn(weights, x):
+        return x * weights["scale"] + weights["bias"]
+
+    x = jnp.zeros((2, 4), jnp.float32)
+    exported, weights = export_lib.export_serving(fn, w, x)
+    path = str(tmp_path / "g.tchvp")
+    export_lib.save_artifact(path, exported, weights)
+    m = export_lib.load_artifact(path)
+    got = m(jnp.ones((5, 4), jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), 4.0)
+
+
+def test_cli_export_then_serve(tmp_path, capsys):
+    """End-to-end through the CLI: `tchvp export` then
+    `tchvp infer --exported`."""
+    from tchvp_tpu import cli
+
+    art = str(tmp_path / "cli.tchvp")
+    cli.main([
+        "export", "--out", art, "--image-size", str(SIZE),
+        "--clip-len", str(CLIP_LEN),
+    ])
+    assert os.path.exists(art)
+    cli.main([
+        "infer", "--exported", art, "--image-size", str(SIZE),
+        "--clip-len", str(CLIP_LEN), "--synthetic", "2",
+        "--batch-size", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "served 2 batches" in out
+    assert "PSNR" in out
