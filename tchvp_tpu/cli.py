@@ -169,7 +169,14 @@ def cmd_video(args) -> None:
         moe_aux_weight=args.moe_aux_weight if args.num_experts else 0.0,
     )
     model = _video_model(args)
-    flow = VideoFlow(model, cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
+    mesh = _mesh(args)
+    if args.fsdp and mesh is None:
+        raise SystemExit("--fsdp requires --data-parallel (a mesh to shard "
+                         "parameters over)")
+    flow = VideoFlow(
+        model, cfg=cfg, image_size=args.image_size, mesh=mesh,
+        fsdp_axis="data" if args.fsdp else None,
+    )
     start = flow.resume(args.clip_len) if args.resume else 0
     flow.train(
         data,
@@ -484,11 +491,36 @@ def cmd_export(args) -> None:
         tuple(p.strip() for p in args.platforms.split(",") if p.strip())
         if args.platforms else None
     )
-    exported, weights = export_lib.export_video_model(
-        model, variables,
-        clip_len=args.clip_len, image_size=size,
-        platforms=platforms, symbolic_batch=not args.static_batch,
-    )
+    if args.int8:
+        import numpy as np
+
+        from tchvp_tpu.data.pipeline import preprocess_clip
+        from tchvp_tpu.infer import Int8Engine
+
+        data = _clip_data(args, size)
+        try:
+            first = next(iter(data))
+        except StopIteration:
+            raise SystemExit("export --int8: no batches to calibrate on")
+        calib = preprocess_clip(
+            jnp.asarray(np.asarray(first, dtype=np.uint8)), size,
+            dtype=jnp.bfloat16,
+        )
+        engine = Int8Engine(
+            model, variables, quantize_dense=args.int8_dense
+        ).calibrate([calib])
+        print(f"int8: {len(engine.scales)} layers quantized, "
+              f"{engine.psnr_vs(calib):.1f} dB vs bf16")
+        exported, weights = export_lib.export_int8_video_model(
+            engine, clip_len=args.clip_len, image_size=size,
+            platforms=platforms, symbolic_batch=not args.static_batch,
+        )
+    else:
+        exported, weights = export_lib.export_video_model(
+            model, variables,
+            clip_len=args.clip_len, image_size=size,
+            platforms=platforms, symbolic_batch=not args.static_batch,
+        )
     export_lib.save_artifact(
         args.out, exported, weights,
         meta={
@@ -496,6 +528,7 @@ def cmd_export(args) -> None:
             "image_size": size,
             "clip_len": args.clip_len,
             "checkpoint": args.checkpoint or "",
+            "int8": bool(args.int8),
         },
     )
     import os as _os
@@ -592,6 +625,10 @@ def main(argv=None) -> None:
             p.add_argument("--moe-aux-weight", type=float, default=0.01,
                            help="load-balance aux-loss weight (with "
                                 "--num-experts)")
+            p.add_argument("--fsdp", action="store_true",
+                           help="ZeRO-3: shard params + Adam moments over "
+                                "the data axis (parallel/fsdp.py); needs "
+                                "--data-parallel")
         if name == "transfer":
             p.add_argument("--pretrained", default=None)
         if name == "pack":
@@ -616,6 +653,13 @@ def main(argv=None) -> None:
             p.add_argument("--out", default=None,
                            help="artifact path (.tchvp zip)")
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--clippack", default=None,
+                           help="calibration source for --int8")
+            p.add_argument("--int8", action="store_true",
+                           help="export the int8 PTQ serving program "
+                                "(calibrates on one batch)")
+            p.add_argument("--int8-dense", action="store_true",
+                           help="with --int8: also quantize nn.Dense")
             p.add_argument("--clip-len", type=int, default=8)
             p.add_argument("--platforms", default=None,
                            help="comma list, e.g. tpu,cpu (default: "

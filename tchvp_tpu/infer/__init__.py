@@ -2,6 +2,7 @@
 
 from tchvp_tpu.infer.export import (
     ServingModel,
+    export_int8_video_model,
     export_serving,
     export_video_model,
     load_artifact,
@@ -17,6 +18,7 @@ __all__ = [
     "Int8Engine",
     "ServingModel",
     "calibrate_conv_scales",
+    "export_int8_video_model",
     "export_serving",
     "export_video_model",
     "load_artifact",

@@ -176,3 +176,39 @@ def export_video_model(
         fn, variables, example,
         platforms=platforms, symbolic_batch=symbolic_batch,
     )
+
+
+def export_int8_video_model(
+    engine,
+    *,
+    clip_len: int,
+    image_size: int,
+    platforms: Optional[Sequence[str]] = None,
+    symbolic_batch: bool = True,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> Tuple[jax_export.Exported, Any]:
+    """Export a calibrated :class:`~tchvp_tpu.infer.quant.Int8Engine`.
+
+    The int8 weights AND the fp variables ride in the artifact's weight
+    pytree (``{"qparams", "variables"}``); the per-layer activation
+    scales are scalars baked into the program (they are the calibration
+    result — freezing them is the point of PTQ serving). The exported
+    program is the int8 interceptor-rewritten forward: int8 MXU matmuls,
+    dequant epilogues, uint8 preprocessing fused in front.
+    """
+    from tchvp_tpu.data import pipeline
+
+    if engine.qparams is None:
+        raise ValueError("engine is not calibrated (call calibrate() first)")
+
+    def fn(weights, batch):
+        x = pipeline.preprocess_clip(batch, image_size, dtype=compute_dtype)
+        out = engine.apply(weights["qparams"], x, weights["variables"])
+        return out[1] if isinstance(out, tuple) else out
+
+    weights = {"qparams": engine.qparams, "variables": engine.variables}
+    example = jnp.zeros((1, clip_len, image_size, image_size, 3), jnp.uint8)
+    return export_serving(
+        fn, weights, example,
+        platforms=platforms, symbolic_batch=symbolic_batch,
+    )

@@ -104,6 +104,31 @@ def test_export_serving_generic_fn(tmp_path):
     np.testing.assert_allclose(np.asarray(got), 4.0)
 
 
+def test_int8_engine_export_roundtrip(hybrid, tmp_path):
+    """A calibrated Int8Engine exports as a self-contained artifact whose
+    outputs match the live engine exactly."""
+    from tchvp_tpu.infer import Int8Engine
+
+    model, vs = hybrid
+    raw = _batch(2, seed=7)
+    calib = pipeline.preprocess_clip(raw, SIZE, dtype=jnp.bfloat16)
+    engine = Int8Engine(model, vs).calibrate([calib])
+    exported, w = export_lib.export_int8_video_model(
+        engine, clip_len=CLIP_LEN, image_size=SIZE
+    )
+    path = str(tmp_path / "int8.tchvp")
+    export_lib.save_artifact(path, exported, w, meta={"int8": True})
+    m = export_lib.load_artifact(path)
+    got = m(raw)
+    want = engine.apply(engine.qparams, calib)[1]
+    # The exported program fuses preprocess+forward into one lowered unit;
+    # bf16 intermediates round differently than the eager two-step
+    # composition (measured max |diff| ~2e-3 on this shape).
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=4e-3
+    )
+
+
 def test_cli_export_then_serve(tmp_path, capsys):
     """End-to-end through the CLI: `tchvp export` then
     `tchvp infer --exported`."""
