@@ -1,5 +1,11 @@
 """Parallelism layer: mesh construction, shardings, multi-host helpers."""
 
+from tchvp_tpu.parallel.fsdp import (
+    constrain_gradients,
+    fsdp_leaf_spec,
+    shard_train_state,
+    state_shardings,
+)
 from tchvp_tpu.parallel.input import GlobalBatchLoader, sharded_clippack_loader
 from tchvp_tpu.parallel.pipeline import (
     extract_transformer_layers,
@@ -26,6 +32,10 @@ __all__ = [
     "activate_mesh",
     "ambient_mesh",
     "batch_spec",
+    "constrain_gradients",
+    "fsdp_leaf_spec",
+    "shard_train_state",
+    "state_shardings",
     "extract_transformer_layers",
     "pipeline_apply",
     "shard_stages",

@@ -73,7 +73,17 @@ class _FlowBase:
         return jax.tree.map(jnp.asarray, batch)
 
     def _replicate(self, state):
-        return replicate(state, self.mesh) if self.mesh is not None else state
+        """Place train state on the mesh: replicated by default, or
+        ZeRO-3 sharded over ``self.fsdp_axis`` when a flow sets it
+        (``parallel/fsdp.py``)."""
+        if self.mesh is None:
+            return state
+        axis = getattr(self, "fsdp_axis", None)
+        if axis and axis in self.mesh.shape and self.mesh.shape[axis] > 1:
+            from tchvp_tpu.parallel import shard_train_state
+
+            return shard_train_state(state, self.mesh, axis)
+        return replicate(state, self.mesh)
 
     def _log(self, tag: str, value: float, step: int):
         self._writer().add_scalar(tag, value, step)
@@ -495,16 +505,19 @@ class VideoFlow(_FlowBase):
         loss_alpha: float = 0.3,
         loss_beta: float = 0.7,
         remat: bool = False,
+        fsdp_axis: Optional[str] = None,
     ):
         super().__init__(cfg, mesh)
         self.model = model
         self.image_size = image_size
         self.clip_example: Optional[Tuple[int, int]] = None
         self.state: Optional[TrainState] = None
+        self.fsdp_axis = fsdp_axis
         self._train_step = steps_lib.make_video_train_step(
             image_size, cfg.loss, loss_alpha, loss_beta, remat=remat,
             data_range=cfg.mixed_data_range,
             moe_aux_weight=cfg.moe_aux_weight,
+            fsdp_axis=fsdp_axis, fsdp_mesh=mesh,
         )
         self._eval_step = steps_lib.make_video_eval_step(image_size)
 
@@ -535,6 +548,9 @@ class VideoFlow(_FlowBase):
         if self.state is None:
             self.init_state(clip_len)
         self.state, raw = ckpt.restore_state_into(self.state, path)
+        # Restored leaves land unplaced; put them back on the mesh
+        # (replicated, or FSDP-sharded when fsdp_axis is set).
+        self.state = self._replicate(self.state)
         return int(raw.get("step", 0))
 
     def train(

@@ -92,6 +92,8 @@ def make_denoising_train_step(
     alpha: float = 0.5,
     beta: float = 0.5,
     data_range: float = 1.0,
+    fsdp_axis: Optional[str] = None,
+    fsdp_mesh=None,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
     """Denoising-AE step (Model.py:33-70): corrupt input, reconstruct clean.
 
@@ -99,6 +101,8 @@ def make_denoising_train_step(
 
     The input state is donated: XLA reuses its param/optimizer HBM buffers
     for the returned state instead of allocating fresh ones.
+
+    ``fsdp_axis``: see :func:`make_video_train_step`.
     """
     loss_fn_inner = _loss_fn_by_name(loss, alpha, beta, data_range)
 
@@ -118,6 +122,10 @@ def make_denoising_train_step(
         (loss_val, (recon, new_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(state.params)
+        if fsdp_axis is not None:
+            from tchvp_tpu.parallel import fsdp
+
+            grads = fsdp.constrain_gradients(grads, fsdp_axis, mesh=fsdp_mesh)
         state = state.apply_gradients(grads=grads)
         state = state.replace(rng=rng, batch_stats=new_stats or state.batch_stats)
         return state, {"loss": loss_val, "psnr": losses.psnr(recon, clean)}
@@ -155,13 +163,16 @@ def make_inpainting_test_step(
 
 
 def make_segmentation_train_step(
-    image_size: int, loss: str = "dice", output_index: Optional[int] = None
+    image_size: int, loss: str = "dice", output_index: Optional[int] = None,
+    fsdp_axis: Optional[str] = None,
+    fsdp_mesh=None,
 ) -> Callable[[TrainState, Tuple[jnp.ndarray, jnp.ndarray]], Tuple[TrainState, Metrics]]:
     """Supervised mask training step (FCT_FLOW.train, FCT.py:317-374).
 
     Model maps image -> mask (FCT or UNet). ``output_index`` selects one
     element when the model returns a tuple (e.g. Autoencoder32K("mask")
-    returns (latent, mask) — the transfer workload, AE_32K L277)."""
+    returns (latent, mask) — the transfer workload, AE_32K L277).
+    ``fsdp_axis``: see :func:`make_video_train_step`."""
     loss_fn_inner = _loss_fn_by_name(loss)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -182,6 +193,10 @@ def make_segmentation_train_step(
         (loss_val, (pred, new_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(state.params)
+        if fsdp_axis is not None:
+            from tchvp_tpu.parallel import fsdp
+
+            grads = fsdp.constrain_gradients(grads, fsdp_axis, mesh=fsdp_mesh)
         state = state.apply_gradients(grads=grads)
         state = state.replace(rng=rng, batch_stats=new_stats or state.batch_stats)
         return state, {
@@ -222,6 +237,8 @@ def make_video_train_step(
     remat: bool = False,
     data_range: float = 1.0,
     moe_aux_weight: float = 0.0,
+    fsdp_axis: Optional[str] = None,
+    fsdp_mesh=None,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
     """Video AE/pipeline step (recovered AE_256_32K L226-330 semantics:
     gaussian input noise x0.05, MixedLoss(0.3, 0.7) reconstruction).
@@ -234,7 +251,13 @@ def make_video_train_step(
     load-balance loss sown by MoE FFN layers (ops/moe.py) to the
     objective and reports it as the ``moe_aux`` metric — required for a
     ``num_experts``-configured temporal transformer to keep its experts
-    balanced."""
+    balanced.
+
+    ``fsdp_axis``: ZeRO-3 — gradients are constrained to the FSDP
+    shardings of their parameters (``parallel/fsdp.py``) so GSPMD
+    reduce-scatters them and updates shard-local optimizer state. Pair
+    with :func:`tchvp_tpu.parallel.fsdp.shard_train_state` on the state;
+    dormant when no mesh (or a size-1 axis) is in scope."""
     loss_fn_inner = _loss_fn_by_name(loss, alpha, beta, data_range)
     want_aux = moe_aux_weight > 0.0
 
@@ -271,6 +294,10 @@ def make_video_train_step(
         (loss_val, (recon, new_stats, aux)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(state.params)
+        if fsdp_axis is not None:
+            from tchvp_tpu.parallel import fsdp
+
+            grads = fsdp.constrain_gradients(grads, fsdp_axis, mesh=fsdp_mesh)
         state = state.apply_gradients(grads=grads)
         state = state.replace(rng=rng, batch_stats=new_stats or state.batch_stats)
         metrics = {"loss": loss_val, "psnr": losses.psnr(recon, clean)}
