@@ -176,6 +176,7 @@ def cmd_video(args) -> None:
     flow = VideoFlow(
         model, cfg=cfg, image_size=args.image_size, mesh=mesh,
         fsdp_axis="data" if args.fsdp else None,
+        accum_steps=args.accum_steps,
     )
     start = flow.resume(args.clip_len) if args.resume else 0
     flow.train(
@@ -629,6 +630,11 @@ def main(argv=None) -> None:
                            help="ZeRO-3: shard params + Adam moments over "
                                 "the data axis (parallel/fsdp.py); needs "
                                 "--data-parallel")
+            p.add_argument("--accum-steps", type=int, default=1,
+                           help="gradient accumulation: split each batch "
+                                "into N microbatches inside the jit "
+                                "(lax.scan), one optimizer update — "
+                                "~N x less activation memory")
         if name == "transfer":
             p.add_argument("--pretrained", default=None)
         if name == "pack":

@@ -506,6 +506,7 @@ class VideoFlow(_FlowBase):
         loss_beta: float = 0.7,
         remat: bool = False,
         fsdp_axis: Optional[str] = None,
+        accum_steps: int = 1,
     ):
         super().__init__(cfg, mesh)
         self.model = model
@@ -518,6 +519,7 @@ class VideoFlow(_FlowBase):
             data_range=cfg.mixed_data_range,
             moe_aux_weight=cfg.moe_aux_weight,
             fsdp_axis=fsdp_axis, fsdp_mesh=mesh,
+            accum_steps=accum_steps,
         )
         self._eval_step = steps_lib.make_video_eval_step(image_size)
 

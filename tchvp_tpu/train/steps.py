@@ -239,6 +239,7 @@ def make_video_train_step(
     moe_aux_weight: float = 0.0,
     fsdp_axis: Optional[str] = None,
     fsdp_mesh=None,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
     """Video AE/pipeline step (recovered AE_256_32K L226-330 semantics:
     gaussian input noise x0.05, MixedLoss(0.3, 0.7) reconstruction).
@@ -257,20 +258,32 @@ def make_video_train_step(
     shardings of their parameters (``parallel/fsdp.py``) so GSPMD
     reduce-scatters them and updates shard-local optimizer state. Pair
     with :func:`tchvp_tpu.parallel.fsdp.shard_train_state` on the state;
-    dormant when no mesh (or a size-1 axis) is in scope."""
+    dormant when no mesh (or a size-1 axis) is in scope.
+
+    ``accum_steps`` > 1: gradient accumulation — the batch is split into
+    ``accum_steps`` microbatches along dim 0 inside the jit; a
+    ``lax.scan`` computes and averages their gradients, then ONE
+    optimizer update applies. Peak activation memory drops by
+    ~``accum_steps`` (only one microbatch's forward lives at a time)
+    while the update math equals the full-batch gradient for every
+    batch-mean loss. Deliberate deviations from the monolithic step,
+    both inherent to accumulation: BatchNorm statistics update
+    sequentially per microbatch (momentum applied ``accum_steps`` times)
+    and dropout draws a fresh key per microbatch."""
     loss_fn_inner = _loss_fn_by_name(loss, alpha, beta, data_range)
     want_aux = moe_aux_weight > 0.0
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
-        clean = pipeline.preprocess_clip(batch, image_size)
-        rng, k_noise, k_drop = jax.random.split(state.rng, 3)
-        noisy = pipeline.gaussian_noise(k_noise, clean, noise_std)
-        b, t = clean.shape[0], clean.shape[1]
+    def grads_of(state, params, batch_stats, x, y, k_drop):
+        """(grads, loss, mse, new_stats, aux) for one (micro)batch
+        ``x`` (noisy input) against target ``y``."""
+        st = state.replace(batch_stats=batch_stats)
+        b, t = x.shape[0], x.shape[1]
 
-        def forward(params, x):
+        def forward(params, xx):
             return _apply(
-                state, params, x, train=True, rngs={"dropout": k_drop},
+                st, params, xx, train=True, rngs={"dropout": k_drop},
                 want_intermediates=want_aux,
             )
 
@@ -278,10 +291,10 @@ def make_video_train_step(
             forward = jax.checkpoint(forward)
 
         def loss_of(params):
-            (tokens, recon), mut = forward(params, noisy)
+            (tokens, recon), mut = forward(params, x)
             # MS-SSIM is a 2D metric: fold frames into batch.
             flat_r = recon.reshape((b * t,) + recon.shape[2:])
-            flat_c = clean.reshape((b * t,) + clean.shape[2:])
+            flat_c = y.reshape((b * t,) + y.shape[2:])
             total = loss_fn_inner(flat_r, flat_c)
             if want_aux:
                 from tchvp_tpu.ops.moe import total_load_balance_loss
@@ -293,14 +306,64 @@ def make_video_train_step(
 
         (loss_val, (recon, new_stats, aux)), grads = jax.value_and_grad(
             loss_of, has_aux=True
-        )(state.params)
+        )(params)
+        return grads, loss_val, losses.mse(recon, y), new_stats, aux
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
+        clean = pipeline.preprocess_clip(batch, image_size)
+        rng, k_noise, k_drop = jax.random.split(state.rng, 3)
+        noisy = pipeline.gaussian_noise(k_noise, clean, noise_std)
+
+        if accum_steps <= 1:
+            grads, loss_val, mse_val, new_stats, aux = grads_of(
+                state, state.params, state.batch_stats, noisy, clean, k_drop
+            )
+        else:
+            b = clean.shape[0]
+            if b % accum_steps != 0:
+                raise ValueError(
+                    f"batch {b} not divisible by accum_steps {accum_steps}"
+                )
+            mb = b // accum_steps
+            xs = noisy.reshape((accum_steps, mb) + noisy.shape[1:])
+            ys = clean.reshape((accum_steps, mb) + clean.shape[1:])
+            ks = jax.random.split(k_drop, accum_steps)
+
+            def body(carry, inp):
+                g_acc, bstats, loss_acc, mse_acc, aux_acc = carry
+                x, y, k = inp
+                g, l, m, ns, a = grads_of(state, state.params, bstats, x, y, k)
+                carry = (
+                    jax.tree.map(jnp.add, g_acc, g),
+                    ns if ns is not None else bstats,
+                    loss_acc + l,
+                    mse_acc + m,
+                    aux_acc + a,
+                )
+                return carry, None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, new_stats, loss_sum, mse_sum, aux_sum), _ = jax.lax.scan(
+                body,
+                (zero_g, state.batch_stats, jnp.float32(0.0),
+                 jnp.float32(0.0), jnp.float32(0.0)),
+                (xs, ys, ks),
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, g_sum)
+            loss_val, mse_val, aux = loss_sum * inv, mse_sum * inv, aux_sum * inv
+
         if fsdp_axis is not None:
             from tchvp_tpu.parallel import fsdp
 
             grads = fsdp.constrain_gradients(grads, fsdp_axis, mesh=fsdp_mesh)
         state = state.apply_gradients(grads=grads)
         state = state.replace(rng=rng, batch_stats=new_stats or state.batch_stats)
-        metrics = {"loss": loss_val, "psnr": losses.psnr(recon, clean)}
+        # PSNR from the accumulated mean MSE: equal-size microbatches make
+        # it the global-batch PSNR, identical to the monolithic metric.
+        psnr_val = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse_val))
+        metrics = {"loss": loss_val, "psnr": psnr_val}
         if want_aux:
             metrics["moe_aux"] = aux
         return state, metrics
