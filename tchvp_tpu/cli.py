@@ -33,6 +33,23 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--loss", default=None)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--schedule", default=None,
+                   choices=("constant", "cosine"),
+                   help="LR schedule (default: constant, reference parity)")
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--total-steps", type=int, default=0,
+                   help="decay horizon for --schedule cosine")
+    p.add_argument("--min-lr-ratio", type=float, default=0.0)
+
+
+def _sched_kwargs(args):
+    """LR-schedule TrainConfig fields from the common CLI flags."""
+    return dict(
+        schedule=args.schedule,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.total_steps,
+        min_lr_ratio=args.min_lr_ratio,
+    )
 
 
 def _mesh(args):
@@ -72,6 +89,7 @@ def cmd_denoise(args) -> None:
         lr=args.lr,
         checkpoint_dir=args.checkpoint_dir,
         batch_size=args.batch_size,
+        **_sched_kwargs(args),
     )
     train, val, test = _image_data(args, supervised=False)
     flow = DenoisingFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
@@ -87,6 +105,7 @@ def cmd_segment(args) -> None:
         loss=args.loss or "dice",
         lr=args.lr,
         checkpoint_dir=args.checkpoint_dir,
+        **_sched_kwargs(args),
     )
     train, _, test = _image_data(args, supervised=True)
     flow = SegmentationFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
@@ -167,6 +186,7 @@ def cmd_video(args) -> None:
         lr=args.lr,
         checkpoint_dir=args.checkpoint_dir,
         moe_aux_weight=args.moe_aux_weight if args.num_experts else 0.0,
+        **_sched_kwargs(args),
     )
     model = _video_model(args)
     mesh = _mesh(args)
@@ -196,6 +216,7 @@ def cmd_transfer(args) -> None:
         model_name="latent_to_mask",
         loss="dice",
         checkpoint_dir=args.checkpoint_dir,
+        **_sched_kwargs(args),
     )
     train, _, _ = _image_data(args, supervised=True)
     flow = TransferFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))

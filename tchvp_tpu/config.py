@@ -293,6 +293,14 @@ class TrainConfig:
     # (ops/moe.py); 0.0 = not collected. Only meaningful when the model's
     # TransformerConfig.num_experts >= 2.
     moe_aux_weight: float = 0.0
+    # LR schedule (train/state.py::make_lr_schedule). The reference is
+    # constant-LR everywhere, so None/"constant" is parity; "cosine"
+    # (warmup + cosine decay to lr*min_lr_ratio at total_steps) is a
+    # TPU-build addition.
+    schedule: Optional[str] = None
+    warmup_steps: int = 0
+    total_steps: int = 0
+    min_lr_ratio: float = 0.0
 
 
 def dtype_policy(cfg: TrainConfig) -> DTypePolicy:

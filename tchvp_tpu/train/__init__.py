@@ -4,6 +4,8 @@ from tchvp_tpu.train.state import (
     TrainState,
     create_train_state,
     human_param_count,
+    lr_at,
+    make_lr_schedule,
     make_optimizer,
     param_count,
 )
@@ -17,6 +19,8 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "human_param_count",
+    "lr_at",
+    "make_lr_schedule",
     "make_optimizer",
     "param_count",
     "checkpoint",

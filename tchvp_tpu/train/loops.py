@@ -114,7 +114,9 @@ class DenoisingFlow(_FlowBase):
 
     def init_state(self, lr: Optional[float] = None) -> TrainState:
         cfg = self.cfg
-        tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0)
+        tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
+                            schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
+                            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio)
         example = jnp.zeros((1, self.image_size, self.image_size, 3))
         self.state = self._replicate(
             create_train_state(
@@ -241,7 +243,9 @@ class SegmentationFlow(_FlowBase):
 
     def init_state(self, lr: Optional[float] = None) -> TrainState:
         cfg = self.cfg
-        tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0)
+        tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
+                            schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
+                            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio)
         example = jnp.zeros((1, self.image_size, self.image_size, 3))
         self.state = self._replicate(
             create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))
@@ -390,7 +394,9 @@ class TransferFlow(_FlowBase):
     ) -> TrainState:
         cfg = self.cfg
         tx = make_optimizer(
-            lr, cfg.weight_decay, grad_clip_norm=1.0, frozen_prefixes=("encoder",)
+            lr, cfg.weight_decay, grad_clip_norm=1.0, frozen_prefixes=("encoder",),
+            schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
+            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio,
         )
         example = jnp.zeros((1, self.image_size, self.image_size, 3))
         state = create_train_state(
@@ -525,7 +531,9 @@ class VideoFlow(_FlowBase):
 
     def init_state(self, clip_len: int, lr: Optional[float] = None) -> TrainState:
         cfg = self.cfg
-        tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0)
+        tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
+                            schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
+                            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio)
         example = jnp.zeros((1, clip_len, self.image_size, self.image_size, 3))
         self.state = self._replicate(
             create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))

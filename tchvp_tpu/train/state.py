@@ -42,12 +42,52 @@ def create_train_state(
     )
 
 
+def make_lr_schedule(
+    lr: float,
+    schedule: Optional[str] = None,
+    warmup_steps: int = 0,
+    total_steps: int = 0,
+    min_lr_ratio: float = 0.0,
+):
+    """A scalar LR or an optax schedule (build-new: the reference trains
+    at a constant LR everywhere — FCT.py:305, Model.py:153, AE_32K L250
+    — so every schedule here is a TPU-build addition, not parity).
+
+    * ``None``/``"constant"``: constant ``lr``, with an optional linear
+      warmup from 0 over ``warmup_steps`` (then held).
+    * ``"cosine"``: linear warmup over ``warmup_steps`` then cosine decay
+      to ``lr * min_lr_ratio`` at ``total_steps`` (required > 0).
+    """
+    if schedule in (None, "constant"):
+        if warmup_steps > 0:
+            return optax.linear_schedule(0.0, lr, warmup_steps)
+        return lr
+    if schedule == "cosine":
+        if total_steps <= 0:
+            raise ValueError("cosine schedule needs total_steps > 0")
+        return optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps, total_steps, end_value=lr * min_lr_ratio
+        )
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
+def lr_at(schedule, step: int) -> float:
+    """Current learning rate for logging (scalar schedules included)."""
+    if callable(schedule):
+        return float(schedule(step))
+    return float(schedule)
+
+
 def make_optimizer(
     lr: float,
     weight_decay: float = 0.01,
     grad_clip_norm: Optional[float] = None,
     frozen_prefixes: Sequence[str] = (),
     skip_nonfinite_updates: int = 0,
+    schedule: Optional[str] = None,
+    warmup_steps: int = 0,
+    total_steps: int = 0,
+    min_lr_ratio: float = 0.0,
 ) -> optax.GradientTransformation:
     """AdamW (the reference's optimizer everywhere: FCT.py:305, Model.py:153,
     AE_32K L250) with optional global-norm clipping and frozen subtrees.
@@ -61,11 +101,17 @@ def make_optimizer(
     (in-graph failure protection, survey §5.3 build-new subsystem); after
     ``n`` consecutive bad steps updates pass through again so divergence
     surfaces instead of silently spinning.
+
+    ``schedule``/``warmup_steps``/``total_steps``/``min_lr_ratio``: see
+    :func:`make_lr_schedule` (constant LR when unset — reference parity).
     """
     chain = []
     if grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    chain.append(optax.adamw(lr, weight_decay=weight_decay))
+    lr_sched = make_lr_schedule(
+        lr, schedule, warmup_steps, total_steps, min_lr_ratio
+    )
+    chain.append(optax.adamw(lr_sched, weight_decay=weight_decay))
     tx = optax.chain(*chain)
     if frozen_prefixes:
 
