@@ -40,6 +40,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--total-steps", type=int, default=0,
                    help="decay horizon for --schedule cosine")
     p.add_argument("--min-lr-ratio", type=float, default=0.0)
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="EMA parameter averaging decay (e.g. 0.999); "
+                        "0 = off (reference parity)")
 
 
 def _sched_kwargs(args):
@@ -49,6 +52,7 @@ def _sched_kwargs(args):
         warmup_steps=args.warmup_steps,
         total_steps=args.total_steps,
         min_lr_ratio=args.min_lr_ratio,
+        ema_decay=args.ema_decay,
     )
 
 

@@ -301,6 +301,9 @@ class TrainConfig:
     warmup_steps: int = 0
     total_steps: int = 0
     min_lr_ratio: float = 0.0
+    # EMA (Polyak) parameter averaging, kept in the optimizer state
+    # (train/state.py::param_ema); 0.0 = off (reference parity).
+    ema_decay: float = 0.0
 
 
 def dtype_policy(cfg: TrainConfig) -> DTypePolicy:

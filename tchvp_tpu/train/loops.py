@@ -116,7 +116,8 @@ class DenoisingFlow(_FlowBase):
         cfg = self.cfg
         tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
                             schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
-                            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio)
+                            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio,
+                            ema_decay=cfg.ema_decay)
         example = jnp.zeros((1, self.image_size, self.image_size, 3))
         self.state = self._replicate(
             create_train_state(
@@ -245,7 +246,8 @@ class SegmentationFlow(_FlowBase):
         cfg = self.cfg
         tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
                             schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
-                            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio)
+                            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio,
+                            ema_decay=cfg.ema_decay)
         example = jnp.zeros((1, self.image_size, self.image_size, 3))
         self.state = self._replicate(
             create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))
@@ -397,6 +399,7 @@ class TransferFlow(_FlowBase):
             lr, cfg.weight_decay, grad_clip_norm=1.0, frozen_prefixes=("encoder",),
             schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
             total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio,
+            ema_decay=cfg.ema_decay,
         )
         example = jnp.zeros((1, self.image_size, self.image_size, 3))
         state = create_train_state(
@@ -533,7 +536,8 @@ class VideoFlow(_FlowBase):
         cfg = self.cfg
         tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
                             schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
-                            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio)
+                            total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio,
+                            ema_decay=cfg.ema_decay)
         example = jnp.zeros((1, clip_len, self.image_size, self.image_size, 3))
         self.state = self._replicate(
             create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))

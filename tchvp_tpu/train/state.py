@@ -9,7 +9,7 @@ subtrees.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, NamedTuple, Optional, Sequence
 
 import flax
 import jax
@@ -88,6 +88,7 @@ def make_optimizer(
     warmup_steps: int = 0,
     total_steps: int = 0,
     min_lr_ratio: float = 0.0,
+    ema_decay: float = 0.0,
 ) -> optax.GradientTransformation:
     """AdamW (the reference's optimizer everywhere: FCT.py:305, Model.py:153,
     AE_32K L250) with optional global-norm clipping and frozen subtrees.
@@ -104,6 +105,12 @@ def make_optimizer(
 
     ``schedule``/``warmup_steps``/``total_steps``/``min_lr_ratio``: see
     :func:`make_lr_schedule` (constant LR when unset — reference parity).
+
+    ``ema_decay`` > 0 chains :func:`param_ema` — EMA of the params rides
+    in the optimizer state (read back with :func:`ema_params`). Placed
+    after any frozen-subtree transform (the EMA tracks what actually
+    updates) and inside ``apply_if_finite`` (a skipped bad step must not
+    pollute the average).
     """
     chain = []
     if grad_clip_norm is not None:
@@ -124,9 +131,70 @@ def make_optimizer(
         tx = optax.multi_transform(
             {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
         )
+    if ema_decay > 0.0:
+        tx = optax.chain(tx, param_ema(ema_decay))
     if skip_nonfinite_updates > 0:
         tx = optax.apply_if_finite(tx, skip_nonfinite_updates)
     return tx
+
+
+class EmaState(NamedTuple):
+    """Exponential moving average of the PARAMETERS, kept inside the
+    optimizer state so it checkpoints/restores/shards with zero extra
+    plumbing (``checkpoint.py::_retype`` matches fields by name;
+    ``parallel/fsdp.py`` shards it like the params it mirrors)."""
+
+    ema: Any
+
+
+def param_ema(decay: float) -> optax.GradientTransformation:
+    """Polyak/EMA parameter averaging as an optax transformation.
+
+    Build-new (the reference keeps no parameter averages): chained AFTER
+    the optimizer core, it passes updates through untouched and tracks
+    ``ema = decay*ema + (1-decay)*(params + updates)`` — the post-update
+    parameters, since optax applies updates additively. Serve/eval with
+    :func:`ema_params`.
+    """
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"ema decay must be in (0, 1), got {decay}")
+
+    def init(params):
+        return EmaState(ema=jax.tree.map(jnp.asarray, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("param_ema requires params in tx.update")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_params
+        )
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(opt_state: Any) -> Optional[Any]:
+    """Extract the EMA parameter tree from a (possibly wrapped) optimizer
+    state, or None when the optimizer has no :class:`EmaState` (search
+    recurses through chain/multi_transform/apply_if_finite wrappers)."""
+    found = [
+        node
+        for node in jax.tree.leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, EmaState)
+        )
+        if isinstance(node, EmaState)
+    ]
+    if not found:
+        return None
+    return found[0].ema
+
+
+def with_ema_params(state: "TrainState") -> "TrainState":
+    """State with params swapped for their EMA (for eval/serving/export);
+    unchanged when the optimizer tracks no EMA."""
+    e = ema_params(state.opt_state)
+    return state if e is None else state.replace(params=e)
 
 
 def param_count(params: Any) -> int:
