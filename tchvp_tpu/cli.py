@@ -43,16 +43,20 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="EMA parameter averaging decay (e.g. 0.999); "
                         "0 = off (reference parity)")
+    p.add_argument("--async-checkpoint", action="store_true",
+                   help="background checkpoint writes (orbax async): the "
+                        "loop keeps training while the save commits")
 
 
-def _sched_kwargs(args):
-    """LR-schedule TrainConfig fields from the common CLI flags."""
+def _train_cfg_kwargs(args):
+    """Shared TrainConfig fields from the common CLI flags."""
     return dict(
         schedule=args.schedule,
         warmup_steps=args.warmup_steps,
         total_steps=args.total_steps,
         min_lr_ratio=args.min_lr_ratio,
         ema_decay=args.ema_decay,
+        async_checkpoint=args.async_checkpoint,
     )
 
 
@@ -93,7 +97,7 @@ def cmd_denoise(args) -> None:
         lr=args.lr,
         checkpoint_dir=args.checkpoint_dir,
         batch_size=args.batch_size,
-        **_sched_kwargs(args),
+        **_train_cfg_kwargs(args),
     )
     train, val, test = _image_data(args, supervised=False)
     flow = DenoisingFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
@@ -109,7 +113,7 @@ def cmd_segment(args) -> None:
         loss=args.loss or "dice",
         lr=args.lr,
         checkpoint_dir=args.checkpoint_dir,
-        **_sched_kwargs(args),
+        **_train_cfg_kwargs(args),
     )
     train, _, test = _image_data(args, supervised=True)
     flow = SegmentationFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
@@ -190,7 +194,7 @@ def cmd_video(args) -> None:
         lr=args.lr,
         checkpoint_dir=args.checkpoint_dir,
         moe_aux_weight=args.moe_aux_weight if args.num_experts else 0.0,
-        **_sched_kwargs(args),
+        **_train_cfg_kwargs(args),
     )
     model = _video_model(args)
     mesh = _mesh(args)
@@ -220,7 +224,7 @@ def cmd_transfer(args) -> None:
         model_name="latent_to_mask",
         loss="dice",
         checkpoint_dir=args.checkpoint_dir,
-        **_sched_kwargs(args),
+        **_train_cfg_kwargs(args),
     )
     train, _, _ = _image_data(args, supervised=True)
     flow = TransferFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))

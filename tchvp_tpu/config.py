@@ -304,6 +304,10 @@ class TrainConfig:
     # EMA (Polyak) parameter averaging, kept in the optimizer state
     # (train/state.py::param_ema); 0.0 = off (reference parity).
     ema_decay: float = 0.0
+    # Background (async) checkpoint writes: the train loop queues the
+    # save and keeps stepping while orbax's thread commits to disk
+    # (train/checkpoint.py::save_state(async_write=)).
+    async_checkpoint: bool = False
 
 
 def dtype_policy(cfg: TrainConfig) -> DTypePolicy:

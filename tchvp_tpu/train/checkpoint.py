@@ -27,6 +27,28 @@ def _to_host(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+# One process-wide AsyncCheckpointer: orbax serializes its own queue, and
+# sharing it lets wait_for_async_saves() drain everything in flight.
+_ASYNC: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_async_saves() -> None:
+    """Block until every async :func:`save_state` has committed to disk.
+
+    Call before process exit and before reading a just-written step dir.
+    The restore/discovery helpers here call it themselves.
+    """
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+
+
 def save_state(
     directory: str,
     step: int,
@@ -34,8 +56,17 @@ def save_state(
     opt_state: Any = None,
     batch_stats: Any = None,
     extra: Optional[Dict[str, Any]] = None,
+    async_write: bool = False,
 ) -> str:
-    """Save a full training state under ``directory/step_{step}``."""
+    """Save a full training state under ``directory/step_{step}``.
+
+    ``async_write=True`` (survey §5.4, build-new): the device->host copy
+    happens now (cheap), but the disk write runs on orbax's background
+    thread so the train loop overlaps IO with the next steps — the knob
+    that matters when checkpoints are hundreds of MB and steps are ms.
+    The write is atomic (orbax tmp-dir rename) and
+    :func:`wait_for_async_saves` / any restore helper joins it.
+    """
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     payload = {"params": _to_host(params), "step": step}
     if opt_state is not None:
@@ -44,13 +75,16 @@ def save_state(
         payload["batch_stats"] = _to_host(batch_stats)
     if extra:
         payload["extra"] = _to_host(extra)
-    ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(path, payload, force=True)
+    if async_write:
+        _async_checkpointer().save(path, payload, force=True)
+    else:
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
     return path
 
 
 def restore_state(path: str, template: Optional[Any] = None) -> Dict[str, Any]:
     """Restore a full training state saved by :func:`save_state`."""
+    wait_for_async_saves()  # a just-queued async save must be readable
     ckpt = ocp.PyTreeCheckpointer()
     if template is not None:
         return ckpt.restore(path, item=template)
@@ -153,6 +187,7 @@ def restore_subtree(path: str, keys: Sequence[str]) -> Dict[str, Any]:
 def latest_step_dir(directory: str) -> Optional[str]:
     """Most recent ``step_*`` checkpoint under ``directory`` for resume
     (the reference's manual ``start`` epoch rewiring, FCT.py:312)."""
+    wait_for_async_saves()  # in-flight async dirs must be visible/complete
     directory = os.path.abspath(directory)
     if not os.path.isdir(directory):
         return None

@@ -173,10 +173,12 @@ class DenoisingFlow(_FlowBase):
                     self.state.opt_state,
                     self.state.batch_stats,
                     extra={"best_val_psnr": best_val_psnr},
+                    async_write=cfg.async_checkpoint,
                 )
                 if test_data is not None:
                     test_psnr = self.test(test_data, epoch)
                     self._log("PSNR/Test", test_psnr, epoch)
+        ckpt.wait_for_async_saves()
         return self.state
 
     def validate(self, val_data: Iterable) -> float:
@@ -306,7 +308,9 @@ class SegmentationFlow(_FlowBase):
                         "loss": sums["loss"],
                         "loss_history": np.asarray(self.loss_history, np.float64),
                     },
+                    async_write=cfg.async_checkpoint,
                 )
+        ckpt.wait_for_async_saves()
         return self.state
 
     def _save_sneakpeek(self, epoch: int, batch) -> None:
@@ -450,7 +454,9 @@ class TransferFlow(_FlowBase):
                     self.state.params,
                     self.state.opt_state,
                     self.state.batch_stats,
+                    async_write=self.cfg.async_checkpoint,
                 )
+        ckpt.wait_for_async_saves()
         return self.state
 
     def _predict(self, image_u8: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -619,5 +625,7 @@ class VideoFlow(_FlowBase):
                     self.state.params,
                     self.state.opt_state,
                     self.state.batch_stats,
+                    async_write=self.cfg.async_checkpoint,
                 )
+        ckpt.wait_for_async_saves()
         return self.state
