@@ -46,6 +46,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--async-checkpoint", action="store_true",
                    help="background checkpoint writes (orbax async): the "
                         "loop keeps training while the save commits")
+    p.add_argument("--keep-checkpoints", type=int, default=0,
+                   help="keep only the newest N step checkpoints "
+                        "(0 = keep all)")
 
 
 def _train_cfg_kwargs(args):
@@ -57,6 +60,7 @@ def _train_cfg_kwargs(args):
         min_lr_ratio=args.min_lr_ratio,
         ema_decay=args.ema_decay,
         async_checkpoint=args.async_checkpoint,
+        keep_checkpoints=args.keep_checkpoints,
     )
 
 
@@ -381,12 +385,50 @@ def _infer_exported(args) -> None:
     print(msg)
 
 
+def _infer_url(args) -> None:
+    """Remote-client mode: POST every batch to a running `tchvp serve`
+    endpoint (infer/server.py) — the serving host owns the accelerator;
+    this process only decodes clips and scores PSNR."""
+    import time
+
+    import numpy as np
+
+    from tchvp_tpu.infer.server import post_npy
+
+    url = args.url.rstrip("/") + "/infer"
+    data = _clip_data(args, args.image_size)
+    frames, psnrs, t0 = 0, [], None
+    for batch in data:
+        raw = np.asarray(batch, dtype=np.uint8)
+        rec32 = np.asarray(post_npy(url, raw), np.float32)
+        from tchvp_tpu.data.pipeline import preprocess_clip
+
+        clip32 = np.asarray(preprocess_clip(raw, args.image_size), np.float32)
+        mse = float(np.mean((clip32 - rec32) ** 2))
+        psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+        if t0 is None:
+            t0 = time.perf_counter()  # exclude the first (warmup) call
+        else:
+            frames += raw.shape[0] * raw.shape[1]
+    if not psnrs:
+        print(f"no batches to send to {args.url}")
+        return
+    msg = (
+        f"served {len(psnrs)} batches via {args.url}, "
+        f"mean PSNR {np.mean(psnrs):.2f} dB"
+    )
+    if frames and t0 is not None:
+        msg += f", {frames / (time.perf_counter() - t0):.1f} frames/s (post-warmup)"
+    print(msg)
+
+
 def cmd_infer(args) -> None:
     """Batched clip inference from a trained checkpoint: reconstruct every
     clip, report PSNR + throughput, optionally dump input|output frame
     pairs. ``--microbatch`` runs over-HBM batches as sequential lax.map
     groups (the BASELINE config-2 spec-batch path). ``--exported`` serves
-    a `tchvp export` artifact instead."""
+    a `tchvp export` artifact instead; ``--url`` posts batches to a
+    running `tchvp serve` endpoint."""
     import time
 
     import jax
@@ -399,6 +441,8 @@ def cmd_infer(args) -> None:
     from tchvp_tpu.train import checkpoint as ckpt
     from tchvp_tpu.utils.imaging import save_side_by_side
 
+    if getattr(args, "url", None):
+        return _infer_url(args)
     if args.exported:
         return _infer_exported(args)
     size = args.image_size
@@ -571,6 +615,30 @@ def cmd_export(args) -> None:
     )
 
 
+def cmd_serve(args) -> None:
+    """HTTP serving daemon around a `tchvp export` artifact
+    (infer/server.py): POST .npy batches to /infer, GET /health."""
+    from tchvp_tpu.infer.server import serve_artifact
+
+    if not args.exported:
+        raise SystemExit("serve: provide --exported (a .tchvp artifact)")
+    buckets = (tuple(int(b) for b in args.buckets.split(","))
+               if args.buckets else None)
+    print(f"warming buckets {list(buckets) if buckets else '(off)'} — "
+          f"one compile per bucket, minutes each over a tunnel...", flush=True)
+    srv = serve_artifact(args.exported, args.host, args.port, buckets=buckets)
+    host, port = srv.address
+    print(f"serving {args.exported} on http://{host}:{port} "
+          f"(platforms {list(srv.model.platforms)}, "
+          f"buckets {list(srv.buckets) if srv.buckets else 'off'}) — "
+          f"POST /infer, GET /health",
+          flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
 def cmd_port(args) -> None:
     """Convert a reference PyTorch checkpoint into an orbax checkpoint
     that every tchvp flow can restore: the migration path for users
@@ -637,6 +705,7 @@ def main(argv=None) -> None:
         ("stream", cmd_stream),
         ("infer", cmd_infer),
         ("export", cmd_export),
+        ("serve", cmd_serve),
         ("port", cmd_port),
     ):
         p = sub.add_parser(name)
@@ -675,6 +744,9 @@ def main(argv=None) -> None:
             p.add_argument("--exported", default=None,
                            help="serve a .tchvp AOT artifact "
                                 "(`tchvp export`) instead of a checkpoint")
+            p.add_argument("--url", default=None,
+                           help="POST batches to a running `tchvp serve` "
+                                "endpoint instead of inferring locally")
             p.add_argument("--clip-len", type=int, default=8)
             p.add_argument("--microbatch", type=int, default=0)
             p.add_argument("--out-dir", default=None)
@@ -702,6 +774,15 @@ def main(argv=None) -> None:
             p.add_argument("--static-batch", action="store_true",
                            help="pin the batch dim instead of exporting "
                                 "it symbolically")
+        if name == "serve":
+            p.add_argument("--exported", default=None,
+                           help=".tchvp artifact (tchvp export)")
+            p.add_argument("--host", default="127.0.0.1")
+            p.add_argument("--port", type=int, default=8765)
+            p.add_argument("--buckets", default="1",
+                           help="comma-separated batch buckets compiled at "
+                                "startup; requests are padded/split to "
+                                "these sizes (empty string disables)")
         if name == "port":
             p.add_argument("--checkpoint", default=None,
                            help="reference torch .tar/.pth file")

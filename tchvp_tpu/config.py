@@ -308,6 +308,10 @@ class TrainConfig:
     # save and keeps stepping while orbax's thread commits to disk
     # (train/checkpoint.py::save_state(async_write=)).
     async_checkpoint: bool = False
+    # Keep only the newest N step_* checkpoints (disk rotation,
+    # train/checkpoint.py::prune_step_dirs); 0 = keep all (reference
+    # behavior: its .tar files accumulate forever).
+    keep_checkpoints: int = 0
 
 
 def dtype_policy(cfg: TrainConfig) -> DTypePolicy:

@@ -1,5 +1,6 @@
 """Inference engines (serving-side optimizations over the flax models)."""
 
+from tchvp_tpu.infer.server import ArtifactServer, post_npy, serve_artifact
 from tchvp_tpu.infer.export import (
     ServingModel,
     export_int8_video_model,
@@ -15,6 +16,9 @@ from tchvp_tpu.infer.quant import (
 )
 
 __all__ = [
+    "ArtifactServer",
+    "post_npy",
+    "serve_artifact",
     "Int8Engine",
     "ServingModel",
     "calibrate_conv_scales",

@@ -1,0 +1,278 @@
+"""HTTP serving daemon for exported ``.tchvp`` artifacts.
+
+The reference's "deployment" is re-running its training scripts' eager
+inference blocks by hand (``/root/reference/FCT.py:410-412``,
+``Model.py:211-212`` run-on-import). The TPU-native serving story
+separates build from serve: ``tchvp export`` produces the AOT artifact
+(``infer/export.py``), and this daemon turns it into a network endpoint
+with zero model code — the serving host needs jax + this module, nothing
+else.
+
+Protocol (deliberately stdlib-only on both ends):
+
+* ``GET /health`` -> JSON: status, artifact platforms/meta, request and
+  frame counters, last-request latency.
+* ``POST /infer`` with an ``.npy``-encoded batch body (``np.save``
+  format, e.g. uint8 clips ``(B, T, H, W, 3)`` for the flagship
+  artifact) -> ``.npy``-encoded output array.
+
+Batch-polymorphic artifacts (the export default) serve any batch size —
+but XLA still compiles once per concrete batch size, and over a tunneled
+TPU a cold compile is minutes, during which the request holds the infer
+lock and every later request convoys behind it. So the daemon serves
+through **batch buckets**: each request is padded up to the smallest
+configured bucket (splitting batches larger than the biggest bucket into
+bucket-sized chunks), and every bucket is compiled at startup — steady
+state never compiles. Padding is sound because every artifact maps clips
+independently along the batch dim (inference uses running batch stats,
+never cross-batch reductions); the pad rows are sliced off before the
+response.
+
+Requests serialize through a lock: one accelerator, one program —
+concurrency belongs in the batch dimension, so clients should batch, not
+fan out connections (the classic serving recipe this daemon encodes).
+``/health`` splits ``last_queue_ms`` (lock wait) from ``last_infer_ms``
+(device time) and reports ``inflight`` so a convoy is visible.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from tchvp_tpu.infer.export import ServingModel, load_artifact
+
+_NPY_CONTENT_TYPE = "application/x-npy"
+
+
+class _Stats:
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.frames = 0
+        self.errors = 0
+        self.inflight = 0
+        self.last_latency_ms: Optional[float] = None
+        self.last_queue_ms: Optional[float] = None
+        self.last_infer_ms: Optional[float] = None
+
+    def enter(self) -> None:
+        with self.lock:
+            self.inflight += 1
+
+    def record(self, frames: int, queue_ms: float, infer_ms: float) -> None:
+        with self.lock:
+            self.inflight -= 1
+            self.requests += 1
+            self.frames += frames
+            self.last_queue_ms = queue_ms
+            self.last_infer_ms = infer_ms
+            self.last_latency_ms = queue_ms + infer_ms
+
+    def record_error(self, inflight: bool = False) -> None:
+        with self.lock:
+            self.errors += 1
+            if inflight:
+                self.inflight -= 1
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            return {
+                "requests": self.requests,
+                "frames": self.frames,
+                "errors": self.errors,
+                "inflight": self.inflight,
+                "last_latency_ms": self.last_latency_ms,
+                "last_queue_ms": self.last_queue_ms,
+                "last_infer_ms": self.last_infer_ms,
+            }
+
+
+def _bucketed_call(model: ServingModel, batch: np.ndarray,
+                   buckets: Tuple[int, ...]) -> np.ndarray:
+    """Run ``batch`` through the program at bucket batch sizes only.
+
+    Pads up to the smallest bucket >= B; batches beyond the largest
+    bucket are split into largest-bucket chunks (remainder padded). Pad
+    rows are zeros and are sliced off the output — sound because the
+    artifact maps clips independently along the batch dim.
+    """
+    b = int(batch.shape[0])
+    cap = buckets[-1]
+    outs = []
+    for start in range(0, b, cap):
+        chunk = batch[start:start + cap]
+        n = int(chunk.shape[0])
+        size = next(s for s in buckets if s >= n)
+        if size > n:
+            pad = np.zeros((size - n,) + chunk.shape[1:], chunk.dtype)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        outs.append(np.asarray(model(chunk))[:n])
+    return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
+
+
+def _make_handler(model: ServingModel, stats: _Stats,
+                  infer_lock: threading.Lock,
+                  buckets: Optional[Tuple[int, ...]]):
+    class Handler(BaseHTTPRequestHandler):
+        # Quiet by default; the CLI prints its own line per request.
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _reply(self, code: int, body: bytes, content_type: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code: int, obj: Any) -> None:
+            self._reply(code, json.dumps(obj).encode("utf-8"), "application/json")
+
+        def do_GET(self) -> None:  # noqa: N802
+            if self.path != "/health":
+                self._reply_json(404, {"error": f"unknown path {self.path}"})
+                return
+            self._reply_json(200, {
+                "status": "ok",
+                "platforms": list(model.platforms),
+                "meta": model.meta,
+                **stats.snapshot(),
+            })
+
+        def do_POST(self) -> None:  # noqa: N802
+            if self.path != "/infer":
+                self._reply_json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                batch = np.load(io.BytesIO(self.rfile.read(n)),
+                                allow_pickle=False)
+            except Exception as e:  # malformed body -> client error
+                stats.record_error()
+                self._reply_json(400, {"error": f"bad .npy body: {e}"})
+                return
+            if batch.ndim == 0 or batch.shape[0] == 0:
+                stats.record_error()
+                self._reply_json(400, {"error": "empty batch"})
+                return
+            stats.enter()
+            try:
+                t0 = time.perf_counter()
+                with infer_lock:
+                    t1 = time.perf_counter()
+                    if buckets:
+                        out = _bucketed_call(model, batch, buckets)
+                    else:
+                        out = np.asarray(model(batch))
+                t2 = time.perf_counter()
+            except Exception as e:  # wrong shape/dtype for the program
+                stats.record_error(inflight=True)
+                self._reply_json(400, {"error": str(e)})
+                return
+            frames = int(batch.shape[0] * batch.shape[1]) if batch.ndim >= 2 \
+                else int(batch.shape[0])
+            stats.record(frames, (t1 - t0) * 1e3, (t2 - t1) * 1e3)
+            if out.dtype.kind not in "biufc":
+                # ml_dtypes (bfloat16, ...) serialize as opaque void ("|V2")
+                # in .npy — clients can't decode that. Widen to f32
+                # (lossless from bf16) so the wire stays stdlib-numpy.
+                out = out.astype(np.float32)
+            buf = io.BytesIO()
+            np.save(buf, out, allow_pickle=False)
+            self._reply(200, buf.getvalue(), _NPY_CONTENT_TYPE)
+
+    return Handler
+
+
+class ArtifactServer:
+    """A running HTTP endpoint around one loaded artifact.
+
+    ``port=0`` binds an ephemeral port (read it back from ``.port``) —
+    the test/bench-friendly default. ``start()`` runs the accept loop on
+    a daemon thread; ``serve_forever()`` blocks (the CLI path).
+    """
+
+    def __init__(self, model: ServingModel, host: str = "127.0.0.1",
+                 port: int = 0,
+                 buckets: Optional[Tuple[int, ...]] = None):
+        self.model = model
+        self.stats = _Stats()
+        self.buckets = tuple(sorted(set(buckets))) if buckets else None
+        if self.buckets and self.buckets[0] < 1:
+            raise ValueError(f"buckets must be >= 1, got {self.buckets}")
+        self._infer_lock = threading.Lock()
+        self._httpd = ThreadingHTTPServer(
+            (host, port),
+            _make_handler(model, self.stats, self._infer_lock, self.buckets),
+        )
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    @property
+    def port(self) -> int:
+        return int(self._httpd.server_address[1])
+
+    def start(self) -> "ArtifactServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+
+def serve_artifact(path: str, host: str = "127.0.0.1", port: int = 0,
+                   warmup: bool = True,
+                   buckets: Optional[Tuple[int, ...]] = (1,)) -> ArtifactServer:
+    """Load a ``.tchvp`` artifact and bind (but not start) a server.
+
+    ``buckets`` is the set of batch sizes the program will ever run at
+    (default ``(1,)``: every request splits into batch-1 calls — zero
+    surprise compiles, pick bigger buckets for throughput). ``None``
+    disables bucketing: requests run at their own batch size and a new
+    size pays a cold compile *while holding the infer lock* — only sane
+    off-tunnel. ``warmup=True`` compiles every bucket before the server
+    takes traffic, so steady-state requests never compile.
+    """
+    model = load_artifact(path)
+    if warmup:
+        meta = model.meta.get("meta", {})
+        size = int(meta.get("image_size", 0) or 0)
+        clip = int(meta.get("clip_len", 0) or 0)
+        if size and clip:
+            for b in (buckets or (1,)):
+                model(np.zeros((b, clip, size, size, 3), np.uint8))
+    return ArtifactServer(model, host, port, buckets=buckets)
+
+
+def post_npy(url: str, array: np.ndarray, timeout: float = 600.0) -> np.ndarray:
+    """Stdlib client helper: POST an array to ``/infer``, return the
+    output array (also what the tests and `tchvp infer --url` use)."""
+    import urllib.request
+
+    buf = io.BytesIO()
+    np.save(buf, array, allow_pickle=False)
+    req = urllib.request.Request(
+        url, data=buf.getvalue(),
+        headers={"Content-Type": _NPY_CONTENT_TYPE}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return np.load(io.BytesIO(resp.read()), allow_pickle=False)

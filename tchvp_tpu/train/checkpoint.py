@@ -184,6 +184,33 @@ def restore_subtree(path: str, keys: Sequence[str]) -> Dict[str, Any]:
     return {k: params[k] for k in keys}
 
 
+def prune_step_dirs(directory: str, keep_last: int) -> int:
+    """Delete all but the newest ``keep_last`` ``step_*`` checkpoints.
+
+    Disk-budget rotation (build-new; the reference accumulates ``.tar``
+    files forever — FCT.py:368, AE_32K L301). Joins in-flight async
+    saves first so a dir mid-write is never removed. Returns the number
+    of directories deleted. ``keep_last <= 0`` keeps everything.
+    """
+    import shutil
+
+    if keep_last <= 0:
+        return 0
+    wait_for_async_saves()
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        return 0
+    steps = sorted(
+        (int(d.split("_", 1)[1]), d)
+        for d in os.listdir(directory)
+        if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+    )
+    doomed = steps[:-keep_last] if keep_last < len(steps) else []
+    for _, d in doomed:
+        shutil.rmtree(os.path.join(directory, d), ignore_errors=True)
+    return len(doomed)
+
+
 def latest_step_dir(directory: str) -> Optional[str]:
     """Most recent ``step_*`` checkpoint under ``directory`` for resume
     (the reference's manual ``start`` epoch rewiring, FCT.py:312)."""

@@ -175,6 +175,9 @@ class DenoisingFlow(_FlowBase):
                     extra={"best_val_psnr": best_val_psnr},
                     async_write=cfg.async_checkpoint,
                 )
+                ckpt.prune_step_dirs(
+                    self.cfg.checkpoint_dir, self.cfg.keep_checkpoints
+                )
                 if test_data is not None:
                     test_psnr = self.test(test_data, epoch)
                     self._log("PSNR/Test", test_psnr, epoch)
@@ -309,6 +312,9 @@ class SegmentationFlow(_FlowBase):
                         "loss_history": np.asarray(self.loss_history, np.float64),
                     },
                     async_write=cfg.async_checkpoint,
+                )
+                ckpt.prune_step_dirs(
+                    self.cfg.checkpoint_dir, self.cfg.keep_checkpoints
                 )
         ckpt.wait_for_async_saves()
         return self.state
@@ -455,6 +461,9 @@ class TransferFlow(_FlowBase):
                     self.state.opt_state,
                     self.state.batch_stats,
                     async_write=self.cfg.async_checkpoint,
+                )
+                ckpt.prune_step_dirs(
+                    self.cfg.checkpoint_dir, self.cfg.keep_checkpoints
                 )
         ckpt.wait_for_async_saves()
         return self.state
@@ -626,6 +635,9 @@ class VideoFlow(_FlowBase):
                     self.state.opt_state,
                     self.state.batch_stats,
                     async_write=self.cfg.async_checkpoint,
+                )
+                ckpt.prune_step_dirs(
+                    self.cfg.checkpoint_dir, self.cfg.keep_checkpoints
                 )
         ckpt.wait_for_async_saves()
         return self.state

@@ -1,0 +1,116 @@
+"""HTTP serving daemon (infer/server.py, `tchvp serve`).
+
+One exported artifact behind a localhost endpoint: .npy in, .npy out,
+bit-identical to calling the loaded artifact directly, health/stats
+live, malformed requests rejected without killing the server.
+"""
+
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tchvp_tpu.config import flagship_video_config
+from tchvp_tpu.infer import export as export_lib
+from tchvp_tpu.infer.server import post_npy, serve_artifact
+from tchvp_tpu.models import VideoHybridNet
+
+SIZE = 32
+CLIP_LEN = 4
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    cfg = flagship_video_config(image_size=SIZE)
+    model = VideoHybridNet(config=cfg)
+    vs = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, CLIP_LEN, SIZE, SIZE, 3))
+    )
+    exported, w = export_lib.export_video_model(
+        model, vs, clip_len=CLIP_LEN, image_size=SIZE
+    )
+    path = str(tmp_path_factory.mktemp("srv") / "m.tchvp")
+    export_lib.save_artifact(
+        path, exported, w,
+        meta={"model": "hybrid", "image_size": SIZE, "clip_len": CLIP_LEN},
+    )
+    # buckets (1, 2): batch 2 pads nothing, batch 1 pads nothing,
+    # batch 3+ splits into 2+pad(1->2) chunks.
+    srv = serve_artifact(path, port=0, buckets=(1, 2))  # ephemeral port
+    srv.start()
+    yield srv
+    srv.shutdown()
+
+
+def _batch(b, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 255, (b, CLIP_LEN, SIZE, SIZE, 3), dtype=np.uint8
+    )
+
+
+def test_infer_roundtrip_matches_direct_call(served):
+    batch = _batch(2, seed=3)
+    url = f"http://127.0.0.1:{served.port}/infer"
+    got = post_npy(url, batch)
+    # Wire dtype is stdlib-numpy: bf16 outputs widen to f32 (lossless),
+    # so a jax-free client can decode the response.
+    assert got.dtype == np.float32
+    want = np.asarray(served.model(batch)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0)  # same program, same bits
+    # Symbolic batch dim: a different batch size on the same endpoint.
+    got1 = post_npy(url, _batch(1, seed=4))
+    assert got1.shape[0] == 1
+
+
+def test_bucketed_batches_match_exact_batch(served):
+    """Pad-to-bucket and split-over-cap must be bit-identical to running
+    the true batch through the program (pad rows cannot leak)."""
+    url = f"http://127.0.0.1:{served.port}/infer"
+    for b in (3, 5):  # 3 = 2 + pad(1->2)... both exceed the cap of 2
+        batch = _batch(b, seed=10 + b)
+        got = post_npy(url, batch)
+        want = np.asarray(served.model(batch))  # direct call: exact batch
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=1e-6,
+        )
+
+
+def test_health_reports_stats(served):
+    url = f"http://127.0.0.1:{served.port}/health"
+    before = json.loads(urllib.request.urlopen(url, timeout=30).read())
+    assert before["status"] == "ok"
+    post_npy(f"http://127.0.0.1:{served.port}/infer", _batch(2, seed=5))
+    after = json.loads(urllib.request.urlopen(url, timeout=30).read())
+    assert after["requests"] == before["requests"] + 1
+    assert after["frames"] == before["frames"] + 2 * CLIP_LEN
+    assert after["last_latency_ms"] > 0
+    # latency decomposes into lock-wait + device time; nothing inflight.
+    assert after["last_latency_ms"] == pytest.approx(
+        after["last_queue_ms"] + after["last_infer_ms"]
+    )
+    assert after["inflight"] == 0
+    assert after["meta"]["meta"]["model"] == "hybrid"
+
+
+def test_malformed_and_wrong_requests_do_not_kill_server(served):
+    base = f"http://127.0.0.1:{served.port}"
+    # Garbage body -> 400 with a JSON error.
+    req = urllib.request.Request(
+        f"{base}/infer", data=b"not an npy", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # Wrong path -> 404.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{base}/nope", timeout=30)
+    assert e.value.code == 404
+    # Server still serves.
+    out = post_npy(f"{base}/infer", _batch(1, seed=6))
+    assert out.ndim == 5
