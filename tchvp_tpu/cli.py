@@ -533,28 +533,54 @@ def cmd_infer(args) -> None:
     print(msg)
 
 
+_EXPORT_IMAGE_MODELS = ("fct", "unet", "ae", "combined")
+_EXPORT_CLIP_MODELS = ("hybrid", "ae32k", "ae4k")
+
+
+def _export_model(args, size):
+    """Constructor table for `tchvp export --model` (whole zoo).
+
+    Returns ``(model, example_input, is_clip)``."""
+    import jax.numpy as jnp
+
+    name = args.model
+    if name in _EXPORT_CLIP_MODELS:
+        model = _video_model(args)
+        return model, jnp.zeros((1, 2, size, size, 3)), True
+    from tchvp_tpu.models import FCT, AutoEncoder, Image2Image2Mask, UNet
+
+    model = {
+        "fct": FCT,
+        "unet": UNet,
+        "ae": AutoEncoder,
+        "combined": Image2Image2Mask,
+    }.get(name)
+    if model is None:
+        raise SystemExit(
+            f"export: unknown --model {name!r} "
+            f"(choose from {_EXPORT_CLIP_MODELS + _EXPORT_IMAGE_MODELS})"
+        )
+    return model(), jnp.zeros((1, size, size, 3)), False
+
+
 def cmd_export(args) -> None:
-    """AOT-export the flagship serving function (uint8 clip -> recon,
+    """AOT-export a serving function (uint8 batch -> output,
     preprocessing fused in) to a .tchvp artifact via jax.export: the
     serving fleet loads StableHLO + weights, no model code, no retrace
-    (infer/export.py)."""
+    (infer/export.py). --model picks the family: clip models serve
+    (B,T,H,W,3) clips, image models (fct/unet/ae/combined) serve
+    (B,H,W,3) images."""
     import jax
     import jax.numpy as jnp
 
-    from tchvp_tpu.config import flagship_video_config
     from tchvp_tpu.infer import export as export_lib
-    from tchvp_tpu.models import VideoHybridNet
     from tchvp_tpu.train import checkpoint as ckpt
 
     if not args.out:
         raise SystemExit("export: provide --out (artifact path)")
     size = args.image_size
-    model = VideoHybridNet(
-        config=flagship_video_config(image_size=size), dtype=jnp.bfloat16
-    )
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 2, size, size, 3))
-    )
+    model, example, is_clip = _export_model(args, size)
+    variables = model.init(jax.random.PRNGKey(0), example)
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
         variables = {"params": restored["params"], **(
@@ -571,6 +597,12 @@ def cmd_export(args) -> None:
         from tchvp_tpu.data.pipeline import preprocess_clip
         from tchvp_tpu.infer import Int8Engine
 
+        if not is_clip:
+            raise SystemExit(
+                "export --int8 currently supports the clip models "
+                f"({', '.join(_EXPORT_CLIP_MODELS)}); use bf16 export or "
+                "`tchvp infer --int8` for the image models"
+            )
         data = _clip_data(args, size)
         try:
             first = next(iter(data))
@@ -589,26 +621,33 @@ def cmd_export(args) -> None:
             engine, clip_len=args.clip_len, image_size=size,
             platforms=platforms, symbolic_batch=not args.static_batch,
         )
-    else:
+    elif is_clip:
         exported, weights = export_lib.export_video_model(
             model, variables,
             clip_len=args.clip_len, image_size=size,
             platforms=platforms, symbolic_batch=not args.static_batch,
         )
+    else:
+        exported, weights = export_lib.export_image_model(
+            model, variables, image_size=size,
+            platforms=platforms, symbolic_batch=not args.static_batch,
+        )
+    clip_len = args.clip_len if is_clip else 0
     export_lib.save_artifact(
         args.out, exported, weights,
         meta={
-            "model": "hybrid",
+            "model": args.model,
             "image_size": size,
-            "clip_len": args.clip_len,
+            "clip_len": clip_len,
             "checkpoint": args.checkpoint or "",
             "int8": bool(args.int8),
         },
     )
     import os as _os
 
+    shape = f"{size}px x {args.clip_len}f" if is_clip else f"{size}px"
     print(
-        f"exported hybrid {size}px x {args.clip_len}f -> {args.out} "
+        f"exported {args.model} {shape} -> {args.out} "
         f"({_os.path.getsize(args.out) / 1e6:.1f} MB, "
         f"platforms {list(exported.platforms)}, "
         f"batch {'symbolic' if not args.static_batch else 'static'})"
@@ -759,6 +798,10 @@ def main(argv=None) -> None:
         if name == "export":
             p.add_argument("--out", default=None,
                            help="artifact path (.tchvp zip)")
+            p.add_argument("--model", default="hybrid",
+                           choices=_EXPORT_CLIP_MODELS + _EXPORT_IMAGE_MODELS,
+                           help="model family: clip models consume "
+                                "(B,T,H,W,3), image models (B,H,W,3)")
             p.add_argument("--checkpoint", default=None)
             p.add_argument("--clippack", default=None,
                            help="calibration source for --int8")

@@ -178,6 +178,45 @@ def export_video_model(
     )
 
 
+def export_image_model(
+    model,
+    variables: Any,
+    *,
+    image_size: int,
+    platforms: Optional[Sequence[str]] = None,
+    symbolic_batch: bool = True,
+    preprocess: bool = True,
+) -> Tuple[jax_export.Exported, Any]:
+    """Per-image model (FCT / UNet / AutoEncoder / combined) -> AOT
+    artifact contents: ``batch (B,H,W,3) -> output``.
+
+    Covers the reference's image workloads the same way
+    :func:`export_video_model` covers clips: uint8 in (fused
+    normalize+resize when ``preprocess=True``), eval-mode apply (running
+    batch stats, no dropout). Tuple-returning models (AutoEncoder's
+    ``(latent, recon)``, Image2Image2Mask's ``(latent, recon, mask)``)
+    serve their LAST output — the reconstruction/mask the reference's
+    own eval loops consume (``Model.py:115-132``, notebook cell 8).
+    """
+    from tchvp_tpu.data import pipeline
+
+    def fn(weights, batch):
+        x = (
+            pipeline.preprocess_images(batch, image_size)
+            if preprocess
+            else batch
+        )
+        out = model.apply(weights, x)
+        return out[-1] if isinstance(out, tuple) else out
+
+    dtype = jnp.uint8 if preprocess else jnp.float32
+    example = jnp.zeros((1, image_size, image_size, 3), dtype)
+    return export_serving(
+        fn, variables, example,
+        platforms=platforms, symbolic_batch=symbolic_batch,
+    )
+
+
 def export_int8_video_model(
     engine,
     *,

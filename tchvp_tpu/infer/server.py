@@ -176,7 +176,8 @@ def _make_handler(model: ServingModel, stats: _Stats,
                 stats.record_error(inflight=True)
                 self._reply_json(400, {"error": str(e)})
                 return
-            frames = int(batch.shape[0] * batch.shape[1]) if batch.ndim >= 2 \
+            # Frames served: B*T for 5-D clips, B for 4-D images.
+            frames = int(batch.shape[0] * batch.shape[1]) if batch.ndim == 5 \
                 else int(batch.shape[0])
             stats.record(frames, (t1 - t0) * 1e3, (t2 - t1) * 1e3)
             if out.dtype.kind not in "biufc":
@@ -257,9 +258,11 @@ def serve_artifact(path: str, host: str = "127.0.0.1", port: int = 0,
         meta = model.meta.get("meta", {})
         size = int(meta.get("image_size", 0) or 0)
         clip = int(meta.get("clip_len", 0) or 0)
-        if size and clip:
+        if size:
+            # clip_len 0 = per-image artifact (export_image_model).
+            shape = (clip, size, size, 3) if clip else (size, size, 3)
             for b in (buckets or (1,)):
-                model(np.zeros((b, clip, size, size, 3), np.uint8))
+                model(np.zeros((b,) + shape, np.uint8))
     return ArtifactServer(model, host, port, buckets=buckets)
 
 

@@ -129,6 +129,78 @@ def test_int8_engine_export_roundtrip(hybrid, tmp_path):
     )
 
 
+def test_image_model_export_roundtrip(tmp_path):
+    """export_image_model covers the per-image families: UNet masks and
+    AutoEncoder reconstructions serve from artifacts with clip_len-free
+    (B,H,W,3) inputs, matching the live eval-mode apply."""
+    from tchvp_tpu.models import UNet
+
+    model = UNet()
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    exported, w = export_lib.export_image_model(model, vs, image_size=SIZE)
+    path = str(tmp_path / "unet.tchvp")
+    export_lib.save_artifact(
+        path, exported, w,
+        meta={"model": "unet", "image_size": SIZE, "clip_len": 0},
+    )
+    m = export_lib.load_artifact(path)
+    for b, seed in ((1, 0), (3, 1)):
+        raw = jnp.asarray(np.random.default_rng(seed).integers(
+            0, 255, (b, SIZE, SIZE, 3), dtype=np.uint8
+        ))
+        got = m(raw)
+        want = model.apply(vs, pipeline.preprocess_images(raw, SIZE))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=1e-6,
+        )
+
+
+def test_image_artifact_serves_over_http(tmp_path):
+    """The daemon handles image artifacts: clip_len=0 warmup shape,
+    per-image frame accounting, bucketed batches."""
+    from tchvp_tpu.infer.server import post_npy, serve_artifact
+    from tchvp_tpu.models import AutoEncoder
+
+    model = AutoEncoder()
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    exported, w = export_lib.export_image_model(model, vs, image_size=SIZE)
+    path = str(tmp_path / "ae.tchvp")
+    export_lib.save_artifact(
+        path, exported, w,
+        meta={"model": "ae", "image_size": SIZE, "clip_len": 0},
+    )
+    srv = serve_artifact(path, port=0, buckets=(2,)).start()
+    try:
+        batch = np.random.default_rng(5).integers(
+            0, 255, (3, SIZE, SIZE, 3), dtype=np.uint8
+        )
+        got = post_npy(f"http://127.0.0.1:{srv.port}/infer", batch)
+        want = np.asarray(srv.model(batch), np.float32)  # recon (last output)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert srv.stats.snapshot()["frames"] == 3  # B, not B*H
+    finally:
+        srv.shutdown()
+
+
+def test_cli_export_image_model(tmp_path, capsys):
+    """`tchvp export --model unet` produces an image artifact the loader
+    runs on (B,H,W,3) input."""
+    from tchvp_tpu import cli
+
+    art = str(tmp_path / "unet_cli.tchvp")
+    cli.main([
+        "export", "--model", "unet", "--out", art,
+        "--image-size", str(SIZE),
+    ])
+    assert "exported unet" in capsys.readouterr().out
+    m = export_lib.load_artifact(art)
+    assert m.meta["meta"]["clip_len"] == 0
+    out = m(np.zeros((2, SIZE, SIZE, 3), np.uint8))
+    assert np.asarray(out).shape[0] == 2
+
+
 def test_cli_export_then_serve(tmp_path, capsys):
     """End-to-end through the CLI: `tchvp export` then
     `tchvp infer --exported`."""
