@@ -35,8 +35,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Swept on the v5e chip (benchmarks/flash_block_sweep.py, round 3): a
+# wide k block wins at every shape measured — fewer grid steps along the
+# streaming (k) axis amortizes the per-block pipeline overhead that
+# dominates at the small head dims this repo runs (FCT's Dh 4-8, Dh 64):
+# fwd 1.21-1.57x and fwd+bwd 1.19-1.26x over (512, 512). (512, 2048)
+# keeps the fp32 logits block at 4 MB, inside the 16 MB scoped-VMEM
+# limit with bwd scratch ((2048, 1024) OOMs it at S 16K); blocks clamp
+# to S for short sequences.
 DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = 2048
 NEG_INF = -1e30
 
 
@@ -414,218 +422,214 @@ def _flash_bwd(
 # ---------------------------------------------------------------------------
 # Banded (overlapping-window) kernels: query window i attends to key
 # windows {i-1, i} — the streaming temporal pattern (BASELINE configs 2/4).
-# Compute and memory are O(S * window); the grid visits exactly 2 k-blocks
-# per q-block instead of S/block.
+# Compute and memory are O(S * window).
+#
+# Round-3 redesign: GROUPED single-pass blocks. With the window as the
+# block size (round 2) every grid step ran a tiny (w, Dh, w) matmul and
+# per-step pipeline overhead dominated — measured on the v5e, FULL flash
+# at S=4096/w=64 beat the band despite 32x the FLOPs. Each step now
+# processes G = DEFAULT_BAND_ROWS//window query windows at once: one
+# (G*w, Dh) q block against its (G+1)*w-column key span. The previous
+# window rides as a second, w-sized block operand (so the span needs no
+# unaligned loads) and is concatenated in VMEM; the span is globally
+# contiguous, so the dropout mask keys stay identical to the old grid's.
+# The band is enforced by masking and the softmax computed in ONE pass —
+# the whole key span for a query row is resident, so there are no
+# streaming accumulators and no inner grid dimension. Logit waste is
+# (G+1)/(2G) vs the exact band, but the matmuls are MXU-sized.
 # ---------------------------------------------------------------------------
 
+DEFAULT_BAND_ROWS = 512
 
-def _win_fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, m_scr,
-                    l_scr, acc_scr, *, scale: float, seq_len: int,
-                    window: int, dropout_rate: float):
-    b = pl.program_id(0)
-    i = pl.program_id(1)  # q window
-    j = pl.program_id(2)  # 0 = previous window, 1 = own window
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+def _band_geometry(s: int, window: int, block_rows: Optional[int]):
+    """(G, BQ, s_pad, ng): G windows per grid step, BQ = G*window rows."""
+    target = DEFAULT_BAND_ROWS if block_rows is None else block_rows
+    nw = _cdiv(s, window)
+    g = max(1, min(nw, target // window))
+    bq = g * window
+    s_pad = _cdiv(s, bq) * bq
+    return g, bq, s_pad, s_pad // bq
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
 
-    # Key block index jb = i-1+j (the BlockSpec clamps the load; masking
-    # here supplies the semantics). Mask: jb < 0 (window 0 has no
-    # predecessor) and the zero-padded sequence tail.
-    jb = i - 1 + j
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jb * window
-    valid = (jb >= 0) & (col < seq_len)
-    s = jnp.where(valid, s, NEG_INF)
-
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    m_scr[:] = m_new
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    if dropout_rate > 0.0:
-        keep = _keep_mask(
-            seed_ref[0], b, i * window, jb * window, s.shape, dropout_rate
-        )
-        p = p * keep.astype(jnp.float32) / (1.0 - dropout_rate)
-    v = v_ref[0].astype(jnp.float32)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+def _band_mask(shape, row0, col0, window: int, seq_len: int):
+    """Band validity for a (rows, cols) logit tile whose global element
+    (r, c) is (row0 + r, col0 + c): key window == query window or the one
+    before it, both indices inside the true sequence."""
+    row_g = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    col_g = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
+    riw = row_g // window
+    kiw = col_g // window
+    return (
+        ((kiw == riw) | (kiw == riw - 1))
+        & (col_g >= 0)
+        & (col_g < seq_len)
+        & (row_g < seq_len)
     )
 
-    @pl.when(j == 1)
-    def _final():
-        l = l_scr[:]
-        safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:] + jnp.log(safe_l)  # (window, 1)
 
-
-def _win_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
-                   dq_ref, acc_scr, *, scale: float, seq_len: int,
-                   window: int, dropout_rate: float):
+def _band_fwd_kernel(q_ref, kp_ref, ko_ref, vp_ref, vo_ref, seed_ref, o_ref,
+                     lse_ref, *, scale: float, seq_len: int, window: int,
+                     dropout_rate: float):
     b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+    gi = pl.program_id(1)
+    bq = q_ref.shape[1]
+    q = q_ref[0].astype(jnp.float32)  # (BQ, dh)
+    k = jnp.concatenate([kp_ref[0], ko_ref[0]], axis=0).astype(jnp.float32)
+    v = jnp.concatenate([vp_ref[0], vo_ref[0]], axis=0).astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, w + BQ)
 
-    @pl.when(j == 0)
-    def _init():
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+    row0 = gi * bq
+    col0 = gi * bq - window  # key span starts one window left of the block
+    valid = _band_mask(s.shape, row0, col0, window, seq_len)
+    s = jnp.where(valid, s, NEG_INF)
 
+    m = jnp.max(s, axis=1, keepdims=True)  # finite: >= one valid col per row
+    p = jnp.exp(s - m)
+    p = jnp.where(valid, p, 0.0)  # all-masked pad rows: kill exp(0)=1
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref[0], b, row0, col0, s.shape, dropout_rate)
+        p = p * keep.astype(jnp.float32) / (1.0 - dropout_rate)
+    acc = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / safe_l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(safe_l)  # (BQ, 1)
+
+
+def _band_dq_kernel(q_ref, kp_ref, ko_ref, vp_ref, vo_ref, do_ref, lse_ref,
+                    delta_ref, seed_ref, dq_ref, *, scale: float,
+                    seq_len: int, window: int, dropout_rate: float):
+    b = pl.program_id(0)
+    gi = pl.program_id(1)
+    bq = q_ref.shape[1]
     q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = jnp.concatenate([kp_ref[0], ko_ref[0]], axis=0).astype(jnp.float32)
+    v = jnp.concatenate([vp_ref[0], vo_ref[0]], axis=0).astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]  # (window, 1)
+    lse = lse_ref[0]  # (BQ, 1)
     delta = delta_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    jb = i - 1 + j
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jb * window
-    s = jnp.where((jb >= 0) & (col < seq_len), s, NEG_INF)
+    row0 = gi * bq
+    col0 = gi * bq - window
+    valid = _band_mask(s.shape, row0, col0, window, seq_len)
+    s = jnp.where(valid, s, NEG_INF)
     p = jnp.exp(s - lse)
+    p = jnp.where(valid, p, 0.0)  # pad rows carry garbage lse
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if dropout_rate > 0.0:
-        keep = _keep_mask(
-            seed_ref[0], b, i * window, jb * window, s.shape, dropout_rate
-        )
+        keep = _keep_mask(seed_ref[0], b, row0, col0, s.shape, dropout_rate)
         dp = dp * keep.astype(jnp.float32) / (1.0 - dropout_rate)
     ds = p * (dp - delta) * scale
-    acc_scr[:] += jax.lax.dot_general(
+    dq_ref[0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(j == 1)
-    def _final():
-        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+    ).astype(dq_ref.dtype)
 
 
-def _win_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *,
-                    scale: float, seq_len: int, window: int, nq: int,
-                    dropout_rate: float):
+def _band_dkv_kernel(qo_ref, qn_ref, k_ref, v_ref, doo_ref, don_ref,
+                     lseo_ref, lsen_ref, deltao_ref, deltan_ref, seed_ref,
+                     dk_ref, dv_ref, *, scale: float, seq_len: int,
+                     window: int, dropout_rate: float):
     b = pl.program_id(0)
-    jkb = pl.program_id(1)  # key window
-    j = pl.program_id(2)    # 0 = own q window, 1 = next q window
-
-    @pl.when(j == 0)
-    def _init():
-        dk_scr[:] = jnp.zeros_like(dk_scr)
-        dv_scr[:] = jnp.zeros_like(dv_scr)
-
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    gi = pl.program_id(1)
+    bk = k_ref.shape[1]
+    k = k_ref[0].astype(jnp.float32)  # (BK, dh)
     v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]  # (window, 1)
-    delta = delta_ref[0]
+    # Contributing queries: windows [gi*G, gi*G + G] — own block plus one
+    # window to the right (clamped load; right-tail rows masked below).
+    qs = jnp.concatenate([qo_ref[0], qn_ref[0]], axis=0).astype(jnp.float32)
+    dos = jnp.concatenate([doo_ref[0], don_ref[0]], axis=0).astype(jnp.float32)
+    lses = jnp.concatenate([lseo_ref[0], lsen_ref[0]], axis=0)  # (BK+w, 1)
+    deltas = jnp.concatenate([deltao_ref[0], deltan_ref[0]], axis=0)
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    # Query window ib = jkb + j; contributes iff it exists (ib < nq).
-    # Key-column validity (jb >= 0 never fails here; tail padding does).
-    ib = jkb + j
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jkb * window
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ib * window
-    valid = (ib < nq) & (col < seq_len) & (row < seq_len)
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BK + w, BK)
+    row0 = gi * bk
+    col0 = gi * bk
+    valid = _band_mask(s.shape, row0, col0, window, seq_len)
     s = jnp.where(valid, s, NEG_INF)
-    p = jnp.exp(s - lse)
-    p = jnp.where(valid, p, 0.0)  # lse=1 pad rows would give exp(-inf-1)=0 anyway
+    p = jnp.exp(s - lses)
+    p = jnp.where(valid, p, 0.0)  # pad/clamped rows carry garbage lse
 
     if dropout_rate > 0.0:
         keep = (
-            _keep_mask(
-                seed_ref[0], b, ib * window, jkb * window, s.shape,
-                dropout_rate,
-            ).astype(jnp.float32)
-            / (1.0 - dropout_rate)
+            _keep_mask(seed_ref[0], b, row0, col0, s.shape, dropout_rate)
+            .astype(jnp.float32) / (1.0 - dropout_rate)
         )
         p_drop = p * keep
     else:
         p_drop = p
 
-    dv_scr[:] += jax.lax.dot_general(
-        p_drop, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dv_ref[0] = jax.lax.dot_general(
+        p_drop, dos, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        dos, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if dropout_rate > 0.0:
         dp = dp * keep
-    ds = p * (dp - delta) * scale
-    dk_scr[:] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(j == 1)
-    def _final():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+    ds = p * (dp - deltas) * scale
+    dk_ref[0] = jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
 
 
 def _win_fwd(q, k, v, seed, scale: float, window: int, interpret: bool,
-             dropout_rate: float):
+             dropout_rate: float, block_rows: Optional[int] = None):
     """q,k,v: (BH, S, Dh) -> (out, lse); window-banded attention."""
     bh, s, dh = q.shape
-    s_pad = _cdiv(s, window) * window
+    g, bq, s_pad, ng = _band_geometry(s, window, block_rows)
     if s_pad != s:
         pad = ((0, 0), (0, s_pad - s), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    nq = s_pad // window
 
-    # Clamped previous-window load for j==0 at i==0 (masked in-kernel).
-    qkv_spec_q = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i, 0),
-                              memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec(
+    big = pl.BlockSpec((1, bq, dh), lambda b, i: (b, i, 0),
+                       memory_space=pltpu.VMEM)
+    # Previous-window operand in window-sized blocks (clamped at i==0;
+    # masked in-kernel via col_g >= 0).
+    prev = pl.BlockSpec(
         (1, window, dh),
-        lambda b, i, j: (b, jnp.maximum(i - 1 + j, 0), 0),
+        lambda b, i: (b, jnp.maximum(i * g - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
     out, lse = pl.pallas_call(
         functools.partial(
-            _win_fwd_kernel, scale=scale, seq_len=s, window=window,
+            _band_fwd_kernel, scale=scale, seq_len=s, window=window,
             dropout_rate=dropout_rate,
         ),
-        grid=(bh, nq, 2),
-        in_specs=[qkv_spec_q, kv_spec, kv_spec, _seed_spec()],
+        grid=(bh, ng),
+        in_specs=[big, prev, big, prev, big, _seed_spec()],
         out_specs=[
-            qkv_spec_q,
-            pl.BlockSpec((1, window, 1), lambda b, i, j: (b, i, 0),
+            big,
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, s_pad, dh), q.dtype),
             jax.ShapeDtypeStruct((bh, s_pad, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((window, 1), jnp.float32),
-            pltpu.VMEM((window, 1), jnp.float32),
-            pltpu.VMEM((window, dh), jnp.float32),
-        ],
         interpret=interpret,
-    )(q, k, v, seed)
+    )(q, k, k, v, v, seed)
     return out[:, :s], lse[:, :s, 0]
 
 
 def _win_bwd(q, k, v, seed, out, lse, do, scale: float, window: int,
-             interpret: bool, dropout_rate: float):
+             interpret: bool, dropout_rate: float,
+             block_rows: Optional[int] = None):
     bh, s, dh = q.shape
-    s_pad = _cdiv(s, window) * window
-    nq = s_pad // window
+    g, bq, s_pad, ng = _band_geometry(s, window, block_rows)
+    nw = s_pad // window
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
     def pad3(x):
@@ -633,87 +637,85 @@ def _win_bwd(q, k, v, seed, out, lse, do, scale: float, window: int,
 
     qp, kp, vp, dop = pad3(q), pad3(k), pad3(v), pad3(do)
     # lse/delta ride as (BH, S, 1) — Mosaic min-tile rule (see _flash_fwd).
-    # Zero-padded lse rows are safe: their logits are fully masked, so
-    # p = exp(NEG_INF - 0) = 0.
     lsep, deltap = pad3(lse[..., None]), pad3(delta[..., None])
 
-    q_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i, 0),
-                          memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec(
+    big = pl.BlockSpec((1, bq, dh), lambda b, i: (b, i, 0),
+                       memory_space=pltpu.VMEM)
+    prev = pl.BlockSpec(
         (1, window, dh),
-        lambda b, i, j: (b, jnp.maximum(i - 1 + j, 0), 0),
+        lambda b, i: (b, jnp.maximum(i * g - 1, 0), 0),
         memory_space=pltpu.VMEM,
     )
-    row_spec = pl.BlockSpec((1, window, 1), lambda b, i, j: (b, i, 0),
-                            memory_space=pltpu.VMEM)
+    row_big = pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
         functools.partial(
-            _win_dq_kernel, scale=scale, seq_len=s, window=window,
+            _band_dq_kernel, scale=scale, seq_len=s, window=window,
             dropout_rate=dropout_rate,
         ),
-        grid=(bh, nq, 2),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
+        grid=(bh, ng),
+        in_specs=[big, prev, big, prev, big, big, row_big, row_big,
                   _seed_spec()],
-        out_specs=[q_spec],
+        out_specs=[big],
         out_shape=[jax.ShapeDtypeStruct((bh, s_pad, dh), q.dtype)],
-        scratch_shapes=[pltpu.VMEM((window, dh), jnp.float32)],
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap, seed)[0][:, :s]
+    )(qp, kp, kp, vp, vp, dop, lsep, deltap, seed)[0][:, :s]
 
-    # dk/dv: grid over key windows; q window ib = jkb + j (clamped load,
-    # masked in-kernel when ib >= nq).
-    k_spec2 = pl.BlockSpec((1, window, dh), lambda b, jkb, j: (b, jkb, 0),
-                           memory_space=pltpu.VMEM)
-    q_spec2 = pl.BlockSpec(
+    # dk/dv: same block grid over KEY blocks; contributing q span = own
+    # block + one window to the right (clamped at the last window; the
+    # clamped rows' global indices land past s_pad and are masked).
+    nxt = pl.BlockSpec(
         (1, window, dh),
-        lambda b, jkb, j: (b, jnp.minimum(jkb + j, pl.num_programs(1) - 1), 0),
+        lambda b, i: (b, jnp.minimum(i * g + g, nw - 1), 0),
         memory_space=pltpu.VMEM,
     )
-    row_spec2 = pl.BlockSpec(
+    row_nxt = pl.BlockSpec(
         (1, window, 1),
-        lambda b, jkb, j: (b, jnp.minimum(jkb + j, pl.num_programs(1) - 1), 0),
+        lambda b, i: (b, jnp.minimum(i * g + g, nw - 1), 0),
         memory_space=pltpu.VMEM,
     )
     dk, dv = pl.pallas_call(
         functools.partial(
-            _win_dkv_kernel, scale=scale, seq_len=s, window=window, nq=nq,
+            _band_dkv_kernel, scale=scale, seq_len=s, window=window,
             dropout_rate=dropout_rate,
         ),
-        grid=(bh, nq, 2),
-        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, row_spec2, row_spec2,
-                  _seed_spec()],
-        out_specs=[k_spec2, k_spec2],
+        grid=(bh, ng),
+        in_specs=[big, nxt, big, big, big, nxt, row_big, row_nxt, row_big,
+                  row_nxt, _seed_spec()],
+        out_specs=[big, big],
         out_shape=[
             jax.ShapeDtypeStruct((bh, s_pad, dh), k.dtype),
             jax.ShapeDtypeStruct((bh, s_pad, dh), v.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((window, dh), jnp.float32),
-            pltpu.VMEM((window, dh), jnp.float32),
-        ],
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap, seed)
+    )(qp, qp, kp, vp, dop, dop, lsep, lsep, deltap, deltap, seed)
     return dq, dk[:, :s], dv[:, :s]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _windowed_attention(q, k, v, seed, scale, window, interpret,
-                        dropout_rate):
-    out, _ = _win_fwd(q, k, v, seed, scale, window, interpret, dropout_rate)
+                        dropout_rate, block_rows):
+    out, _ = _win_fwd(
+        q, k, v, seed, scale, window, interpret, dropout_rate, block_rows
+    )
     return out
 
 
 def _windowed_attention_fwd(q, k, v, seed, scale, window, interpret,
-                            dropout_rate):
-    out, lse = _win_fwd(q, k, v, seed, scale, window, interpret, dropout_rate)
+                            dropout_rate, block_rows):
+    out, lse = _win_fwd(
+        q, k, v, seed, scale, window, interpret, dropout_rate, block_rows
+    )
     return out, (q, k, v, seed, out, lse)
 
 
-def _windowed_attention_bwd(scale, window, interpret, dropout_rate, res, do):
+def _windowed_attention_bwd(scale, window, interpret, dropout_rate,
+                            block_rows, res, do):
     q, k, v, seed, out, lse = res
     dq, dk, dv = _win_bwd(
-        q, k, v, seed, out, lse, do, scale, window, interpret, dropout_rate
+        q, k, v, seed, out, lse, do, scale, window, interpret, dropout_rate,
+        block_rows,
     )
     return dq, dk, dv, _seed_cotangent(seed)
 
@@ -731,12 +733,16 @@ def windowed_mha(
     interpret: Optional[bool] = None,
     dropout_rate: float = 0.0,
     dropout_seed=None,
+    block_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """Banded flash attention over (B, H, S, Dh): each query window of
     ``window_size`` tokens attends to its own + the previous window — the
     Pallas counterpart of :func:`tchvp_tpu.ops.attention.sdpa_windowed`
     with O(S * window) compute and memory. ``dropout_rate``/``dropout_seed``
-    as in :func:`mha` (same global-index mask)."""
+    as in :func:`mha` (same global-index mask). ``block_rows`` sets the
+    target query rows per grid step (DEFAULT_BAND_ROWS; the kernel groups
+    block_rows // window_size windows per step — see the banded-kernel
+    section comment)."""
     b, h, s, dh = q.shape
     scale = 1.0 / math.sqrt(dh) if scale is None else scale
     if interpret is None:
@@ -746,7 +752,8 @@ def windowed_mha(
     kf = k.reshape(b * h, s, dh)
     vf = v.reshape(b * h, s, dh)
     out = _windowed_attention(
-        qf, kf, vf, seed, scale, window_size, interpret, float(dropout_rate)
+        qf, kf, vf, seed, scale, window_size, interpret, float(dropout_rate),
+        block_rows,
     )
     return out.reshape(b, h, s, dh)
 
