@@ -857,294 +857,310 @@ def mha(
 # masks window 0's missing predecessor. Gradients w.r.t. the halo window
 # flow out through dk_ext[:, :w] and ride the ppermute transpose back to
 # the owning shard — JAX AD handles that through the outer concat.
+#
+# Round-3: same GROUPED single-pass redesign as the banded kernels above.
+# Because k_ext is already shifted one window left, the key span of query
+# block gi (rows [gi*BQ, gi*BQ+BQ)) is the CONTIGUOUS k_ext slice
+# [gi*BQ, gi*BQ + BQ + w) — one aligned big block plus one window block,
+# no unaligned loads. Dropout keys use shard-local coordinates
+# (k_ext column - window), identical to the old per-window grid's.
 # ---------------------------------------------------------------------------
 
 
-def _win_halo_fwd_kernel(q_ref, k_ref, v_ref, has_prev_ref, seed_ref, o_ref,
-                         lse_ref, m_scr, l_scr, acc_scr, *, scale: float,
-                         window: int, dropout_rate: float):
+def _halo_band_mask(shape, row0, col0, window: int, seq_len: int, no_prev):
+    """Validity for a (rows, cols) logit tile: rows are LOCAL query indices
+    (row0 + r), cols are K_EXT indices (col0 + c, shifted +window vs local).
+    Query window riw attends k_ext windows {riw, riw+1}; rows must lie in
+    the true local sequence; k_ext window 0 (the halo) is masked when
+    ``no_prev`` (true sequence start)."""
+    row_g = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    col_g = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
+    riw = row_g // window
+    kiw = col_g // window
+    return (
+        ((kiw == riw) | (kiw == riw + 1))
+        & (row_g >= 0)
+        & (row_g < seq_len)
+        & (col_g < seq_len + window)
+        & jnp.logical_not((kiw == 0) & no_prev)
+    )
+
+
+def _halo_fwd_kernel(q_ref, kb_ref, kn_ref, vb_ref, vn_ref, has_prev_ref,
+                     seed_ref, o_ref, lse_ref, *, scale: float, seq_len: int,
+                     window: int, dropout_rate: float):
     b = pl.program_id(0)
-    i = pl.program_id(1)  # local q window
-    j = pl.program_id(2)  # 0 = left context (k_ext[i]), 1 = own (k_ext[i+1])
-
-    @pl.when(j == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    gi = pl.program_id(1)
+    bq = q_ref.shape[1]
+    q = q_ref[0].astype(jnp.float32)  # (BQ, dh)
+    k = jnp.concatenate([kb_ref[0], kn_ref[0]], axis=0).astype(jnp.float32)
+    v = jnp.concatenate([vb_ref[0], vn_ref[0]], axis=0).astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    # Only k_ext[0] can be a masked halo: query 0's left context when the
-    # sequence truly starts on this shard.
-    no_prev = (i == 0) & (j == 0) & (has_prev_ref[0] == 0)
-    s = jnp.where(no_prev, NEG_INF, s)
+    ) * scale  # (BQ, BQ + w)
 
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    m_scr[:] = m_new
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    row0 = gi * bq            # local query coords
+    col0 = gi * bq            # k_ext coords (span starts at the block row)
+    no_prev = has_prev_ref[0] == 0
+    valid = _halo_band_mask(s.shape, row0, col0, window, seq_len, no_prev)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = jnp.where(valid, p, 0.0)  # all-masked pad rows: kill exp(0)=1
+    l = jnp.sum(p, axis=1, keepdims=True)
     if dropout_rate > 0.0:
         # Shard-local element indices (halo column block = -window); the
         # caller folds the PRNG per shard, so patterns are independent
         # across shards by construction.
         keep = _keep_mask(
-            seed_ref[0], b, i * window, (i - 1 + j) * window, s.shape,
-            dropout_rate,
+            seed_ref[0], b, row0, col0 - window, s.shape, dropout_rate
         )
         p = p * keep.astype(jnp.float32) / (1.0 - dropout_rate)
-    v = v_ref[0].astype(jnp.float32)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+    acc = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-
-    @pl.when(j == 1)
-    def _final():
-        l = l_scr[:]
-        safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:] + jnp.log(safe_l)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / safe_l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(safe_l)  # (BQ, 1)
 
 
-def _win_halo_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                        has_prev_ref, seed_ref, dq_ref, acc_scr, *,
-                        scale: float, window: int, dropout_rate: float):
+def _halo_dq_kernel(q_ref, kb_ref, kn_ref, vb_ref, vn_ref, do_ref, lse_ref,
+                    delta_ref, has_prev_ref, seed_ref, dq_ref, *,
+                    scale: float, seq_len: int, window: int,
+                    dropout_rate: float):
     b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-
-    @pl.when(j == 0)
-    def _init():
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
+    gi = pl.program_id(1)
+    bq = q_ref.shape[1]
     q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = jnp.concatenate([kb_ref[0], kn_ref[0]], axis=0).astype(jnp.float32)
+    v = jnp.concatenate([vb_ref[0], vn_ref[0]], axis=0).astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]
+    lse = lse_ref[0]  # (BQ, 1)
     delta = delta_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    no_prev = (i == 0) & (j == 0) & (has_prev_ref[0] == 0)
-    s = jnp.where(no_prev, NEG_INF, s)
+    row0 = gi * bq
+    col0 = gi * bq
+    no_prev = has_prev_ref[0] == 0
+    valid = _halo_band_mask(s.shape, row0, col0, window, seq_len, no_prev)
+    s = jnp.where(valid, s, NEG_INF)
     p = jnp.exp(s - lse)
+    p = jnp.where(valid, p, 0.0)  # pad rows carry garbage lse
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if dropout_rate > 0.0:
         keep = _keep_mask(
-            seed_ref[0], b, i * window, (i - 1 + j) * window, s.shape,
-            dropout_rate,
+            seed_ref[0], b, row0, col0 - window, s.shape, dropout_rate
         )
         dp = dp * keep.astype(jnp.float32) / (1.0 - dropout_rate)
     ds = p * (dp - delta) * scale
-    acc_scr[:] += jax.lax.dot_general(
+    dq_ref[0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(j == 1)
-    def _final():
-        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+    ).astype(dq_ref.dtype)
 
 
-def _win_halo_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         has_prev_ref, seed_ref, dk_ref, dv_ref, dk_scr,
-                         dv_scr, *, scale: float, window: int, nq: int,
-                         dropout_rate: float):
+def _halo_dkv_kernel(qp_ref, qo_ref, k_ref, v_ref, dop_ref, doo_ref,
+                     lsep_ref, lseo_ref, deltap_ref, deltao_ref,
+                     has_prev_ref, seed_ref, dk_ref, dv_ref, *, scale: float,
+                     seq_len: int, window: int, dropout_rate: float):
     b = pl.program_id(0)
-    m = pl.program_id(1)   # k_ext window in [0, nq+1)
-    j = pl.program_id(2)   # query ib = m - 1 + j: j=0 own-site, j=1 prev-site
-
-    @pl.when(j == 0)
-    def _init():
-        dk_scr[:] = jnp.zeros_like(dk_scr)
-        dv_scr[:] = jnp.zeros_like(dv_scr)
-
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    gj = pl.program_id(1)
+    bk = k_ref.shape[1]
+    k = k_ref[0].astype(jnp.float32)  # (BK, dh) of k_ext
     v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    # Contributing queries for k_ext windows [gj*G, gj*G+G): local windows
+    # [gj*G - 1, gj*G + G) — one window LEFT of the block plus the
+    # block-aligned span (clamped loads; out-of-range rows masked).
+    qs = jnp.concatenate([qp_ref[0], qo_ref[0]], axis=0).astype(jnp.float32)
+    dos = jnp.concatenate([dop_ref[0], doo_ref[0]], axis=0).astype(jnp.float32)
+    lses = jnp.concatenate([lsep_ref[0], lseo_ref[0]], axis=0)  # (w+BK, 1)
+    deltas = jnp.concatenate([deltap_ref[0], deltao_ref[0]], axis=0)
 
-    ib = m - 1 + j
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    # j=0: k_ext[m] is query (m-1)'s OWN window; j=1: query m's LEFT
-    # context. The latter is masked for query 0 on a true sequence start.
-    valid = (ib >= 0) & (ib < nq)
-    no_prev = (j == 1) & (ib == 0) & (has_prev_ref[0] == 0)
-    ok = valid & jnp.logical_not(no_prev)
-    s = jnp.where(ok, s, NEG_INF)
-    p = jnp.exp(s - lse)
-    p = jnp.where(ok, p, 0.0)
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (w + BK, BK)
+    row0 = gj * bk - window   # local query coords
+    col0 = gj * bk            # k_ext coords
+    no_prev = has_prev_ref[0] == 0
+    valid = _halo_band_mask(s.shape, row0, col0, window, seq_len, no_prev)
+    s = jnp.where(valid, s, NEG_INF)
+    p = jnp.exp(s - lses)
+    p = jnp.where(valid, p, 0.0)  # pad/clamped rows carry garbage lse
 
     if dropout_rate > 0.0:
         keep = (
             _keep_mask(
-                seed_ref[0], b, ib * window, (m - 1) * window, s.shape,
-                dropout_rate,
-            ).astype(jnp.float32)
-            / (1.0 - dropout_rate)
+                seed_ref[0], b, row0, col0 - window, s.shape, dropout_rate
+            ).astype(jnp.float32) / (1.0 - dropout_rate)
         )
         p_drop = p * keep
     else:
         p_drop = p
 
-    dv_scr[:] += jax.lax.dot_general(
-        p_drop, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dv_ref[0] = jax.lax.dot_general(
+        p_drop, dos, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        dos, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if dropout_rate > 0.0:
         dp = dp * keep
-    ds = p * (dp - delta) * scale
-    dk_scr[:] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-    @pl.when(j == 1)
-    def _final():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+    ds = p * (dp - deltas) * scale
+    dk_ref[0] = jax.lax.dot_general(
+        ds, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
 
 
 def _win_halo_fwd(q, k_ext, v_ext, has_prev, seed, scale: float, window: int,
-                  interpret: bool, dropout_rate: float):
+                  interpret: bool, dropout_rate: float,
+                  block_rows: Optional[int] = None):
     """q: (BH, S, Dh), k_ext/v_ext: (BH, S+window, Dh); S % window == 0."""
     bh, s, dh = q.shape
     if s % window:
         raise ValueError(f"halo kernel needs S % window == 0; {s} % {window}")
-    nq = s // window
+    g, bq, s_pad, ng = _band_geometry(s, window, block_rows)
+    if s_pad != s:
+        q = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0)))
+        kv_pad = ((0, 0), (0, s_pad - s), (0, 0))
+        k_ext, v_ext = jnp.pad(k_ext, kv_pad), jnp.pad(v_ext, kv_pad)
 
-    q_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i, 0),
-                          memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i + j, 0),
-                           memory_space=pltpu.VMEM)
+    big = pl.BlockSpec((1, bq, dh), lambda b, i: (b, i, 0),
+                       memory_space=pltpu.VMEM)
+    # The extra window past the block-aligned span: k_ext window gi*G + G;
+    # padded k_ext has s_pad//w + 1 windows, so the index never clamps.
+    nxt = pl.BlockSpec((1, window, dh), lambda b, i: (b, i * g + g, 0),
+                       memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
         functools.partial(
-            _win_halo_fwd_kernel, scale=scale, window=window,
+            _halo_fwd_kernel, scale=scale, seq_len=s, window=window,
             dropout_rate=dropout_rate,
         ),
-        grid=(bh, nq, 2),
-        in_specs=[q_spec, kv_spec, kv_spec, _seed_spec(), _seed_spec()],
+        grid=(bh, ng),
+        in_specs=[big, big, nxt, big, nxt, _seed_spec(), _seed_spec()],
         out_specs=[
-            q_spec,
-            pl.BlockSpec((1, window, 1), lambda b, i, j: (b, i, 0),
+            big,
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, s, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((window, 1), jnp.float32),
-            pltpu.VMEM((window, 1), jnp.float32),
-            pltpu.VMEM((window, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k_ext, v_ext, has_prev, seed)
-    return out, lse[..., 0]
+    )(q, k_ext, k_ext, v_ext, v_ext, has_prev, seed)
+    return out[:, :s], lse[:, :s, 0]
 
 
-def _win_halo_bwd(q, k_ext, v_ext, has_prev, seed, out, lse, do, scale: float,
-                  window: int, interpret: bool, dropout_rate: float):
+def _win_halo_bwd(q, k_ext, v_ext, has_prev, seed, out, lse, do,
+                  scale: float, window: int, interpret: bool,
+                  dropout_rate: float, block_rows: Optional[int] = None):
     bh, s, dh = q.shape
-    nq = s // window
+    g, bq, s_pad, ng = _band_geometry(s, window, block_rows)
+    nw_pad = s_pad // window
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    lse3, delta3 = lse[..., None], delta[..., None]
 
-    q_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i, 0),
-                          memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, window, dh), lambda b, i, j: (b, i + j, 0),
+    def padq(x):
+        return jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+
+    qp, dop = padq(q), padq(do)
+    lsep, deltap = padq(lse[..., None]), padq(delta[..., None])
+    # k_ext for dq needs s_pad + w rows; for dkv the output grid tiles in
+    # BQ blocks, so pad to s_pad + BQ (the tail past s+w is masked).
+    kq = jnp.pad(k_ext, ((0, 0), (0, s_pad + bq - k_ext.shape[1]), (0, 0)))
+    vq = jnp.pad(v_ext, ((0, 0), (0, s_pad + bq - v_ext.shape[1]), (0, 0)))
+
+    big = pl.BlockSpec((1, bq, dh), lambda b, i: (b, i, 0),
+                       memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, window, dh), lambda b, i: (b, i * g + g, 0),
+                       memory_space=pltpu.VMEM)
+    row_big = pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, window, 1), lambda b, i, j: (b, i, 0),
-                            memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
         functools.partial(
-            _win_halo_dq_kernel, scale=scale, window=window,
+            _halo_dq_kernel, scale=scale, seq_len=s, window=window,
             dropout_rate=dropout_rate,
         ),
-        grid=(bh, nq, 2),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
+        grid=(bh, ng),
+        in_specs=[big, big, nxt, big, nxt, big, row_big, row_big,
                   _seed_spec(), _seed_spec()],
-        out_specs=[q_spec],
-        out_shape=[jax.ShapeDtypeStruct((bh, s, dh), q.dtype)],
-        scratch_shapes=[pltpu.VMEM((window, dh), jnp.float32)],
+        out_specs=[big],
+        out_shape=[jax.ShapeDtypeStruct((bh, s_pad, dh), q.dtype)],
         interpret=interpret,
-    )(q, k_ext, v_ext, do, lse3, delta3, has_prev, seed)[0]
+    )(qp, kq, kq, vq, vq, dop, lsep, deltap, has_prev, seed)[0][:, :s]
 
-    # dk/dv over EXTENDED key windows m in [0, nq+1); query ib = m-1+j
-    # (clamped load, masked in-kernel when out of range).
-    kext_spec = pl.BlockSpec((1, window, dh), lambda b, m, j: (b, m, 0),
-                             memory_space=pltpu.VMEM)
-    qb_spec = pl.BlockSpec(
+    # dk/dv: grid over ng+1 k_ext BQ-blocks (the +1 covers the final real
+    # k_ext window when s == s_pad). Contributing q span = one window left
+    # + the block-aligned span; both loads clamp and the mask recovers.
+    prvq = pl.BlockSpec(
         (1, window, dh),
-        lambda b, m, j: (b, jnp.clip(m - 1 + j, 0, pl.num_programs(1) - 2), 0),
+        lambda b, j: (b, jnp.clip(j * g - 1, 0, nw_pad - 1), 0),
         memory_space=pltpu.VMEM,
     )
-    rowb_spec = pl.BlockSpec(
+    ownq = pl.BlockSpec(
+        (1, bq, dh), lambda b, j: (b, jnp.minimum(j, pl.num_programs(1) - 2), 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_prv = pl.BlockSpec(
         (1, window, 1),
-        lambda b, m, j: (b, jnp.clip(m - 1 + j, 0, pl.num_programs(1) - 2), 0),
+        lambda b, j: (b, jnp.clip(j * g - 1, 0, nw_pad - 1), 0),
         memory_space=pltpu.VMEM,
     )
+    row_own = pl.BlockSpec(
+        (1, bq, 1), lambda b, j: (b, jnp.minimum(j, pl.num_programs(1) - 2), 0),
+        memory_space=pltpu.VMEM,
+    )
+    kbig = pl.BlockSpec((1, bq, dh), lambda b, j: (b, j, 0),
+                        memory_space=pltpu.VMEM)
     dk_ext, dv_ext = pl.pallas_call(
         functools.partial(
-            _win_halo_dkv_kernel, scale=scale, window=window, nq=nq,
+            _halo_dkv_kernel, scale=scale, seq_len=s, window=window,
             dropout_rate=dropout_rate,
         ),
-        grid=(bh, nq + 1, 2),
-        in_specs=[qb_spec, kext_spec, kext_spec, qb_spec, rowb_spec,
-                  rowb_spec, _seed_spec(), _seed_spec()],
-        out_specs=[kext_spec, kext_spec],
+        grid=(bh, ng + 1),
+        in_specs=[prvq, ownq, kbig, kbig, prvq, ownq,
+                  row_prv, row_own, row_prv, row_own, _seed_spec(),
+                  _seed_spec()],
+        out_specs=[kbig, kbig],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s + window, dh), k_ext.dtype),
-            jax.ShapeDtypeStruct((bh, s + window, dh), v_ext.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((window, dh), jnp.float32),
-            pltpu.VMEM((window, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s_pad + bq, dh), k_ext.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad + bq, dh), v_ext.dtype),
         ],
         interpret=interpret,
-    )(q, k_ext, v_ext, do, lse3, delta3, has_prev, seed)
-    return dq, dk_ext, dv_ext
+    )(qp, qp, kq, vq, dop, dop, lsep, lsep, deltap, deltap, has_prev, seed)
+    return dq, dk_ext[:, : s + window], dv_ext[:, : s + window]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _windowed_attention_halo(q, k_ext, v_ext, has_prev, seed, scale, window,
-                             interpret, dropout_rate):
+                             interpret, dropout_rate, block_rows):
     out, _ = _win_halo_fwd(
         q, k_ext, v_ext, has_prev, seed, scale, window, interpret,
-        dropout_rate,
+        dropout_rate, block_rows,
     )
     return out
 
 
 def _windowed_attention_halo_fwd(q, k_ext, v_ext, has_prev, seed, scale,
-                                 window, interpret, dropout_rate):
+                                 window, interpret, dropout_rate, block_rows):
     out, lse = _win_halo_fwd(
         q, k_ext, v_ext, has_prev, seed, scale, window, interpret,
-        dropout_rate,
+        dropout_rate, block_rows,
     )
     return out, (q, k_ext, v_ext, has_prev, seed, out, lse)
 
 
-def _windowed_attention_halo_bwd(scale, window, interpret, dropout_rate, res,
-                                 do):
+def _windowed_attention_halo_bwd(scale, window, interpret, dropout_rate,
+                                 block_rows, res, do):
     q, k_ext, v_ext, has_prev, seed, out, lse = res
     dq, dk_ext, dv_ext = _win_halo_bwd(
         q, k_ext, v_ext, has_prev, seed, out, lse, do, scale, window,
-        interpret, dropout_rate,
+        interpret, dropout_rate, block_rows,
     )
     return dq, dk_ext, dv_ext, _seed_cotangent(has_prev), _seed_cotangent(seed)
 
@@ -1165,6 +1181,7 @@ def windowed_mha_halo(
     interpret: Optional[bool] = None,
     dropout_rate: float = 0.0,
     dropout_seed=None,
+    block_rows: Optional[int] = None,
 ) -> jnp.ndarray:
     """Banded flash attention with an explicit left-context window.
 
@@ -1174,6 +1191,7 @@ def windowed_mha_halo(
     sequence start). Matches :func:`windowed_mha` exactly when the context
     window is present (equivalently, equals full banded attention over the
     concatenated sequence with the first window's outputs dropped).
+    ``block_rows`` as in :func:`windowed_mha`.
     """
     b, h, s, dh = q.shape
     scale = 1.0 / math.sqrt(dh) if scale is None else scale
@@ -1186,5 +1204,6 @@ def windowed_mha_halo(
         k_ext.reshape(b * h, s + window_size, dh),
         v_ext.reshape(b * h, s + window_size, dh),
         hp, seed, scale, window_size, interpret, float(dropout_rate),
+        block_rows,
     )
     return out.reshape(b, h, s, dh)

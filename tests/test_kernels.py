@@ -299,3 +299,67 @@ def test_windowed_halo_kernel_matches_banded_core():
     np.testing.assert_allclose(
         np.asarray(gh[2][:, :, :w]), np.asarray(gr[4]), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("block_rows", [32, 48])
+@pytest.mark.parametrize("has_prev", [0, 1])
+def test_windowed_halo_grouped_blocks_match_single_block(block_rows, has_prev):
+    """The grouped-block geometry (multiple windows per grid step, padded
+    tail block, clamped dkv edge block) is a pure tiling choice: outputs
+    and ALL grads must be identical for every block_rows, including the
+    default single-block case. s=80/w=16 gives nq=5, so block_rows=32
+    (G=2) pads to 96 and block_rows=48 (G=3) leaves a partial tail."""
+    from tchvp_tpu.kernels.flash_attention import windowed_mha_halo
+
+    rng = np.random.default_rng(1)
+    b, h, s, dh, w = 1, 2, 80, 8, 16
+    q = jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32))
+    ke = jnp.asarray(rng.normal(size=(b, h, s + w, dh)).astype(np.float32))
+    ve = jnp.asarray(rng.normal(size=(b, h, s + w, dh)).astype(np.float32))
+
+    def loss(q, ke, ve, br):
+        return (
+            windowed_mha_halo(
+                q, ke, ve, window_size=w, has_prev=has_prev, block_rows=br
+            ) ** 2
+        ).sum()
+
+    ref_out = windowed_mha_halo(
+        q, ke, ve, window_size=w, has_prev=has_prev, block_rows=None
+    )
+    ref_g = jax.grad(loss, argnums=(0, 1, 2))(q, ke, ve, None)
+    got_out = windowed_mha_halo(
+        q, ke, ve, window_size=w, has_prev=has_prev, block_rows=block_rows
+    )
+    got_g = jax.grad(loss, argnums=(0, 1, 2))(q, ke, ve, block_rows)
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(ref_out), atol=1e-5
+    )
+    for a, e in zip(got_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-4)
+
+
+def test_windowed_halo_dropout_invariant_to_block_rows():
+    """Dropout keys are global (shard-local element) coordinates, so the
+    kept-mask must not depend on the block grouping — and the backward
+    pass must see the same mask as forward (grad of a masked output
+    position is exactly zero)."""
+    from tchvp_tpu.kernels.flash_attention import windowed_mha_halo
+
+    rng = np.random.default_rng(2)
+    b, h, s, dh, w = 1, 1, 64, 8, 16
+    q = jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32))
+    ke = jnp.asarray(rng.normal(size=(b, h, s + w, dh)).astype(np.float32))
+    ve = jnp.asarray(rng.normal(size=(b, h, s + w, dh)).astype(np.float32))
+    kw = dict(window_size=w, has_prev=1, dropout_rate=0.25,
+              dropout_seed=jnp.uint32(7))
+    a = windowed_mha_halo(q, ke, ve, block_rows=16, **kw)
+    c = windowed_mha_halo(q, ke, ve, block_rows=64, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+    def loss(ve, br):
+        return (windowed_mha_halo(q, ke, ve, block_rows=br, **kw) ** 2).sum()
+
+    ga = jax.grad(loss)(ve, 16)
+    gc = jax.grad(loss)(ve, 64)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gc), atol=1e-4)
