@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,22 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timeit(fn, *args, iters=20):
-    @jax.jit
-    def loop(*a):
-        def body(i, acc):
-            out = fn(*(t + i * jnp.asarray(1e-6, t.dtype) for t in a))
-            return acc + out.astype(jnp.float32).mean()
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    t0 = time.perf_counter()
-    float(loop(*args))  # compile + warm
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0) / iters * 1e3, compile_s
+from benchmarks._timing import timeit
 
 
 # (name, B, H, S, Dh, window): the standing windowed-bench point and the

@@ -23,26 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from benchmarks._timing import timeit as _timeit
+
+
 def timeit(fn, *args, iters=20):
-    """ms/call via an in-jit fori_loop + ONE scalar readback (the
-    tunneled chip's block_until_ready is async-ish; see bench.py)."""
-
-    @jax.jit
-    def loop(*a):
-        def body(i, acc):
-            first = a[0]
-            rest = a[1:]
-            out = fn(first + i * jnp.asarray(1e-6, first.dtype), *rest)
-            return acc + out.astype(jnp.float32).mean()
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    t0 = time.perf_counter()
-    float(loop(*args))  # compile + warm
-    print(f"  [compile+first {time.perf_counter() - t0:.1f}s]", flush=True)
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0) / iters * 1e3
+    """ms/call via the shared in-jit loop recipe (benchmarks/_timing.py);
+    only the first arg (the image batch) is perturbed — the rest are
+    weights/qparams whose calibrated values must stay exact."""
+    ms, _ = _timeit(fn, *args, iters=iters, perturb=1, verbose=True)
+    return ms
 
 
 def main():

@@ -33,27 +33,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from benchmarks._timing import timeit as _timeit
+
+
 def timeit(fn, *args, iters=20):
-    """ms/call via an in-jit fori_loop ending in ONE scalar readback —
-    the tunneled chip's block_until_ready is async-ish and a per-call
-    host readback costs ~30 ms (see bench.py), so per-call host timing
-    lies. The loop body perturbs its input with the loop index so XLA
-    cannot hoist the op."""
-
-    @jax.jit
-    def loop(*a):
-        def body(i, acc):
-            out = fn(*(t + i * jnp.asarray(1e-6, t.dtype) for t in a))
-            return acc + out.astype(jnp.float32).mean()
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    t0 = time.perf_counter()
-    float(loop(*args))  # compile + warm
-    print(f"  [compile+first {time.perf_counter()-t0:.1f}s]", flush=True)
-    t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    """ms/call via the shared in-jit loop recipe (benchmarks/_timing.py)."""
+    ms, _ = _timeit(fn, *args, iters=iters, verbose=True)
+    return ms
 
 
 def main():

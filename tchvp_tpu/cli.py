@@ -141,6 +141,9 @@ def _video_model(args):
             args.image_size,
             num_experts=getattr(args, "num_experts", 0),
         ))
+    if getattr(args, "num_experts", 0):
+        raise SystemExit("--num-experts applies to --model hybrid only "
+                         "(the temporal transformer's FFNs)")
 
     class FrameAE(nn.Module):
         """Fold clip frames into the batch around a per-frame AE."""
@@ -256,7 +259,11 @@ def cmd_stream(args) -> None:
         tile=args.tile, chunk_len=args.chunk_len, ctx_frames=args.ctx_frames
     )
     model = VideoHybridNet(
-        config=flagship_video_config(image_size=args.tile), dtype=jnp.bfloat16
+        config=flagship_video_config(
+            image_size=args.tile,
+            num_experts=getattr(args, "num_experts", 0),
+        ),
+        dtype=jnp.bfloat16,
     )
     if args.clippack:
         from tchvp_tpu.data.clippack import ClipPackDataset
@@ -447,7 +454,11 @@ def cmd_infer(args) -> None:
         return _infer_exported(args)
     size = args.image_size
     model = VideoHybridNet(
-        config=flagship_video_config(image_size=size), dtype=jnp.bfloat16
+        config=flagship_video_config(
+            image_size=size,
+            num_experts=getattr(args, "num_experts", 0),
+        ),
+        dtype=jnp.bfloat16,
     )
     data = _clip_data(args, size)
 
@@ -780,6 +791,9 @@ def main(argv=None) -> None:
         if name == "infer":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--num-experts", type=int, default=0,
+                           help="match the --num-experts the checkpoint "
+                                "was trained with (MoE param tree)")
             p.add_argument("--exported", default=None,
                            help="serve a .tchvp AOT artifact "
                                 "(`tchvp export`) instead of a checkpoint")
@@ -803,6 +817,9 @@ def main(argv=None) -> None:
                            help="model family: clip models consume "
                                 "(B,T,H,W,3), image models (B,H,W,3)")
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--num-experts", type=int, default=0,
+                           help="match the --num-experts the checkpoint "
+                                "was trained with (MoE param tree)")
             p.add_argument("--clippack", default=None,
                            help="calibration source for --int8")
             p.add_argument("--int8", action="store_true",
@@ -837,6 +854,9 @@ def main(argv=None) -> None:
         if name == "stream":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--num-experts", type=int, default=0,
+                           help="match the --num-experts the checkpoint "
+                                "was trained with (MoE param tree)")
             p.add_argument("--int8", action="store_true",
                            help="int8 PTQ serving mode (infer/quant.py)")
             p.add_argument("--int8-dense", action="store_true",

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from tchvp_tpu.ops import dispatch_trace
-from tchvp_tpu.parallel.mesh import ambient_mesh
+from tchvp_tpu.parallel.mesh import mesh_with_axis
 
 
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -159,19 +159,12 @@ def sdpa_windowed(
 
 
 def _seq_mesh(seq_axis: Optional[str]):
-    """The ambient mesh iff it carries ``seq_axis`` with size > 1.
-
-    The ONE gate for sequence parallelism — reads the mesh through
-    :func:`tchvp_tpu.parallel.mesh.ambient_mesh` so both the legacy
-    ``with mesh:`` scope and the modern ``set_mesh`` API engage it
-    (round 2 read only the abstract mesh and the path never ran).
-    """
-    if seq_axis is None:
-        return None
-    mesh = ambient_mesh()
-    if mesh is None or seq_axis not in mesh.axis_names or mesh.shape[seq_axis] == 1:
-        return None
-    return mesh
+    """The ambient mesh iff it carries ``seq_axis`` with size > 1 — the
+    gate for sequence parallelism, shared with the ep/fsdp gates via
+    :func:`tchvp_tpu.parallel.mesh.mesh_with_axis` so both mesh APIs
+    engage it (round 2 read only the abstract mesh and the path never
+    ran)."""
+    return mesh_with_axis(seq_axis)
 
 
 def sdpa_windowed_seq_sharded(

@@ -36,9 +36,9 @@ TPU-first design decisions:
   of the compute dtype; expert matmuls run in the module ``dtype``
   (bf16 on TPU).
 
-The gate is :func:`tchvp_tpu.parallel.mesh.ambient_mesh`, so both the
-legacy ``with mesh:`` scope and the modern ``jax.sharding.set_mesh`` API
-engage the ep path.
+The gate is :func:`tchvp_tpu.parallel.mesh.mesh_with_axis` (shared with
+the seq-parallel and FSDP gates), so both the legacy ``with mesh:`` scope
+and the modern ``jax.sharding.set_mesh`` API engage the ep path.
 """
 
 from __future__ import annotations
@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from tchvp_tpu.ops import dispatch_trace
-from tchvp_tpu.parallel.mesh import ambient_mesh
+from tchvp_tpu.parallel.mesh import mesh_with_axis
 
 
 def expert_capacity(
@@ -69,7 +69,10 @@ def expert_capacity(
 
 
 def _route(
-    tokens: jnp.ndarray, router: jnp.ndarray, capacity: int
+    tokens: jnp.ndarray,
+    router: jnp.ndarray,
+    capacity: int,
+    aux_mean_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-1 dispatch/combine tensors, all fp32, all statically shaped.
 
@@ -77,6 +80,12 @@ def _route(
     Returns dispatch (B, S, E, C) in {0,1}, combine = dispatch * gate,
     and the scalar Switch load-balance auxiliary loss
     (E * mean_e[frac_tokens_e * mean_prob_e]; 1.0 = perfectly balanced).
+
+    ``aux_mean_axis``: mesh axis name to pmean the per-expert token
+    fractions and router probabilities over BEFORE their product — inside
+    a shard_map whose batch rows are sharded over that axis, this makes
+    the aux loss exactly the global-batch value (the means are linear in
+    batch rows; the product is not).
     """
     f32 = jnp.float32
     logits = jnp.einsum("bsd,de->bse", tokens.astype(f32), router.astype(f32))
@@ -97,6 +106,9 @@ def _route(
     # probs, piecewise-constant through the argmax fractions.
     frac = jnp.mean(onehot, axis=(0, 1))  # tokens routed per expert
     prob = jnp.mean(probs, axis=(0, 1))  # mean router prob per expert
+    if aux_mean_axis is not None:
+        frac = jax.lax.pmean(frac, aux_mean_axis)
+        prob = jax.lax.pmean(prob, aux_mean_axis)
     aux = logits.shape[-1] * jnp.sum(frac * prob)
     return dispatch, combine, aux
 
@@ -144,6 +156,14 @@ class MoEFFN(nn.Module):
     hidden_dim: int
     capacity_factor: float = 1.25
     ep_axis: Optional[str] = None
+    # Mesh axis the BATCH dim stays sharded over inside the ep shard_map
+    # (repo convention: "data"). Routing/capacity is per batch row, so
+    # data-sharded routing is exact; without this, a dp x ep mesh would
+    # all-gather the global batch onto every device and each shard would
+    # recompute routing + its experts' FFNs for ALL tokens (round-3
+    # review finding). Ignored when absent from the mesh or equal to
+    # ``ep_axis``.
+    data_axis: Optional[str] = "data"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -171,25 +191,27 @@ class MoEFFN(nn.Module):
             dispatch, combine, aux = _route(x, router, cap)
             out = _expert_ffn(dispatch, combine, x, w1, b1, w2, b2, self.dtype)
         else:
+            da = self.data_axis
+            if da is not None and (
+                da == self.ep_axis
+                or da not in mesh.axis_names
+                or x.shape[0] % mesh.shape[da]
+            ):
+                da = None
             out, aux = _moe_ep_shard_map(
                 x, router, w1, b1, w2, b2,
                 mesh=mesh, ep_axis=self.ep_axis, capacity=cap,
-                dtype=self.dtype,
+                dtype=self.dtype, data_axis=da,
             )
         self.sow("intermediates", "load_balance_loss", aux)
         return out.astype(self.dtype)
 
     def _ep_mesh(self):
-        """Ambient mesh iff it carries ``ep_axis`` with size > 1 — the ONE
-        gate for expert parallelism (mirrors ops/attention.py::_seq_mesh)."""
-        if self.ep_axis is None:
-            return None
-        mesh = ambient_mesh()
-        if (
-            mesh is None
-            or self.ep_axis not in mesh.axis_names
-            or mesh.shape[self.ep_axis] == 1
-        ):
+        """The expert-parallel gate: the shared
+        :func:`tchvp_tpu.parallel.mesh.mesh_with_axis` plus the local
+        expert-divisibility check."""
+        mesh = mesh_with_axis(self.ep_axis)
+        if mesh is None:
             return None
         if self.num_experts % mesh.shape[self.ep_axis]:
             raise ValueError(
@@ -230,21 +252,28 @@ def _moe_ep_shard_map(
     ep_axis: str,
     capacity: int,
     dtype: jnp.dtype,
+    data_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expert-sharded MoE: weights split over ``ep_axis``, one psum combines.
 
-    Each shard holds E/n experts. Routing runs replicated (full E columns);
-    the shard slices its experts' dispatch/combine columns by its axis
-    index, computes only those FFNs, and psums the disjoint partial
-    outputs. The aux loss is computed from replicated inputs, identical on
-    every shard.
+    Each shard holds E/n experts. Routing runs with full E columns; the
+    shard slices its experts' dispatch/combine columns by its axis index,
+    computes only those FFNs, and psums the disjoint partial outputs.
+
+    ``data_axis``: the batch dim stays sharded over it end-to-end (routing
+    and capacity are per batch row, so data-sharded routing is exact);
+    the aux loss pmean-reduces its per-expert means over that axis before
+    the product, making it exactly the global-batch value and replicated
+    on every shard.
     """
     n = mesh.shape[ep_axis]
     e_local = w1.shape[0] // n
 
     def local(xl, rl, w1l, b1l, w2l, b2l):
         dispatch_trace.record("moe_ep_shard_map")
-        dispatch, combine, aux = _route(xl, rl, capacity)
+        dispatch, combine, aux = _route(
+            xl, rl, capacity, aux_mean_axis=data_axis
+        )
         lo = jax.lax.axis_index(ep_axis) * e_local
         d_loc = jax.lax.dynamic_slice_in_dim(dispatch, lo, e_local, axis=2)
         c_loc = jax.lax.dynamic_slice_in_dim(combine, lo, e_local, axis=2)
@@ -253,9 +282,10 @@ def _moe_ep_shard_map(
 
     rep = P()
     exp = P(ep_axis)
+    xspec = P(data_axis) if data_axis is not None else rep
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(rep, rep, exp, exp, exp, exp),
-        out_specs=(rep, rep),
+        in_specs=(xspec, rep, exp, exp, exp, exp),
+        out_specs=(xspec, rep),
     )(x, router, w1, b1, w2, b2)

@@ -21,6 +21,7 @@ from tchvp_tpu.parallel.mesh import (
     host_local_batch_slice,
     initialize_distributed,
     make_mesh,
+    mesh_with_axis,
     replicate,
     sequence_sharding,
     shard_batch,
@@ -44,6 +45,7 @@ __all__ = [
     "host_local_batch_slice",
     "initialize_distributed",
     "make_mesh",
+    "mesh_with_axis",
     "replicate",
     "sequence_sharding",
     "shard_batch",

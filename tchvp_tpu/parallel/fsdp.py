@@ -40,7 +40,7 @@ import numpy as np
 from jax.sharding import AbstractMesh, Mesh, NamedSharding, PartitionSpec as P
 
 from tchvp_tpu.ops import dispatch_trace
-from tchvp_tpu.parallel.mesh import ambient_mesh
+from tchvp_tpu.parallel.mesh import mesh_with_axis
 
 # Leaves smaller than this stay replicated: sharding a 512-float BN
 # vector saves nothing and costs a gather. 16 KiB fp32 = 4096 elements.
@@ -131,8 +131,10 @@ def constrain_gradients(
     (the round-2 lesson: gates must be attestable).
     """
     if mesh is None:
-        mesh = ambient_mesh()
-    if mesh is None or axis not in mesh.shape or mesh.shape[axis] <= 1:
+        mesh = mesh_with_axis(axis)  # the shared seq/ep/fsdp gate
+        if mesh is None:
+            return grads
+    elif axis not in mesh.axis_names or mesh.shape[axis] <= 1:
         return grads
     axis_size = mesh.shape[axis]
 

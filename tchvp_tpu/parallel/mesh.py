@@ -60,6 +60,22 @@ def ambient_mesh() -> Optional[Union[Mesh, AbstractMesh]]:
     return None
 
 
+def mesh_with_axis(axis: Optional[str]) -> Optional[Union[Mesh, AbstractMesh]]:
+    """The ambient mesh iff it carries ``axis`` with size > 1, else None.
+
+    THE gate for every mesh-conditional parallel path (seq-parallel
+    attention, expert-parallel MoE, FSDP gradient constraints): one
+    implementation so the gates cannot drift apart (the round-2 failure
+    mode was exactly a gate variant that silently never engaged).
+    """
+    if axis is None:
+        return None
+    mesh = ambient_mesh()
+    if mesh is None or axis not in mesh.axis_names or mesh.shape[axis] <= 1:
+        return None
+    return mesh
+
+
 @contextlib.contextmanager
 def activate_mesh(mesh: Mesh) -> Iterator[Mesh]:
     """Enter BOTH mesh scopes: legacy ``with mesh:`` and ``set_mesh``.

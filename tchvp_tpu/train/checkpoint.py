@@ -145,6 +145,12 @@ def _retype(target, payload):
             raise ValueError(
                 f"expected dict payload, got {type(payload).__name__}"
             )
+        extra = set(payload) - set(target)
+        if extra:  # a silent drop would mask a partial/mismatched restore
+            raise ValueError(
+                f"checkpoint has keys absent from the live state: "
+                f"{sorted(extra)} (live keys: {sorted(target)})"
+            )
         return type(target)(
             (k, _retype(v, payload[k])) for k, v in target.items()
         )
@@ -188,15 +194,18 @@ def prune_step_dirs(directory: str, keep_last: int) -> int:
     """Delete all but the newest ``keep_last`` ``step_*`` checkpoints.
 
     Disk-budget rotation (build-new; the reference accumulates ``.tar``
-    files forever — FCT.py:368, AE_32K L301). Joins in-flight async
-    saves first so a dir mid-write is never removed. Returns the number
-    of directories deleted. ``keep_last <= 0`` keeps everything.
+    files forever — FCT.py:368, AE_32K L301). Does NOT join in-flight
+    async saves (that would make every post-save prune re-serialize the
+    train loop, negating ``async_write=True``): an in-flight save lives
+    in an orbax tmp dir whose name fails the ``step_<digits>`` filter
+    below, so it can be neither listed nor doomed, and once committed it
+    is strictly newer than anything pruned here. Returns the number of
+    directories deleted. ``keep_last <= 0`` keeps everything.
     """
     import shutil
 
     if keep_last <= 0:
         return 0
-    wait_for_async_saves()
     directory = os.path.abspath(directory)
     if not os.path.isdir(directory):
         return 0

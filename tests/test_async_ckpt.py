@@ -1,5 +1,7 @@
 """Async checkpoint tests (train/checkpoint.py::save_state(async_write=))."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,11 +60,36 @@ def test_prune_step_dirs_noop_cases(tmp_path):
     assert ckpt.prune_step_dirs(str(tmp_path / "nope"), keep_last=1) == 0
 
 
-def test_prune_joins_inflight_async_save(tmp_path):
+def test_retype_rejects_extra_checkpoint_keys():
+    """A checkpoint that is a SUPERSET of the live state must raise, not
+    silently drop the extra subtrees (a user restoring a bigger model's
+    checkpoint into a smaller model should hear about it)."""
+    import pytest
+
+    live = {"a": np.zeros(2), "b": np.zeros(3)}
+    payload = {"a": np.zeros(2), "b": np.zeros(3), "extra_head": np.zeros(4)}
+    with pytest.raises(ValueError, match="extra_head"):
+        ckpt._retype(live, payload)
+
+
+def test_prune_does_not_join_inflight_async_saves(tmp_path):
+    """prune after save_state(async_write=True) must NOT block on the
+    in-flight write (joining would re-serialize the train loop and
+    negate async checkpointing — round-3 review finding) and must never
+    doom it: an in-flight orbax tmp dir fails the step_<digits> filter,
+    and once committed the newest dirs survive rotation."""
     params = {"w": jnp.arange(16.0)}
     ckpt.save_state(str(tmp_path), 1, params, async_write=True)
     ckpt.save_state(str(tmp_path), 2, params, async_write=True)
+    # Prune runs immediately (possibly while step_2 is still in flight);
+    # it may see 0, 1, or 2 committed dirs and deletes all but the newest.
     deleted = ckpt.prune_step_dirs(str(tmp_path), keep_last=1)
-    assert deleted == 1
+    assert deleted in (0, 1)
+    # The newest checkpoint is always readable afterwards (restore joins).
     raw = ckpt.restore_state(str(tmp_path / "step_2"))
     np.testing.assert_allclose(raw["params"]["w"], np.arange(16.0))
+    # Once everything committed, rotation converges to keep_last dirs.
+    ckpt.wait_for_async_saves()
+    ckpt.prune_step_dirs(str(tmp_path), keep_last=1)
+    left = sorted(d for d in os.listdir(tmp_path) if d.startswith("step_"))
+    assert left == ["step_2"]

@@ -132,6 +132,33 @@ def test_moe_ep_grads_match_dense():
     assert float(jnp.linalg.norm(g_dense["params"]["router"])) > 0.0
 
 
+def test_moe_ep_keeps_batch_sharded_over_data():
+    """On a dp x ep mesh the batch dim stays sharded over 'data' through
+    the shard_map (in_specs P('data')): no all-gather of activations
+    appears in the HLO, the per-shard FLOPs divide by dp, and the aux
+    loss still equals the dense global-batch value exactly (its frac/prob
+    means are pmean'd over 'data' before the product — the product of
+    means is not the mean of products). Round-3 review finding: P() here
+    replicated the global batch onto every device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = _data(b=4, s=24, d=32, seed=11)
+    m = MoEFFN(num_experts=4, hidden_dim=48, ep_axis="expert")
+    vs = m.init(jax.random.PRNGKey(2), x)
+    want, want_aux = jax.jit(lambda v, x: _apply(m, v, x))(vs, x)
+
+    mesh = make_mesh(("data", "expert"), (2, 4))
+    with activate_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        f = jax.jit(lambda v, x: _apply(m, v, x))
+        hlo = f.lower(vs, xs).compile().as_text()
+        got, aux = f(vs, xs)
+        jax.block_until_ready(got)
+    assert "all-gather" not in hlo, "batch was gathered over the data axis"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    np.testing.assert_allclose(float(aux), float(want_aux), atol=1e-6)
+
+
 def test_moe_ep_requires_divisible_experts():
     x = _data()
     m = MoEFFN(num_experts=6, hidden_dim=16, ep_axis="expert")
