@@ -103,6 +103,33 @@ def test_int8_engine_fidelity_and_jit():
     assert float(jnp.abs(recon - ref).max()) > 0
 
 
+def test_int8_engine_composes_with_moe():
+    """`tchvp infer/stream --int8 --num-experts N` (round-3 CLI fix): the
+    PTQ engine intercepts nn.Conv/nn.Dense, while MoE FFNs are raw-param
+    einsums — they must pass through un-quantized without breaking
+    calibration or the jitted int8 apply."""
+    cfg = VideoModelConfig(
+        encoder=ResNetAEConfig(layers=(1, 1), token_latent=True),
+        temporal=TransformerConfig(
+            input_dim=(32 // 4) ** 2, hidden_dim=16, num_layers=1,
+            num_heads=4, num_experts=2,
+        ),
+    )
+    model = VideoHybridNet(config=cfg)
+    rng = np.random.default_rng(4)
+    calib = jnp.asarray(rng.uniform(size=(2, 2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), calib)
+
+    eng = Int8Engine(model, variables, quantize_dense=True).calibrate([calib])
+    assert len(eng.scales) > 0  # convs/dense around the MoE still quantize
+    assert not any("moe" in k for k in eng.scales), (
+        "MoE raw-param einsums must not appear in the quantized set"
+    )
+    _, recon = jax.jit(eng.apply)(eng.qparams, calib)
+    assert bool(jnp.isfinite(recon).all())
+    assert eng.psnr_vs(calib) > 25.0
+
+
 def test_calibration_tracks_running_max():
     class One(nn.Module):
         @nn.compact
