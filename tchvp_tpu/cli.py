@@ -574,6 +574,140 @@ def _export_model(args, size):
     return model(), jnp.zeros((1, size, size, 3)), False
 
 
+def cmd_eval(args) -> None:
+    """Standalone checkpoint evaluation: a metric table over a dataset.
+
+    The reference embeds its metric loops inside the training drivers
+    (``Model.py:75-92`` validate / ``:96-135`` test, the FCT epoch loop's
+    dice tracking, the recovered AE flows); this surfaces them as a
+    first-class command for an already-trained checkpoint:
+
+        tchvp eval --model hybrid --checkpoint ckpts/step_40 --clippack x.cpk
+        tchvp eval --model fct --checkpoint ... --test-csv pairs.csv
+        tchvp eval --model ae --synthetic 4
+
+    Accepts both checkpoint formats: step-tagged full states
+    (``save_state``) and weights-only best checkpoints (``save_params``,
+    the Model.py:181-182 pattern).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tchvp_tpu.config import TrainConfig
+    from tchvp_tpu.train import checkpoint as ckpt
+    from tchvp_tpu.train.checkpoint import _retype
+
+    def resolve_path():
+        if args.checkpoint:
+            return args.checkpoint
+        return ckpt.latest_step_dir(args.checkpoint_dir)
+
+    def load_into(state, path):
+        """Full state (has a 'params' key) or bare weights-only tree."""
+        raw = ckpt.restore_state(path)
+        if isinstance(raw, dict) and "params" in raw:
+            state, _ = ckpt.restore_state_into(state, path)
+            return state
+        return state.replace(params=_retype(state.params, raw))
+
+    # The shared loaders' CSV slot is train_csv; an eval run naturally
+    # passes --test-csv, so alias it in.
+    if getattr(args, "test_csv", None) and not args.train_csv:
+        args.train_csv = args.test_csv
+
+    path = resolve_path()
+    src = f"ckpt {path}" if path else "fresh params (no checkpoint found)"
+
+    if args.model in ("hybrid", "ae32k", "ae4k"):
+        from tchvp_tpu.train.loops import VideoFlow
+
+        flow = VideoFlow(
+            _video_model(args),
+            cfg=TrainConfig(model_name="video", loss="mse",
+                            checkpoint_dir=args.checkpoint_dir),
+            image_size=args.image_size, mesh=_mesh(args),
+        )
+        flow.init_state(args.clip_len)
+        if path:
+            flow.state = flow._replicate(load_into(flow.state, path))
+        psnr = flow.evaluate(_clip_data(args, args.image_size))
+        print(f"eval {args.model}: reconstruction PSNR {psnr:.2f} dB  [{src}]")
+    elif args.model == "fct":
+        from tchvp_tpu.train.loops import SegmentationFlow
+
+        flow = SegmentationFlow(
+            cfg=TrainConfig(model_name="FCT", loss=args.loss or "dice",
+                            checkpoint_dir=args.checkpoint_dir),
+            image_size=args.image_size, mesh=_mesh(args),
+        )
+        flow.init_state()
+        if path:
+            flow.state = flow._replicate(load_into(flow.state, path))
+        m = flow.evaluate(_image_data(args, supervised=True)[0])
+        print(f"eval fct: {args.loss or 'dice'} loss {m['loss']:.4f}, "
+              f"IoU {m['iou']:.3f}  [{src}]")
+    elif args.model == "ae":
+        from tchvp_tpu.train.loops import DenoisingFlow
+
+        flow = DenoisingFlow(
+            cfg=TrainConfig(checkpoint_dir=args.checkpoint_dir),
+            image_size=args.image_size, mesh=_mesh(args),
+        )
+        flow.init_state()
+        if path:
+            flow.state = flow._replicate(load_into(flow.state, path))
+        psnr = flow.validate(_image_data(args, supervised=False)[0])
+        print(f"eval ae: reconstruction PSNR {psnr:.2f} dB  [{src}]")
+    elif args.model in ("unet", "combined"):
+        from tchvp_tpu import losses
+        from tchvp_tpu.data import pipeline
+        from tchvp_tpu.models import Image2Image2Mask, UNet
+        from tchvp_tpu.train import create_train_state, make_optimizer
+
+        model = UNet() if args.model == "unet" else Image2Image2Mask()
+        size = args.image_size
+        state = create_train_state(
+            model, jnp.zeros((1, size, size, 3)), make_optimizer(1e-3),
+            jax.random.PRNGKey(0),
+        )
+        if path:
+            state = load_into(state, path)
+
+        @jax.jit
+        def step(params, batch_stats, image_u8, mask_u8):
+            x = pipeline.preprocess_images(image_u8, size)
+            y = pipeline.preprocess_images(mask_u8, size)
+            variables = {"params": params, **(
+                {"batch_stats": batch_stats} if batch_stats is not None else {}
+            )}
+            out = model.apply(variables, x, deterministic=True)
+            m = {}
+            if args.model == "combined":
+                _, recon, mask = out
+                m["psnr"] = losses.psnr(recon, x)
+            else:
+                mask = out
+            m["dice"] = losses.dice_loss(mask, y)
+            m["iou"] = losses.jaccard_score(mask > 0.5, y > 0.5)
+            return m
+
+        sums, n = {}, 0
+        for image_u8, mask_u8 in _image_data(args, supervised=True)[0]:
+            m = step(state.params, state.batch_stats,
+                     jnp.asarray(np.asarray(image_u8)),
+                     jnp.asarray(np.asarray(mask_u8)))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        parts = ", ".join(
+            f"{k} {sums[k] / max(n, 1):.4f}" for k in sorted(sums)
+        )
+        print(f"eval {args.model}: {parts} over {n} batches  [{src}]")
+    else:
+        raise SystemExit(f"eval: unknown --model {args.model!r}")
+
+
 def cmd_export(args) -> None:
     """AOT-export a serving function (uint8 batch -> output,
     preprocessing fused in) to a .tchvp artifact via jax.export: the
@@ -754,6 +888,7 @@ def main(argv=None) -> None:
         ("pack", cmd_pack),
         ("stream", cmd_stream),
         ("infer", cmd_infer),
+        ("eval", cmd_eval),
         ("export", cmd_export),
         ("serve", cmd_serve),
         ("port", cmd_port),
@@ -809,6 +944,19 @@ def main(argv=None) -> None:
                            help="with --int8: also quantize nn.Dense "
                                 "(attention/FFN projections; +1.3%% on the "
                                 "flagship at -0.7 dB, BENCHES.md)")
+        if name == "eval":
+            p.add_argument("--model", default="hybrid",
+                           choices=("hybrid", "ae32k", "ae4k", "fct", "ae",
+                                    "unet", "combined"))
+            p.add_argument("--checkpoint", default=None,
+                           help="step_* dir (save_state) or weights-only "
+                                "dir (save_params); default: newest step "
+                                "dir under --checkpoint-dir")
+            p.add_argument("--num-experts", type=int, default=0,
+                           help="match the --num-experts the checkpoint "
+                                "was trained with (MoE param tree)")
+            p.add_argument("--clippack", default=None)
+            p.add_argument("--clip-len", type=int, default=8)
         if name == "export":
             p.add_argument("--out", default=None,
                            help="artifact path (.tchvp zip)")
