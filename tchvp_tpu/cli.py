@@ -49,6 +49,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--keep-checkpoints", type=int, default=0,
                    help="keep only the newest N step checkpoints "
                         "(0 = keep all)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the whole command "
+                        "into this dir (TensorBoard/Perfetto viewable)")
+    # Multi-host launch (survey §5.8): run the SAME command once per host
+    # with a shared --coordinator and per-host --process-id; jax.distributed
+    # stitches the hosts into one device mesh and `--data-parallel` spans it.
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
 
 
 def _train_cfg_kwargs(args):
@@ -1027,7 +1037,24 @@ def main(argv=None) -> None:
     from tchvp_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    args.fn(args)
+    if getattr(args, "num_processes", 1) > 1:
+        from tchvp_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
+    if getattr(args, "profile_dir", None):
+        import contextlib
+
+        from tchvp_tpu.utils import profiling
+
+        ctx = profiling.trace(args.profile_dir)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        args.fn(args)
 
 
 if __name__ == "__main__":
