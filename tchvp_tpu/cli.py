@@ -584,6 +584,33 @@ def _export_model(args, size):
     return model(), jnp.zeros((1, size, size, 3)), False
 
 
+def cmd_summary(args) -> None:
+    """Per-layer shape/param table for any zoo model (torchsummary parity).
+
+    The reference inspects models with ``torchsummary.summary``
+    (``FCT.py:4``, invocation at ``FCT.py:262``); this surfaces the same
+    table for the whole zoo without a checkpoint or device work:
+
+        tchvp summary --model fct --image-size 256
+        tchvp summary --model hybrid --clip-len 16 --depth 2
+    """
+    # Shape-only trace: run on CPU unless the user pinned a platform —
+    # initializing the tunneled TPU backend costs seconds for zero benefit.
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax.numpy as jnp
+
+    from tchvp_tpu.utils.summary import describe, summarize
+
+    model, example, is_clip = _export_model(args, args.image_size)
+    if is_clip:
+        example = jnp.zeros(
+            (1, args.clip_len) + example.shape[2:], example.dtype
+        )
+    print(summarize(model, example, depth=args.depth))
+    print(describe(model, example))
+    print(f"Input: {tuple(example.shape)} {example.dtype}")
+
+
 def cmd_eval(args) -> None:
     """Standalone checkpoint evaluation: a metric table over a dataset.
 
@@ -899,6 +926,7 @@ def main(argv=None) -> None:
         ("stream", cmd_stream),
         ("infer", cmd_infer),
         ("eval", cmd_eval),
+        ("summary", cmd_summary),
         ("export", cmd_export),
         ("serve", cmd_serve),
         ("port", cmd_port),
@@ -967,6 +995,14 @@ def main(argv=None) -> None:
                                 "was trained with (MoE param tree)")
             p.add_argument("--clippack", default=None)
             p.add_argument("--clip-len", type=int, default=8)
+        if name == "summary":
+            p.add_argument("--model", default="hybrid",
+                           choices=_EXPORT_CLIP_MODELS + _EXPORT_IMAGE_MODELS)
+            p.add_argument("--clip-len", type=int, default=8)
+            p.add_argument("--num-experts", type=int, default=0)
+            p.add_argument("--depth", type=int, default=None,
+                           help="module nesting depth to show "
+                                "(default: all submodules)")
         if name == "export":
             p.add_argument("--out", default=None,
                            help="artifact path (.tchvp zip)")

@@ -16,13 +16,25 @@ import jax
 from tchvp_tpu.train.state import human_param_count, param_count
 
 
-def summarize(model: nn.Module, example_input: Any, **call_kwargs) -> str:
-    """Per-module table of output shapes + parameter counts."""
-    return nn.tabulate(
-        model,
-        jax.random.PRNGKey(0),
-        console_kwargs={"width": 120, "force_terminal": False},
-    )(example_input, **call_kwargs)
+def summarize(
+    model: nn.Module,
+    example_input: Any,
+    depth: Optional[int] = None,
+    **call_kwargs,
+) -> str:
+    """Per-module table of output shapes + parameter counts.
+
+    ``depth`` limits module nesting (torchsummary's flat view is
+    depth=1); None shows every submodule.
+    """
+    tab_kwargs: dict = dict(
+        console_kwargs={"width": 120, "force_terminal": False, "no_color": True},
+    )
+    if depth is not None:
+        tab_kwargs["depth"] = depth
+    return nn.tabulate(model, jax.random.PRNGKey(0), **tab_kwargs)(
+        example_input, **call_kwargs
+    )
 
 
 def count_params(model: nn.Module, example_input: Any, **init_kwargs) -> int:

@@ -33,6 +33,25 @@ def test_describe_and_count_params():
     assert "7.76M" in describe(UNet(), x)
 
 
+def test_summarize_table_and_cli_summary(capsys):
+    """`tchvp summary` = the reference's torchsummary workflow
+    (FCT.py:4,262): per-layer table + totals, straight from the CLI."""
+    from tchvp_tpu.cli import main
+    from tchvp_tpu.models import UNet
+    from tchvp_tpu.utils.summary import summarize
+
+    x = jnp.zeros((1, 32, 32, 3))
+    table = summarize(UNet(), x)
+    assert "UNet" in table and "7,763,041" in table
+    # depth=1 collapses nested blocks: strictly fewer rows.
+    assert len(summarize(UNet(), x, depth=1).splitlines()) < len(table.splitlines())
+
+    main(["summary", "--model", "unet", "--image-size", "32", "--depth", "1"])
+    out = capsys.readouterr().out
+    assert "7,763,041" in out and "UNet: 7.76M parameters" in out
+    assert "Input: (1, 32, 32, 3)" in out
+
+
 def test_sobel_edges_detects_step():
     from tchvp_tpu.ops.sobel import sobel_edges
 
