@@ -19,6 +19,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _bump(t, i):
+    """Perturb ``t`` with loop index ``i`` so XLA can't hoist the op.
+
+    Integer dtypes would truncate ``1e-6`` to 0 and XLA would fold the
+    perturbation away, hoisting ``fn`` out of the loop entirely (the
+    benchmark would then time an empty loop — round-3 review finding).
+    Alternate +0/+1 instead: still data-dependent on ``i``, still cheap.
+    """
+    if t.dtype == jnp.bool_:
+        return t ^ (i % 2).astype(jnp.bool_)
+    if jnp.issubdtype(t.dtype, jnp.integer):
+        return t + (i % 2).astype(t.dtype)
+    return t + i * jnp.asarray(1e-6, t.dtype)
+
+
 def timeit(fn, *args, iters: int = 20, perturb: Optional[int] = None,
            verbose: bool = False):
     """(ms_per_call, compile_seconds) for ``fn(*args)`` on the device.
@@ -32,9 +47,7 @@ def timeit(fn, *args, iters: int = 20, perturb: Optional[int] = None,
     @jax.jit
     def loop(*a):
         def body(i, acc):
-            bumped = tuple(
-                t + i * jnp.asarray(1e-6, t.dtype) for t in a[:n]
-            )
+            bumped = tuple(_bump(t, i) for t in a[:n])
             out = fn(*bumped, *a[n:])
             return acc + out.astype(jnp.float32).mean()
 

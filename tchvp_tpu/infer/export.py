@@ -66,8 +66,11 @@ def export_serving(
             (None, "b, " + ", ".join("_" * (example_batch.ndim - 1))),
         )
     else:
+        # Dtype inspection must not move data: jnp.asarray would ship
+        # every weight leaf to the device just to read .dtype (a full
+        # checkpoint transfer over the tunnel before lowering starts).
         specs = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
             (weights, example_batch),
         )
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
@@ -113,6 +116,24 @@ class ServingModel:
     @property
     def platforms(self) -> Tuple[str, ...]:
         return tuple(self._exported.platforms)
+
+    def example_input(self, batch_size: int = 1) -> Any:
+        """A zeros batch matching the program's input calling convention.
+
+        Shape and dtype come from the exported batch aval (the last
+        flattened arg — see ``save_artifact``'s ``batch_aval`` record),
+        with any symbolic dim (the polymorphic batch) pinned to
+        ``batch_size``; static dims (incl. a static batch) are kept.
+        Lets callers warm up/smoke-test any artifact without relying on
+        optional ``meta`` fields or guessing the wire dtype.
+        """
+        import numpy as np
+
+        aval = self._exported.in_avals[-1]
+        shape = tuple(
+            d if isinstance(d, int) else batch_size for d in aval.shape
+        )
+        return np.zeros(shape, np.dtype(aval.dtype))
 
     def __call__(self, batch: jnp.ndarray) -> Any:
         if not self._on_device:

@@ -94,6 +94,18 @@ class _Stats:
             }
 
 
+def _normalize_buckets(
+    buckets: Optional[Tuple[int, ...]],
+) -> Optional[Tuple[int, ...]]:
+    """Sorted unique buckets, validated up front (before any warmup)."""
+    if not buckets:
+        return None
+    norm = tuple(sorted(set(int(b) for b in buckets)))
+    if norm[0] < 1:
+        raise ValueError(f"buckets must be >= 1, got {norm}")
+    return norm
+
+
 def _bucketed_call(model: ServingModel, batch: np.ndarray,
                    buckets: Tuple[int, ...]) -> np.ndarray:
     """Run ``batch`` through the program at bucket batch sizes only.
@@ -172,9 +184,14 @@ def _make_handler(model: ServingModel, stats: _Stats,
                     else:
                         out = np.asarray(model(batch))
                 t2 = time.perf_counter()
-            except Exception as e:  # wrong shape/dtype for the program
+            except Exception as e:
                 stats.record_error(inflight=True)
-                self._reply_json(400, {"error": str(e)})
+                # Shape/dtype mismatches against the program are the
+                # client's fault (400); anything else (device lost, OOM,
+                # backend error) is a server fault and must read as 500
+                # so monitoring can tell a broken daemon from bad input.
+                code = 400 if isinstance(e, (ValueError, TypeError)) else 500
+                self._reply_json(code, {"error": str(e)})
                 return
             # Frames served: B*T for 5-D clips, B for 4-D images.
             frames = int(batch.shape[0] * batch.shape[1]) if batch.ndim == 5 \
@@ -205,9 +222,7 @@ class ArtifactServer:
                  buckets: Optional[Tuple[int, ...]] = None):
         self.model = model
         self.stats = _Stats()
-        self.buckets = tuple(sorted(set(buckets))) if buckets else None
-        if self.buckets and self.buckets[0] < 1:
-            raise ValueError(f"buckets must be >= 1, got {self.buckets}")
+        self.buckets = _normalize_buckets(buckets)
         self._infer_lock = threading.Lock()
         self._httpd = ThreadingHTTPServer(
             (host, port),
@@ -254,16 +269,14 @@ def serve_artifact(path: str, host: str = "127.0.0.1", port: int = 0,
     takes traffic, so steady-state requests never compile.
     """
     model = load_artifact(path)
+    norm = _normalize_buckets(buckets)  # validate BEFORE any warmup work
     if warmup:
-        meta = model.meta.get("meta", {})
-        size = int(meta.get("image_size", 0) or 0)
-        clip = int(meta.get("clip_len", 0) or 0)
-        if size:
-            # clip_len 0 = per-image artifact (export_image_model).
-            shape = (clip, size, size, 3) if clip else (size, size, 3)
-            for b in (buckets or (1,)):
-                model(np.zeros((b,) + shape, np.uint8))
-    return ArtifactServer(model, host, port, buckets=buckets)
+        # Input shape/dtype come from the exported program's own batch
+        # aval (`example_input`) — works for every artifact, including
+        # meta-less ones and float-input (preprocess=False) exports.
+        for b in (norm or (1,)):
+            model(model.example_input(b))
+    return ArtifactServer(model, host, port, buckets=norm)
 
 
 def post_npy(url: str, array: np.ndarray, timeout: float = 600.0) -> np.ndarray:

@@ -163,6 +163,13 @@ def extract_transformer_layers(variables: Any, num_layers: int) -> Any:
     :func:`pipeline_apply` (layer ``i`` owns ``norm_i`` / ``attention_i``
     / ``ffn1_i`` / ``ffn2_i``)."""
     params = variables["params"]
+    if "moe_0" in params:
+        raise ValueError(
+            "pipeline parallelism over TransformerEncoder layers supports "
+            "the dense-FFN form only (params ffn1_i/ffn2_i); this model was "
+            "built with num_experts>=2 (routed MoE params moe_i). Use ep "
+            "(expert parallelism) for MoE models, or num_experts=0 for pp."
+        )
     layers = []
     for i in range(num_layers):
         layers.append(

@@ -269,3 +269,19 @@ def test_total_load_balance_loss_without_moe_is_zero():
     _, mut = model.apply(vs, x, mutable=["intermediates"])
     assert float(total_load_balance_loss(mut)) == 0.0
     assert float(total_load_balance_loss({})) == 0.0
+
+
+def test_pipeline_extraction_rejects_moe_params_loudly():
+    """pp composes with dense FFNs only; an MoE param tree must be
+    rejected with an explanatory error, not a bare KeyError
+    (round-3 review finding)."""
+    from tchvp_tpu.parallel.pipeline import extract_transformer_layers
+
+    cfg = TransformerConfig(
+        input_dim=16, hidden_dim=24, num_layers=1, num_heads=4,
+        dropout_rate=0.0, num_experts=2,
+    )
+    model = TransformerEncoder(config=cfg)
+    vs = model.init(jax.random.PRNGKey(0), _data(b=1, s=4, d=16))
+    with pytest.raises(ValueError, match="num_experts"):
+        extract_transformer_layers(vs, 1)

@@ -114,3 +114,71 @@ def test_malformed_and_wrong_requests_do_not_kill_server(served):
     # Server still serves.
     out = post_npy(f"{base}/infer", _batch(1, seed=6))
     assert out.ndim == 5
+
+
+def test_metaless_float_artifact_warms_and_validates(tmp_path):
+    """Warmup derives input shape/dtype from the exported batch aval, so
+    it works without meta and for float-input programs; bad buckets are
+    rejected before any warmup work (round-3 review findings)."""
+    def fn(w, x):
+        return x * w["s"]
+
+    exported, w = export_lib.export_serving(
+        fn, {"s": np.float32(2.0)}, jnp.zeros((1, 6), jnp.float32)
+    )
+    path = str(tmp_path / "tiny.tchvp")
+    export_lib.save_artifact(path, exported, w)  # no meta at all
+    model = export_lib.load_artifact(path)
+    probe = model.example_input(3)
+    assert probe.shape == (3, 6) and probe.dtype == np.float32
+
+    with pytest.raises(ValueError, match="buckets"):
+        serve_artifact(path, buckets=(0, 2))
+
+    srv = serve_artifact(path, port=0, buckets=(2,)).start()
+    try:
+        out = post_npy(f"http://127.0.0.1:{srv.port}/infer",
+                       np.ones((1, 6), np.float32))
+        np.testing.assert_allclose(out, 2.0)
+    finally:
+        srv.shutdown()
+
+
+def test_server_faults_read_as_500_client_errors_as_400():
+    """Monitoring must distinguish 'your batch is wrong' (400) from
+    'the accelerator/daemon is broken' (500)."""
+    import io as _io
+
+    from tchvp_tpu.infer.server import ArtifactServer
+
+    class Stub:
+        platforms = ("cpu",)
+        meta = {}
+        calls = 0
+
+        def __call__(self, batch):
+            Stub.calls += 1
+            if Stub.calls == 1:
+                raise ValueError("rank mismatch for program")
+            raise RuntimeError("device lost")
+
+    srv = ArtifactServer(Stub(), port=0, buckets=None).start()
+    try:
+        buf = _io.BytesIO()
+        np.save(buf, np.ones((1, 2), np.float32), allow_pickle=False)
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/infer",
+                data=buf.getvalue(), method="POST",
+            )
+            return urllib.request.urlopen(req, timeout=30)
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post()
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post()
+        assert e.value.code == 500
+    finally:
+        srv.shutdown()
