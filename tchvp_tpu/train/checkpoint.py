@@ -27,6 +27,27 @@ def _to_host(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def is_sharded_state(tree: Any) -> bool:
+    """True when any leaf is a jax.Array partitioned over a mesh axis
+    (a ZeRO-3/FSDP-placed state from
+    :func:`tchvp_tpu.parallel.fsdp.shard_train_state`). Replicated or
+    unplaced states return False — for those the host-numpy checkpoint
+    path is equivalent and cheaper."""
+    for leaf in jax.tree.leaves(tree):
+        if not isinstance(leaf, jax.Array):
+            continue
+        spec = getattr(leaf.sharding, "spec", None)
+        if spec is not None and any(s is not None for s in spec):
+            return True
+    return False
+
+
+def _ckpt_structure(path: str, ckpt: ocp.PyTreeCheckpointer) -> Any:
+    """The on-disk pytree (metadata leaves), without reading array data."""
+    meta = ckpt.metadata(path).item_metadata
+    return meta.tree if hasattr(meta, "tree") else dict(meta)
+
+
 # One process-wide AsyncCheckpointer: orbax serializes its own queue, and
 # sharing it lets wait_for_async_saves() drain everything in flight.
 _ASYNC: Optional[ocp.AsyncCheckpointer] = None
@@ -57,6 +78,7 @@ def save_state(
     batch_stats: Any = None,
     extra: Optional[Dict[str, Any]] = None,
     async_write: bool = False,
+    sharded: Optional[bool] = None,
 ) -> str:
     """Save a full training state under ``directory/step_{step}``.
 
@@ -66,15 +88,29 @@ def save_state(
     that matters when checkpoints are hundreds of MB and steps are ms.
     The write is atomic (orbax tmp-dir rename) and
     :func:`wait_for_async_saves` / any restore helper joins it.
+
+    ``sharded`` (default: auto-detect via :func:`is_sharded_state`):
+    a ZeRO-3/FSDP-placed state is saved SHARD-WISE — jax.Array leaves go
+    to orbax as-is, each host writes only its addressable shards, and no
+    full copy of any leaf is ever materialized (gathering a state that
+    is sharded *because it does not fit* would defeat ZeRO-3; on
+    multi-host it would also crash on non-addressable arrays). Restore
+    with :func:`restore_state_into` on a placed live state (sharded
+    template reads, including onto a different mesh size — elastic
+    resume) or with :func:`restore_state`/:func:`restore_params`
+    (host-numpy fallback for single-device consumers like eval/export).
     """
+    if sharded is None:
+        sharded = is_sharded_state((params, opt_state))
+    host = (lambda t: t) if sharded else _to_host
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
-    payload = {"params": _to_host(params), "step": step}
+    payload = {"params": host(params), "step": step}
     if opt_state is not None:
-        payload["opt_state"] = _to_host(opt_state)
+        payload["opt_state"] = host(opt_state)
     if batch_stats is not None:
-        payload["batch_stats"] = _to_host(batch_stats)
+        payload["batch_stats"] = host(batch_stats)
     if extra:
-        payload["extra"] = _to_host(extra)
+        payload["extra"] = host(extra)
     if async_write:
         _async_checkpointer().save(path, payload, force=True)
     else:
@@ -83,15 +119,35 @@ def save_state(
 
 
 def restore_state(path: str, template: Optional[Any] = None) -> Dict[str, Any]:
-    """Restore a full training state saved by :func:`save_state`."""
+    """Restore a full training state saved by :func:`save_state`.
+
+    Handles both on-disk formats: host-numpy checkpoints read directly;
+    shard-wise checkpoints (``save_state(sharded=True)``) carry sharding
+    metadata orbax refuses to restore untemplated, so those fall back to
+    a metadata-driven numpy read (every leaf forced to ``np.ndarray`` —
+    fine for single-host consumers; for a no-gather restore of a big
+    state use :func:`restore_state_into` on a placed live state)."""
     wait_for_async_saves()  # a just-queued async save must be readable
     ckpt = ocp.PyTreeCheckpointer()
     if template is not None:
         return ckpt.restore(path, item=template)
-    return ckpt.restore(path)
+    try:
+        return ckpt.restore(path)
+    except ValueError:
+        return _restore_host_forced(path, ckpt)
 
 
-def restore_state_into(state, path: str):
+def _restore_host_forced(path: str, ckpt: ocp.PyTreeCheckpointer) -> Any:
+    """Numpy-forced read of a shard-wise checkpoint (its array entries
+    have sharding metadata whose devices need not exist here)."""
+    disk = _ckpt_structure(path, ckpt)
+    rargs = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), disk
+    )
+    return ckpt.restore(path, restore_args=rargs)
+
+
+def restore_state_into(state, path: str, sharded: Optional[bool] = None):
     """Restore params / opt_state / batch_stats from ``path`` into a live
     TrainState, preserving optimizer pytree structure (orbax without a
     template flattens optax namedtuples to dicts — restoring those into
@@ -112,7 +168,20 @@ def restore_state_into(state, path: str):
     non-alphabetical fields, e.g. optax ``ApplyIfFiniteState`` from
     ``make_optimizer(skip_nonfinite_updates=N)``, would silently permute
     optimizer leaves. Advisor finding, round 2.)
+
+    ``sharded`` (default: auto via :func:`is_sharded_state` on the live
+    state): a ZeRO-3/FSDP-placed state restores through orbax's sharded
+    template reads — each leaf comes back AS the live leaf's
+    NamedSharding with no host gather and no replicated copy (the live
+    state's shardings are the template, so restoring onto a different
+    mesh size reshards on the fly — elastic resume). Works on both
+    on-disk formats; replicated/unplaced states keep the host-numpy
+    path below.
     """
+    if sharded is None:
+        sharded = is_sharded_state(state)
+    if sharded:
+        return _restore_state_sharded(state, path)
     raw = restore_state(path)
     state = state.replace(params=_retype(state.params, raw["params"]))
     if "opt_state" in raw and state.opt_state is not None:
@@ -121,6 +190,40 @@ def restore_state_into(state, path: str):
         state = state.replace(
             batch_stats=_retype(state.batch_stats, raw["batch_stats"])
         )
+    return state, raw
+
+
+def _restore_state_sharded(state, path: str):
+    """Template restore of params/opt_state/batch_stats into the live
+    state's placements: orbax reads each shard straight into its target
+    device (``ArrayRestoreArgs`` per leaf), so peak memory is the SHARDED
+    state size — the restore counterpart of ``save_state(sharded=True)``.
+    Pytree node types (optax namedtuples) ride the template, so no
+    ``_retype`` pass is needed. Non-array checkpoint keys (``step``,
+    ``extra``) restore as host values; returns ``(state, raw)`` like
+    :func:`restore_state_into`."""
+    wait_for_async_saves()
+    ckpt = ocp.PyTreeCheckpointer()
+    disk = _ckpt_structure(path, ckpt)
+    live: Dict[str, Any] = {"params": state.params}
+    if "opt_state" in disk and state.opt_state is not None:
+        live["opt_state"] = state.opt_state
+    if "batch_stats" in disk and getattr(state, "batch_stats", None) is not None:
+        live["batch_stats"] = state.batch_stats
+    item = dict(live)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(live)
+    for key, sub in disk.items():  # step/extra: host-side defaults
+        if key in item:
+            continue
+        item[key] = jax.tree.map(lambda _: 0, sub)
+        restore_args[key] = jax.tree.map(lambda _: ocp.RestoreArgs(), sub)
+    out = ckpt.restore(path, item=item, restore_args=restore_args)
+    state = state.replace(params=out["params"])
+    if "opt_state" in live:
+        state = state.replace(opt_state=out["opt_state"])
+    if "batch_stats" in live:
+        state = state.replace(batch_stats=out["batch_stats"])
+    raw = {k: out[k] for k in out if k not in live}
     return state, raw
 
 
@@ -179,7 +282,11 @@ def save_params(directory: str, name: str, params: Any) -> str:
 
 
 def restore_params(path: str) -> Any:
-    return ocp.PyTreeCheckpointer().restore(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    try:
+        return ckpt.restore(path)
+    except ValueError:  # shard-wise format: numpy-forced fallback
+        return _restore_host_forced(path, ckpt)
 
 
 def restore_subtree(path: str, keys: Sequence[str]) -> Dict[str, Any]:
