@@ -223,13 +223,14 @@ def cmd_video(args) -> None:
         fsdp_axis="data" if args.fsdp else None,
         accum_steps=args.accum_steps,
     )
-    start = flow.resume(args.clip_len) if args.resume else 0
+    start = flow.resume(args.clip_len, data=data) if args.resume else 0
     flow.train(
         data,
         epochs=args.epochs,
         clip_len=args.clip_len,
         start_epoch=start,
         save_every=args.save_every,
+        save_every_steps=args.save_every_steps,
     )
 
 
@@ -939,6 +940,11 @@ def main(argv=None) -> None:
             p.add_argument("--clippack", default=None)
             p.add_argument("--resume", action="store_true")
             p.add_argument("--save-every", type=int, default=10)
+            p.add_argument("--save-every-steps", type=int, default=0,
+                           help="also checkpoint every N batches WITHIN "
+                                "an epoch, recording the dataset position "
+                                "so --resume seeks mid-epoch (preemption "
+                                "tolerance; clippack datasets)")
             p.add_argument("--model", default="hybrid",
                            choices=("hybrid", "ae32k", "ae4k"))
             p.add_argument("--num-experts", type=int, default=0,

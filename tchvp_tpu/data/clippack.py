@@ -263,6 +263,7 @@ class ClipPackDataset:
         self.num_shards = num_shards
         self._epoch = 0
         self._consumed = 0  # batches taken from the native ring this epoch
+        self._seeked = False  # _consumed is a seek target, not abandonment
         self._native = prefer_native and native_available()
 
         if self._native:
@@ -320,6 +321,53 @@ class ClipPackDataset:
         if not self._loader:
             raise RuntimeError("clippack native loader recreation failed")
 
+    def position(self) -> dict:
+        """Checkpointable iteration position: the NEXT batch this dataset
+        will serve is ``batch`` of (data-)epoch ``epoch``. Save it next to
+        the model checkpoint and hand it to :meth:`seek` after a restore —
+        preemption-tolerant training resumes mid-epoch without replaying
+        or skipping batches (the reference restarts epochs from scratch:
+        its resume rewires only the epoch counter, FCT.py:312)."""
+        return {"epoch": self._epoch, "batch": self._consumed}
+
+    def seek(self, epoch: int, batch: int = 0) -> None:
+        """Position the iterator at ``batch`` of (data-)epoch ``epoch``.
+
+        Deterministic on both paths because epoch e's permutation is
+        mt19937_64(seed + e) regardless of history (native C and NumPy
+        fallback share the stream — ``epoch_permutation``). The native
+        ring has no random access, so it is rebuilt at epoch e and
+        drained ``batch`` batches (one-time mmap-copy cost per resume).
+        """
+        if not 0 <= batch < max(len(self), 1):
+            raise ValueError(f"batch {batch} not in [0, {len(self)})")
+        if epoch < 0:
+            raise ValueError(f"epoch {epoch} < 0")
+        if self._native:
+            lib = _load_lib()
+            lib.loader_destroy(self._loader)
+            self._loader = lib.loader_create(
+                self._reader, self.batch_size, int(self.shuffle),
+                self.seed + epoch, self.num_threads, 0,
+                self.shard_id, self.num_shards,
+            )
+            if not self._loader:
+                raise RuntimeError("clippack native loader recreation failed")
+            scratch = np.empty(
+                (self.batch_size, self.t, self.h, self.w, self.c), np.uint8
+            )
+            for _ in range(batch):
+                rc = lib.loader_next(
+                    self._loader,
+                    scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                )
+                if rc < 0:
+                    self._reset_native()
+                    raise RuntimeError("clippack native loader failed in seek")
+        self._epoch = epoch
+        self._consumed = batch
+        self._seeked = True
+
     @property
     def clip_shape(self) -> Tuple[int, int, int, int]:
         return (self.t, self.h, self.w, self.c)
@@ -330,6 +378,31 @@ class ClipPackDataset:
     def __iter__(self) -> Iterator[np.ndarray]:
         if self._native:
             lib = _load_lib()
+            if self._seeked:
+                # seek() already positioned the ring at (_epoch, _consumed):
+                # serve the REMAINDER of that epoch (no abandonment drain).
+                self._seeked = False
+                start = self._consumed
+                try:
+                    for _ in range(start, len(self)):
+                        out = np.empty(
+                            (self.batch_size, self.t, self.h, self.w, self.c),
+                            np.uint8,
+                        )
+                        rc = lib.loader_next(
+                            self._loader,
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        )
+                        if rc < 0:
+                            self._reset_native()
+                            raise RuntimeError("clippack native loader failed")
+                        self._consumed += 1
+                        yield out
+                finally:
+                    if self._consumed == len(self):
+                        self._consumed = 0
+                        self._epoch += 1
+                return
             if self._consumed:
                 # A previous iterator was abandoned mid-epoch. The native
                 # ring has no seek, so drain to the epoch boundary — the
@@ -372,13 +445,28 @@ class ClipPackDataset:
                     self._consumed = 0
                     self._epoch += 1
         else:
+            # Fallback accounting mirrors the native path batch-for-batch
+            # (position() must be right mid-iteration on both): a seek
+            # serves the remainder of its target epoch; an abandoned
+            # mid-epoch iterator skips to the next epoch, same as the
+            # native boundary drain.
+            if self._consumed and not self._seeked:
+                self._consumed = 0
+                self._epoch += 1
+            start = self._consumed
+            self._seeked = False
             perm = epoch_permutation(self.n, self.seed, self._epoch, self.shuffle)
-            self._epoch += 1
             gb = self.batch_size * self.num_shards
-            for b in range(len(self)):
-                off = b * gb + self.shard_id * self.batch_size
-                idx = perm[off : off + self.batch_size]
-                yield np.stack([self._mm[i] for i in idx])
+            try:
+                for b in range(start, len(self)):
+                    off = b * gb + self.shard_id * self.batch_size
+                    idx = perm[off : off + self.batch_size]
+                    self._consumed = b + 1
+                    yield np.stack([self._mm[i] for i in idx])
+            finally:
+                if self._consumed == len(self):
+                    self._consumed = 0
+                    self._epoch += 1
 
     def close(self) -> None:
         if self._native and self._loader:

@@ -568,9 +568,17 @@ class VideoFlow(_FlowBase):
             n += 1
         return total / max(n, 1)
 
-    def resume(self, clip_len: int) -> int:
+    def resume(self, clip_len: int, data: Optional[Any] = None) -> int:
         """Restore the latest step-tagged checkpoint (params, optimizer
-        moments, batch stats); returns start epoch."""
+        moments, batch stats); returns start epoch.
+
+        ``data``: the training dataset. When the checkpoint was taken
+        mid-epoch (``train(save_every_steps=N)``) and ``data`` supports
+        ``seek`` (:class:`tchvp_tpu.data.clippack.ClipPackDataset`), the
+        iterator is positioned at the exact next batch — preemption-
+        tolerant resume with no replayed or skipped batches. A mid-epoch
+        checkpoint with non-seekable data falls back to replaying the
+        whole epoch (with a warning)."""
         path = ckpt.latest_step_dir(self.cfg.checkpoint_dir)
         if path is None:
             return 0
@@ -578,9 +586,28 @@ class VideoFlow(_FlowBase):
             self.init_state(clip_len)
         self.state, raw = ckpt.restore_state_into(self.state, path)
         # Restored leaves land unplaced; put them back on the mesh
-        # (replicated, or FSDP-sharded when fsdp_axis is set).
+        # (replicated, or FSDP-sharded when fsdp_axis is set) — a no-op
+        # for the sharded-restore path, which placed them already.
         self.state = self._replicate(self.state)
-        return int(raw.get("step", 0))
+        extra = raw.get("extra") or {}
+        epoch = int(extra.get("train_epoch", raw.get("step", 0)))
+        pos = extra.get("data_position")
+        if pos is not None and int(pos["batch"]) > 0:
+            if data is not None and hasattr(data, "seek"):
+                data.seek(int(pos["epoch"]), int(pos["batch"]))
+            else:
+                print(
+                    "[resume] mid-epoch checkpoint but data is not "
+                    "seekable; replaying epoch from its start"
+                )
+            return epoch - 1  # re-enter the partial epoch
+        return epoch
+
+    def _ckpt_extra(self, epoch: int, data: Any) -> dict:
+        extra = {"train_epoch": epoch}
+        if hasattr(data, "position"):
+            extra["data_position"] = data.position()
+        return extra
 
     def train(
         self,
@@ -589,13 +616,28 @@ class VideoFlow(_FlowBase):
         clip_len: int = 8,
         start_epoch: int = 0,
         save_every: int = 10,
+        save_every_steps: int = 0,
         health: Optional["HealthMonitor"] = None,
     ) -> TrainState:
         """``health``: optional :class:`tchvp_tpu.train.health.HealthMonitor`;
         on sustained NaN loss the flow restores the latest step-tagged
-        checkpoint (or raises TrainingDiverged when none exists)."""
+        checkpoint (or raises TrainingDiverged when none exists).
+
+        ``save_every_steps`` > 0 additionally checkpoints every N batches
+        WITHIN an epoch (preemption tolerance for long epochs), tagging
+        checkpoints by global batch count ``(epoch-1)*len(data)+i`` —
+        epoch-end saves then use the same numbering so ``latest_step_dir``
+        stays monotone. Each save records the dataset ``position()``
+        (when available) so :meth:`resume` can seek mid-epoch. Requires a
+        sized ``train_data``."""
         from tchvp_tpu.train.health import HealthMonitor, TrainingDiverged, recover_latest
 
+        if save_every_steps and not hasattr(train_data, "__len__"):
+            raise ValueError(
+                "save_every_steps needs a sized dataset (len()) for "
+                "monotone checkpoint tags"
+            )
+        spe = len(train_data) if hasattr(train_data, "__len__") else 0
         if self.state is None:
             self.init_state(clip_len)
         for epoch in range(start_epoch + 1, epochs + 1):
@@ -620,6 +662,28 @@ class VideoFlow(_FlowBase):
                         health.consecutive_nan = 0
                 sums = {k: sums[k] + float(m[k]) for k in sums}
                 n += 1
+                if save_every_steps:
+                    # Absolute index within the data epoch (survives a
+                    # mid-epoch resume, where n restarts at 1 for the
+                    # remainder) -> globally monotone checkpoint tags.
+                    abs_i = (
+                        train_data.position()["batch"]
+                        if hasattr(train_data, "position")
+                        else n
+                    )
+                    if abs_i and abs_i % save_every_steps == 0 and abs_i < spe:
+                        ckpt.save_state(
+                            self.cfg.checkpoint_dir,
+                            (epoch - 1) * spe + abs_i,
+                            self.state.params,
+                            self.state.opt_state,
+                            self.state.batch_stats,
+                            extra=self._ckpt_extra(epoch, train_data),
+                            async_write=self.cfg.async_checkpoint,
+                        )
+                        ckpt.prune_step_dirs(
+                            self.cfg.checkpoint_dir, self.cfg.keep_checkpoints
+                        )
             train_m = _mean_of(sums, n)
             self._log("Loss/Train", train_m["loss"], epoch)
             self._log("PSNR/Train", train_m["psnr"], epoch)
@@ -630,10 +694,13 @@ class VideoFlow(_FlowBase):
             if epoch % save_every == 0:  # every-10-epoch ckpt (AE_256_32K)
                 ckpt.save_state(
                     self.cfg.checkpoint_dir,
-                    epoch,
+                    # Same numbering as the step-granular saves so
+                    # latest_step_dir stays monotone within a run.
+                    epoch * spe if save_every_steps else epoch,
                     self.state.params,
                     self.state.opt_state,
                     self.state.batch_stats,
+                    extra=self._ckpt_extra(epoch, train_data),
                     async_write=self.cfg.async_checkpoint,
                 )
                 ckpt.prune_step_dirs(

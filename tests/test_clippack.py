@@ -326,3 +326,77 @@ def test_prefetcher_propagates_errors_and_releases_worker():
             break
         time.sleep(0.05)
     assert not extra, "prefetch worker thread leaked after abandonment"
+
+
+# ---- mid-epoch position/seek (preemption-tolerant resume) ----
+
+
+def _paths(tmp_path, n=16, seed=9):
+    path, _ = _make_pack(tmp_path, n=n, seed=seed)
+    return path
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_position_tracks_mid_iteration(tmp_path, native):
+    if native and not clippack.native_available():
+        pytest.skip("no toolchain")
+    path = _paths(tmp_path)
+    ds = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=3,
+                                  prefer_native=native)
+    assert ds.position() == {"epoch": 0, "batch": 0}
+    it = iter(ds)
+    next(it), next(it)
+    assert ds.position() == {"epoch": 0, "batch": 2}
+    for _ in it:
+        pass
+    assert ds.position() == {"epoch": 1, "batch": 0}
+    ds.close()
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_seek_resumes_exact_stream(tmp_path, native):
+    """Preemption replay: a FRESH dataset seeked to a saved position must
+    serve byte-for-byte the batches an uninterrupted stream would have —
+    the remainder of the target epoch, then the following epochs."""
+    if native and not clippack.native_available():
+        pytest.skip("no toolchain")
+    path = _paths(tmp_path)
+    oracle = clippack.ClipPackDataset(path, batch_size=4, shuffle=True,
+                                      seed=11, prefer_native=False)
+    stream = list(oracle) + list(oracle) + list(oracle)  # epochs 0-2
+
+    # "Preempted" after 2 batches of epoch 1 (stream index 4+2).
+    ds = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=11,
+                                  prefer_native=native)
+    ds.seek(1, 2)
+    assert ds.position() == {"epoch": 1, "batch": 2}
+    got = list(ds) + list(ds)  # rest of epoch 1, then epoch 2
+    want = stream[6:12]
+    assert len(got) == len(want) == 6
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    assert ds.position() == {"epoch": 3, "batch": 0}
+    ds.close()
+
+
+@pytest.mark.skipif(not clippack.native_available(), reason="no toolchain")
+def test_seek_native_matches_fallback(tmp_path):
+    path = _paths(tmp_path, n=20)
+    nat = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=2)
+    ref = clippack.ClipPackDataset(path, batch_size=4, shuffle=True, seed=2,
+                                   prefer_native=False)
+    assert nat._native and not ref._native
+    for ds in (nat, ref):
+        ds.seek(2, 3)
+    for a, b in zip(nat, ref):
+        np.testing.assert_array_equal(a, b)
+    nat.close()
+
+
+def test_seek_validates_range(tmp_path):
+    path = _paths(tmp_path)
+    ds = clippack.ClipPackDataset(path, batch_size=4, prefer_native=False)
+    with pytest.raises(ValueError):
+        ds.seek(0, 99)
+    with pytest.raises(ValueError):
+        ds.seek(-1, 0)

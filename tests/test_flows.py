@@ -156,6 +156,61 @@ def test_video_flow_train_and_resume(workdir):
     flow2.train(data, epochs=3, clip_len=4, start_epoch=start, save_every=10)
 
 
+def test_video_flow_mid_epoch_checkpoint_resume(workdir, tmp_path):
+    """``save_every_steps`` checkpoints WITHIN an epoch, recording the
+    dataset position; ``resume(data=...)`` seeks the clippack iterator to
+    the exact next batch — preemption-tolerant training with no replayed
+    or skipped batches (the reference resumes only at epoch granularity,
+    FCT.py:312)."""
+    from tchvp_tpu.data import clippack
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train.loops import VideoFlow
+
+    rng = np.random.default_rng(0)
+    clips = rng.integers(0, 256, (12, 4, 32, 32, 3), dtype=np.uint8)
+    pack = str(tmp_path / "clips.cpk")
+    clippack.pack_clips(pack, clips)
+
+    cfg = TrainConfig(model_name="VID_MID", loss="mse", lr=1e-4)
+    model = VideoHybridNet(
+        config=VideoModelConfig(
+            temporal=TransformerConfig(
+                input_dim=64, hidden_dim=32, num_layers=1, num_heads=4
+            )
+        )
+    )
+    flow = VideoFlow(model, cfg=cfg, image_size=32)
+    data = clippack.ClipPackDataset(
+        pack, batch_size=4, seed=1, prefer_native=False
+    )
+    # 3 batches/epoch; mid-epoch saves land after batches 1 and 2 only
+    # (the epoch-final batch is the epoch-end save's job).
+    flow.train(data, epochs=1, clip_len=4, save_every=10, save_every_steps=1)
+    assert os.path.isdir("checkpoints/step_1")
+    assert os.path.isdir("checkpoints/step_2")
+    assert not os.path.isdir("checkpoints/step_3")
+
+    # "Preempted": resume from the latest (batch 2 of epoch 1).
+    data2 = clippack.ClipPackDataset(
+        pack, batch_size=4, seed=1, prefer_native=False
+    )
+    flow2 = VideoFlow(model, cfg=cfg, image_size=32)
+    start = flow2.resume(clip_len=4, data=data2)
+    assert start == 0  # re-enter the partial epoch
+    assert data2.position() == {"epoch": 0, "batch": 2}
+
+    flow2.train(data2, epochs=2, clip_len=4, start_epoch=start,
+                save_every=10, save_every_steps=1)
+    # Epoch 1 served ONLY its remaining batch; epoch 2 served all 3.
+    assert int(flow2.state.step) == 4
+    assert data2.position() == {"epoch": 2, "batch": 0}
+    # Step-granular tags stay globally monotone across the resume:
+    # epoch-2 mid-saves are (2-1)*3 + {1,2} = 4, 5.
+    from tchvp_tpu.train import checkpoint as ckpt_lib
+
+    assert ckpt_lib.latest_step_dir("checkpoints").endswith("step_5")
+
+
 def test_checkpoint_roundtrip(workdir):
     import jax
 
