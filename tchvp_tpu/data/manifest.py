@@ -282,23 +282,77 @@ class _Prefetcher:
 
 
 class _Batcher:
-    """Shuffling, drop-last batching over row indices."""
+    """Shuffling, drop-last batching over row indices.
+
+    Positionable like :class:`tchvp_tpu.data.clippack.ClipPackDataset`:
+    epoch e's permutation is the (e+1)-th shuffle of a fresh
+    ``default_rng(seed)`` (exactly one shuffle is drawn per epoch started,
+    including abandoned ones), so :meth:`seek` replays e throwaway
+    shuffles and lands on a deterministic stream regardless of history.
+    Consumption is counted CONSUMER-side (:meth:`note_consumed`, called
+    by the datasets' iterator wrappers) so a prefetch queue running ahead
+    of training does not inflate :meth:`position` — a mid-epoch
+    checkpoint must record the next batch the *trainer* will see, not
+    the next one the decode worker will fetch."""
 
     def __init__(self, n: int, batch_size: int, shuffle: bool, seed: int):
         self.n = n
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self.epoch = 0
+        self.consumed = 0  # batches the CONSUMER took this epoch
+        self._seeked = False
 
     def __len__(self) -> int:
         return self.n // self.batch_size
 
+    def position(self) -> dict:
+        return {"epoch": self.epoch, "batch": self.consumed}
+
+    def seek(self, epoch: int, batch: int = 0) -> None:
+        if not 0 <= batch < max(len(self), 1):
+            raise ValueError(f"batch {batch} not in [0, {len(self)})")
+        if epoch < 0:
+            raise ValueError(f"epoch {epoch} < 0")
+        self.rng = np.random.default_rng(self.seed)
+        if self.shuffle:
+            scratch = np.arange(self.n)
+            for _ in range(epoch):  # burn prior epochs' shuffles
+                self.rng.shuffle(scratch)
+        self.epoch = epoch
+        self.consumed = batch
+        self._seeked = True
+
     def batches(self) -> Iterator[np.ndarray]:
+        if self.consumed and not self._seeked:
+            # Abandoned mid-epoch: skip the remainder, same semantics as
+            # the clippack loaders (its shuffle was already drawn, so the
+            # one-shuffle-per-epoch invariant seek() relies on holds).
+            self.epoch += 1
+            self.consumed = 0
+        start = self.consumed
+        self._seeked = False
         idx = np.arange(self.n)
         if self.shuffle:
             self.rng.shuffle(idx)
-        for i in range(len(self)):
+        for i in range(start, len(self)):
             yield idx[i * self.batch_size : (i + 1) * self.batch_size]
+
+    def note_consumed(self) -> None:
+        self.consumed += 1
+        if self.consumed >= len(self):
+            self.consumed = 0
+            self.epoch += 1
+
+
+def _counted(batcher: _Batcher, it) -> Iterator:
+    """Consumer-side position accounting around a (possibly prefetched)
+    batch iterator."""
+    for x in it:
+        batcher.note_consumed()
+        yield x
 
 
 class ImageDataset:
@@ -322,13 +376,21 @@ class ImageDataset:
     def __len__(self) -> int:
         return len(self.batcher)
 
+    def position(self) -> dict:
+        """Checkpointable iteration position (see ``_Batcher``)."""
+        return self.batcher.position()
+
+    def seek(self, epoch: int, batch: int = 0) -> None:
+        self.batcher.seek(epoch, batch)
+
     def _gen(self) -> Iterator[np.ndarray]:
         for idx in self.batcher.batches():
             imgs = _load_many([self.rows[i][0] for i in idx], self.image_size)
             yield np.stack(imgs)  # (B, H, W, 3) uint8
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        return iter(_Prefetcher(self._gen)) if self.prefetch else self._gen()
+        it = iter(_Prefetcher(self._gen)) if self.prefetch else self._gen()
+        return _counted(self.batcher, it)
 
 
 class ImageMaskDataset:
@@ -352,6 +414,12 @@ class ImageMaskDataset:
     def __len__(self) -> int:
         return len(self.batcher)
 
+    def position(self) -> dict:
+        return self.batcher.position()
+
+    def seek(self, epoch: int, batch: int = 0) -> None:
+        self.batcher.seek(epoch, batch)
+
     def _gen(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         for idx in self.batcher.batches():
             imgs = _load_many([self.rows[i][0] for i in idx], self.image_size)
@@ -361,7 +429,8 @@ class ImageMaskDataset:
             yield np.stack(imgs), np.stack(masks)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        return iter(_Prefetcher(self._gen)) if self.prefetch else self._gen()
+        it = iter(_Prefetcher(self._gen)) if self.prefetch else self._gen()
+        return _counted(self.batcher, it)
 
 
 class ClipDataset:
@@ -389,6 +458,12 @@ class ClipDataset:
     def __len__(self) -> int:
         return len(self.batcher)
 
+    def position(self) -> dict:
+        return self.batcher.position()
+
+    def seek(self, epoch: int, batch: int = 0) -> None:
+        self.batcher.seek(epoch, batch)
+
     def _gen(self) -> Iterator[np.ndarray]:
         for idx in self.batcher.batches():
             flat = [p for i in idx for p in self.rows[i]]
@@ -401,7 +476,8 @@ class ClipDataset:
             yield np.stack(clips)  # (B, T, H, W, 3)
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        return iter(_Prefetcher(self._gen)) if self.prefetch else self._gen()
+        it = iter(_Prefetcher(self._gen)) if self.prefetch else self._gen()
+        return _counted(self.batcher, it)
 
 
 _IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}

@@ -117,3 +117,55 @@ def test_read_manifest_explicit_header(tmp_path):
     assert read_manifest(str(m2), header=True) == [[p] for p in imgs]
     # header=False keeps the header row (caller asked for raw rows).
     assert read_manifest(str(m2), header=False)[0] == ["path"]
+
+
+def test_manifest_dataset_position_seek(tmp_path):
+    """CSV-backed datasets are positionable like ClipPackDataset: seek
+    replays epoch shuffles of a fresh rng (one per epoch started), and
+    position() counts CONSUMER-side so a prefetch queue running ahead
+    does not inflate the checkpointable position."""
+    PIL = pytest.importorskip("PIL.Image")
+    from tchvp_tpu.data.manifest import ImageDataset
+
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"im{i}.png"
+        PIL.fromarray(np.full((4, 4, 3), i, np.uint8)).save(p)
+        paths.append(str(p))
+    csv = tmp_path / "m.csv"
+    csv.write_text("\n".join(paths) + "\n")
+
+    def mk(**kw):
+        return ImageDataset(str(csv), batch_size=4, image_size=4, seed=5, **kw)
+
+    oracle = mk()
+    stream = list(oracle) + list(oracle) + list(oracle)  # epochs 0-2, 3 b/ep
+
+    # Seek into the middle of epoch 1: remainder + epoch 2, byte-exact.
+    ds = mk()
+    ds.seek(1, 1)
+    assert ds.position() == {"epoch": 1, "batch": 1}
+    got = list(ds) + list(ds)
+    want = stream[4:9]
+    assert len(got) == len(want) == 5
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    assert ds.position() == {"epoch": 3, "batch": 0}
+
+    # Abandoned mid-epoch -> next iteration serves the NEXT epoch
+    # (clippack semantics; also the pre-existing behavior here).
+    ab = mk()
+    for i, _ in enumerate(ab):
+        if i == 0:
+            break
+    for a, b in zip(ab, stream[3:6]):
+        np.testing.assert_array_equal(a, b)
+
+    # Prefetch: the decode worker runs ahead, position() must not.
+    pf = mk(prefetch=True)
+    it = iter(pf)
+    next(it)
+    next(it)
+    assert pf.position() == {"epoch": 0, "batch": 2}
+    for a, b in zip([next(it)], [stream[2]]):
+        np.testing.assert_array_equal(a, b)
