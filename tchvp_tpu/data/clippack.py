@@ -328,6 +328,12 @@ class ClipPackDataset:
         preemption-tolerant training resumes mid-epoch without replaying
         or skipping batches (the reference restarts epochs from scratch:
         its resume rewires only the epoch counter, FCT.py:312)."""
+        if self._consumed >= len(self):
+            # Transient state during the final batch's consumer body
+            # (the generator's finally-roll hasn't run yet): the next
+            # batch is the first of the next epoch — normalize so a
+            # checkpoint taken here seeks to a valid position.
+            return {"epoch": self._epoch + 1, "batch": 0}
         return {"epoch": self._epoch, "batch": self._consumed}
 
     def seek(self, epoch: int, batch: int = 0) -> None:
@@ -382,28 +388,7 @@ class ClipPackDataset:
                 # seek() already positioned the ring at (_epoch, _consumed):
                 # serve the REMAINDER of that epoch (no abandonment drain).
                 self._seeked = False
-                start = self._consumed
-                try:
-                    for _ in range(start, len(self)):
-                        out = np.empty(
-                            (self.batch_size, self.t, self.h, self.w, self.c),
-                            np.uint8,
-                        )
-                        rc = lib.loader_next(
-                            self._loader,
-                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                        )
-                        if rc < 0:
-                            self._reset_native()
-                            raise RuntimeError("clippack native loader failed")
-                        self._consumed += 1
-                        yield out
-                finally:
-                    if self._consumed == len(self):
-                        self._consumed = 0
-                        self._epoch += 1
-                return
-            if self._consumed:
+            elif self._consumed:
                 # A previous iterator was abandoned mid-epoch. The native
                 # ring has no seek, so drain to the epoch boundary — the
                 # NumPy fallback always starts a fresh epoch, and the two
@@ -424,7 +409,7 @@ class ClipPackDataset:
                 self._consumed = 0
                 self._epoch += 1
             try:
-                for _ in range(len(self)):
+                for _ in range(self._consumed, len(self)):
                     # Fresh buffer per batch: the C ABI copies straight into
                     # it, and ownership passes to the caller (no defensive
                     # copy; train steps consume batches immediately anyway).

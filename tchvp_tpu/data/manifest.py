@@ -285,22 +285,24 @@ class _Batcher:
     """Shuffling, drop-last batching over row indices.
 
     Positionable like :class:`tchvp_tpu.data.clippack.ClipPackDataset`:
-    epoch e's permutation is the (e+1)-th shuffle of a fresh
-    ``default_rng(seed)`` (exactly one shuffle is drawn per epoch started,
-    including abandoned ones), so :meth:`seek` replays e throwaway
-    shuffles and lands on a deterministic stream regardless of history.
-    Consumption is counted CONSUMER-side (:meth:`note_consumed`, called
-    by the datasets' iterator wrappers) so a prefetch queue running ahead
-    of training does not inflate :meth:`position` — a mid-epoch
-    checkpoint must record the next batch the *trainer* will see, not
-    the next one the decode worker will fetch."""
+    epoch e's permutation is a pure function of (seed, e) — a fresh
+    ``default_rng((seed, e))`` per epoch, the numpy analogue of the
+    clippack loaders' ``mt19937_64(seed + e)`` — so :meth:`seek` is
+    history-free: no replay, and an iterator abandoned before its first
+    batch (e.g. a prefetch worker that shuffled eagerly but whose
+    consumer crashed at batch 0) cannot desynchronize the stream a
+    restored process reconstructs. Consumption is counted CONSUMER-side
+    (:meth:`note_consumed`, called by the datasets' iterator wrappers)
+    so a prefetch queue running ahead of training does not inflate
+    :meth:`position` — a mid-epoch checkpoint must record the next batch
+    the *trainer* will see, not the next one the decode worker will
+    fetch."""
 
     def __init__(self, n: int, batch_size: int, shuffle: bool, seed: int):
         self.n = n
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
-        self.rng = np.random.default_rng(seed)
         self.epoch = 0
         self.consumed = 0  # batches the CONSUMER took this epoch
         self._seeked = False
@@ -316,27 +318,24 @@ class _Batcher:
             raise ValueError(f"batch {batch} not in [0, {len(self)})")
         if epoch < 0:
             raise ValueError(f"epoch {epoch} < 0")
-        self.rng = np.random.default_rng(self.seed)
-        if self.shuffle:
-            scratch = np.arange(self.n)
-            for _ in range(epoch):  # burn prior epochs' shuffles
-                self.rng.shuffle(scratch)
         self.epoch = epoch
         self.consumed = batch
         self._seeked = True
 
+    def _perm(self, epoch: int) -> np.ndarray:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
+        return idx
+
     def batches(self) -> Iterator[np.ndarray]:
         if self.consumed and not self._seeked:
-            # Abandoned mid-epoch: skip the remainder, same semantics as
-            # the clippack loaders (its shuffle was already drawn, so the
-            # one-shuffle-per-epoch invariant seek() relies on holds).
+            # Abandoned mid-epoch: skip the remainder (clippack semantics).
             self.epoch += 1
             self.consumed = 0
         start = self.consumed
         self._seeked = False
-        idx = np.arange(self.n)
-        if self.shuffle:
-            self.rng.shuffle(idx)
+        idx = self._perm(self.epoch)
         for i in range(start, len(self)):
             yield idx[i * self.batch_size : (i + 1) * self.batch_size]
 

@@ -28,16 +28,18 @@ def _to_host(tree: Any) -> Any:
 
 
 def is_sharded_state(tree: Any) -> bool:
-    """True when any leaf is a jax.Array partitioned over a mesh axis
-    (a ZeRO-3/FSDP-placed state from
-    :func:`tchvp_tpu.parallel.fsdp.shard_train_state`). Replicated or
-    unplaced states return False — for those the host-numpy checkpoint
-    path is equivalent and cheaper."""
+    """True when any leaf is a jax.Array actually partitioned across
+    devices (a ZeRO-3/FSDP-placed state from
+    :func:`tchvp_tpu.parallel.fsdp.shard_train_state`, or any other
+    non-replicated placement — Positional/GSPMD shardings included, so
+    gather-avoidance does not depend on HOW the state was sharded).
+    Replicated or unplaced single-device states return False — for those
+    the host-numpy checkpoint path is equivalent and cheaper."""
     for leaf in jax.tree.leaves(tree):
-        if not isinstance(leaf, jax.Array):
-            continue
-        spec = getattr(leaf.sharding, "spec", None)
-        if spec is not None and any(s is not None for s in spec):
+        if (
+            isinstance(leaf, jax.Array)
+            and not leaf.sharding.is_fully_replicated
+        ):
             return True
     return False
 
@@ -325,6 +327,33 @@ def prune_step_dirs(directory: str, keep_last: int) -> int:
     for _, d in doomed:
         shutil.rmtree(os.path.join(directory, d), ignore_errors=True)
     return len(doomed)
+
+
+def ensure_tag_scheme(directory: str, scheme: str) -> None:
+    """Guard against mixing checkpoint tag numbering schemes in one
+    directory ("epochs" vs global-batch "steps", the
+    ``save_every_steps`` mode): tags are compared numerically by
+    :func:`latest_step_dir` / :func:`prune_step_dirs`, so a resumed run
+    that switches schemes would write tags BELOW the existing maximum —
+    latest-discovery would keep resolving to the stale checkpoint and
+    rotation would delete the new ones first. Records the scheme in a
+    ``TAG_SCHEME`` marker file on first use and refuses a mismatch."""
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    marker = os.path.join(directory, "TAG_SCHEME")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = f.read().strip()
+        if prev != scheme:
+            raise ValueError(
+                f"checkpoint dir {directory} was written with tag scheme "
+                f"'{prev}' but this run uses '{scheme}' (save_every_steps "
+                f"{'on' if scheme == 'steps' else 'off'}); resume with the "
+                f"same setting or use a fresh checkpoint dir"
+            )
+    else:
+        with open(marker, "w") as f:
+            f.write(scheme)
 
 
 def latest_step_dir(directory: str) -> Optional[str]:

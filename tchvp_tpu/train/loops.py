@@ -592,10 +592,14 @@ class VideoFlow(_FlowBase):
         extra = raw.get("extra") or {}
         epoch = int(extra.get("train_epoch", raw.get("step", 0)))
         pos = extra.get("data_position")
+        seekable = data is not None and hasattr(data, "seek")
+        if pos is not None and seekable:
+            # Seek even at batch 0: an epoch-boundary checkpoint must
+            # continue the recorded data stream (epoch pos["epoch"]),
+            # not restart a fresh dataset at its epoch-0 permutation.
+            data.seek(int(pos["epoch"]), int(pos["batch"]))
         if pos is not None and int(pos["batch"]) > 0:
-            if data is not None and hasattr(data, "seek"):
-                data.seek(int(pos["epoch"]), int(pos["batch"]))
-            else:
+            if not seekable:
                 print(
                     "[resume] mid-epoch checkpoint but data is not "
                     "seekable; replaying epoch from its start"
@@ -638,10 +642,25 @@ class VideoFlow(_FlowBase):
                 "monotone checkpoint tags"
             )
         spe = len(train_data) if hasattr(train_data, "__len__") else 0
+        # Tag numbering must not mix within one directory: "steps" tags
+        # (global batch count) and "epochs" tags compare numerically in
+        # latest_step_dir/prune_step_dirs, so a scheme switch on resume
+        # would bury new progress under a stale larger tag.
+        ckpt.ensure_tag_scheme(
+            self.cfg.checkpoint_dir, "steps" if save_every_steps else "epochs"
+        )
         if self.state is None:
             self.init_state(clip_len)
         for epoch in range(start_epoch + 1, epochs + 1):
             sums, n = {"loss": 0.0, "psnr": 0.0}, 0
+            # Epoch-start offset into the data epoch: nonzero after a
+            # mid-epoch resume (the iterator serves only the remainder,
+            # so n alone under-counts the absolute batch index).
+            pos0 = (
+                train_data.position()["batch"]
+                if save_every_steps and hasattr(train_data, "position")
+                else 0
+            )
             for batch in train_data:
                 self.state, m = self._train_step(self.state, self._shard(batch))
                 if health is not None:
@@ -666,12 +685,14 @@ class VideoFlow(_FlowBase):
                     # Absolute index within the data epoch (survives a
                     # mid-epoch resume, where n restarts at 1 for the
                     # remainder) -> globally monotone checkpoint tags.
-                    abs_i = (
-                        train_data.position()["batch"]
-                        if hasattr(train_data, "position")
-                        else n
-                    )
-                    if abs_i and abs_i % save_every_steps == 0 and abs_i < spe:
+                    # Not position()["batch"]: that normalizes to 0 on
+                    # the epoch-final batch (it reports the NEXT batch).
+                    abs_i = pos0 + n
+                    # No abs_i < spe exclusion: when the cadence lands on
+                    # the epoch boundary the save must still happen (the
+                    # epoch-end save only fires every `save_every` epochs
+                    # — the user asked for one every N batches).
+                    if abs_i % save_every_steps == 0:
                         ckpt.save_state(
                             self.cfg.checkpoint_dir,
                             (epoch - 1) * spe + abs_i,
@@ -691,7 +712,11 @@ class VideoFlow(_FlowBase):
                 f"Video epoch {epoch}: loss {train_m['loss']:.4f} "
                 f"PSNR {train_m['psnr']:.2f}"
             )
-            if epoch % save_every == 0:  # every-10-epoch ckpt (AE_256_32K)
+            # Skip the epoch-end save when the step cadence just wrote
+            # the identical state under the identical tag (epoch*spe).
+            boundary_covered = bool(save_every_steps) and spe % save_every_steps == 0
+            if epoch % save_every == 0 and not boundary_covered:
+                # every-10-epoch ckpt (AE_256_32K)
                 ckpt.save_state(
                     self.cfg.checkpoint_dir,
                     # Same numbering as the step-granular saves so

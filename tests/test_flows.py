@@ -183,14 +183,14 @@ def test_video_flow_mid_epoch_checkpoint_resume(workdir, tmp_path):
     data = clippack.ClipPackDataset(
         pack, batch_size=4, seed=1, prefer_native=False
     )
-    # 3 batches/epoch; mid-epoch saves land after batches 1 and 2 only
-    # (the epoch-final batch is the epoch-end save's job).
-    flow.train(data, epochs=1, clip_len=4, save_every=10, save_every_steps=1)
-    assert os.path.isdir("checkpoints/step_1")
+    # 3 batches/epoch; the step cadence fires after EVERY batch, epoch
+    # boundary included (the user asked for one per batch — the epoch-end
+    # save with save_every=10 would not cover epochs 1-9).
+    flow.train(data, epochs=1, clip_len=4, save_every=10, save_every_steps=2)
     assert os.path.isdir("checkpoints/step_2")
-    assert not os.path.isdir("checkpoints/step_3")
+    assert not os.path.isdir("checkpoints/step_1")
 
-    # "Preempted": resume from the latest (batch 2 of epoch 1).
+    # "Preempted": resume from the latest (after batch 2 of epoch 1).
     data2 = clippack.ClipPackDataset(
         pack, batch_size=4, seed=1, prefer_native=False
     )
@@ -200,15 +200,43 @@ def test_video_flow_mid_epoch_checkpoint_resume(workdir, tmp_path):
     assert data2.position() == {"epoch": 0, "batch": 2}
 
     flow2.train(data2, epochs=2, clip_len=4, start_epoch=start,
-                save_every=10, save_every_steps=1)
+                save_every=10, save_every_steps=2)
     # Epoch 1 served ONLY its remaining batch; epoch 2 served all 3.
     assert int(flow2.state.step) == 4
     assert data2.position() == {"epoch": 2, "batch": 0}
-    # Step-granular tags stay globally monotone across the resume:
-    # epoch-2 mid-saves are (2-1)*3 + {1,2} = 4, 5.
+    # Step-granular tags stay globally monotone across the resume: the
+    # epoch-2 cadence save lands at global batch (2-1)*3 + 2 = 5.
     from tchvp_tpu.train import checkpoint as ckpt_lib
 
     assert ckpt_lib.latest_step_dir("checkpoints").endswith("step_5")
+
+    # Boundary case: a cadence that lands on the epoch's final batch
+    # still saves (save_every=10 would otherwise skip epochs 1-9), and
+    # its position records the NEXT epoch's start.
+    data3 = clippack.ClipPackDataset(
+        pack, batch_size=4, seed=1, prefer_native=False
+    )
+    flow3 = VideoFlow(model, cfg=cfg, image_size=32)
+    start3 = flow3.resume(clip_len=4, data=data3)
+    assert start3 == 1  # step_5 was mid-epoch-2 (data epoch 1, batch 2)
+    assert data3.position() == {"epoch": 1, "batch": 2}
+    flow3.train(data3, epochs=2, clip_len=4, start_epoch=start3,
+                save_every=10, save_every_steps=3)
+    # Epoch 2's remainder was 1 batch (abs 3): boundary save tag 6.
+    assert ckpt_lib.latest_step_dir("checkpoints").endswith("step_6")
+    data4 = clippack.ClipPackDataset(
+        pack, batch_size=4, seed=1, prefer_native=False
+    )
+    flow4 = VideoFlow(model, cfg=cfg, image_size=32)
+    start4 = flow4.resume(clip_len=4, data=data4)
+    assert start4 == 2  # boundary: continue at the NEXT epoch...
+    assert data4.position() == {"epoch": 2, "batch": 0}  # ...of the STREAM
+
+    # Tag schemes must not mix in one directory: a resumed run that
+    # drops --save-every-steps would tag below the existing maximum.
+    with pytest.raises(ValueError, match="tag scheme"):
+        flow4.train(data4, epochs=3, clip_len=4, start_epoch=start4,
+                    save_every=10)
 
 
 def test_checkpoint_roundtrip(workdir):

@@ -169,3 +169,14 @@ def test_manifest_dataset_position_seek(tmp_path):
     assert pf.position() == {"epoch": 0, "batch": 2}
     for a, b in zip([next(it)], [stream[2]]):
         np.testing.assert_array_equal(a, b)
+
+    # seek() is history-free: epoch permutations are pure functions of
+    # (seed, epoch), so a zero-consumed abandoned iterator (prefetch
+    # worker shuffled eagerly, consumer crashed before batch 0) cannot
+    # desynchronize what a restored process reconstructs.
+    messy = mk(prefetch=True)
+    for _ in range(3):
+        iter(messy._gen()).__next__()  # start+abandon generators
+    messy.seek(1, 1)
+    for a, b in zip(messy, stream[4:6]):
+        np.testing.assert_array_equal(a, b)
