@@ -104,6 +104,55 @@ with mesh2:
         losses2.append(float(m2["loss"]))
 print(f"proc {proc_id}: seq_losses=" + ",".join(f"{l:.6f}" for l in losses2),
       flush=True)
+
+# Phase 3: FSDP/ZeRO-3 ACROSS the process boundary + shard-wise
+# distributed checkpointing. Params/moments live sharded over all global
+# devices, so each leaf is only PARTIALLY addressable per process — a
+# host-gather save would crash right here (np.asarray of a
+# non-addressable array); the shard-wise path writes each host's shards
+# and the template restore places them straight back, no gather either
+# way.
+from tchvp_tpu.parallel import fsdp as fsdp_lib
+from tchvp_tpu.train import checkpoint as ckpt
+
+ckdir = sys.argv[5]  # SHARED directory: every process writes its shards
+mesh3 = make_mesh(("data",))
+state3 = create_train_state(
+    model, jnp.zeros((1, 2, size, size, 3)), make_optimizer(1e-3),
+    jax.random.PRNGKey(0),
+)
+state3 = fsdp_lib.shard_train_state(state3, mesh3, "data")
+step3 = make_video_train_step(size, loss="mse", fsdp_axis="data",
+                              fsdp_mesh=mesh3)
+clip3 = np.random.default_rng(11).integers(
+    0, 255, (8, 2, size, size, 3), dtype=np.uint8
+)
+garr3 = jax.make_array_from_callback(
+    clip3.shape, NamedSharding(mesh3, P("data")), lambda idx: clip3[idx]
+)
+with mesh3:
+    state3, m3 = step3(state3, garr3)  # nontrivial Adam moments
+path = ckpt.save_state(ckdir, 1, state3.params, state3.opt_state)
+
+state4 = create_train_state(  # DIFFERENT init: restore must overwrite
+    model, jnp.zeros((1, 2, size, size, 3)), make_optimizer(1e-3),
+    jax.random.PRNGKey(99),
+)
+state4 = fsdp_lib.shard_train_state(state4, mesh3, "data")
+state4, raw = ckpt.restore_state_into(state4, path)
+same = True
+for a, b in zip(jax.tree.leaves(state3.params) + jax.tree.leaves(state3.opt_state),
+                jax.tree.leaves(state4.params) + jax.tree.leaves(state4.opt_state)):
+    if not isinstance(a, jax.Array):
+        continue
+    for s1, s2 in zip(a.addressable_shards, b.addressable_shards):
+        same &= bool(np.array_equal(np.asarray(s1.data), np.asarray(s2.data)))
+n_part = sum(
+    1 for l in jax.tree.leaves(state4.params)
+    if isinstance(l, jax.Array) and not l.sharding.is_fully_replicated
+)
+print(f"proc {proc_id}: fsdp_ckpt ok={same} step={int(raw['step'])} "
+      f"partitioned_leaves={n_part} loss={float(m3['loss']):.6f}", flush=True)
 """
 
 
@@ -132,9 +181,11 @@ def main(nprocs: int = 2) -> None:
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         # Force pure-CPU multiprocess: the TPU plugin must not grab chips.
         env["JAX_PLATFORMS"] = "cpu"
+        ckdir = os.path.join(td, "fsdp_ckpt")
         procs = [
             subprocess.Popen(
-                [sys.executable, worker, str(i), str(nprocs), coord, pack],
+                [sys.executable, worker, str(i), str(nprocs), coord, pack,
+                 ckdir],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
                 text=True,
             )
@@ -170,9 +221,25 @@ def main(nprocs: int = 2) -> None:
         if len({line.split("seq_losses=")[1] for line in seq_lines}) != 1:
             print("FAILED: seq-parallel losses diverged across processes")
             raise SystemExit(1)
+        fsdp_lines = sorted(
+            line for out in outs for line in out.splitlines()
+            if "fsdp_ckpt ok=" in line
+        )
+        for line in fsdp_lines:
+            print(line)
+        if len(fsdp_lines) != nprocs or any(
+            "ok=True" not in line for line in fsdp_lines
+        ):
+            print("FAILED: cross-process FSDP sharded checkpoint")
+            [print(o) for o in outs]
+            raise SystemExit(1)
+        if any("partitioned_leaves=0" in line for line in fsdp_lines):
+            print("FAILED: FSDP restore came back unpartitioned")
+            raise SystemExit(1)
         print(
             f"multihost OK: {nprocs} processes x 4 devices, losses in sync "
-            f"(dp psum + cross-process seq-parallel ppermute)"
+            f"(dp psum + cross-process seq-parallel ppermute + FSDP "
+            f"shard-wise checkpoint roundtrip)"
         )
 
 
