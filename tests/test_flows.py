@@ -239,6 +239,52 @@ def test_video_flow_mid_epoch_checkpoint_resume(workdir, tmp_path):
                     save_every=10)
 
 
+def test_video_flow_training_is_deterministic(workdir, tmp_path):
+    """Two independent flows with the same seed and data produce
+    BIT-identical parameters and optimizer moments — pins the
+    end-to-end seeding discipline (param init, dropout streams, data
+    shuffles). Any ambient nondeterminism (time-seeded rngs, host rng
+    leaks into the step, unordered iteration into jit) fails this."""
+    from tchvp_tpu.data import clippack
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train.loops import VideoFlow
+
+    rng = np.random.default_rng(3)
+    pack = str(tmp_path / "c.cpk")
+    clippack.pack_clips(
+        pack, rng.integers(0, 256, (8, 2, 32, 32, 3), dtype=np.uint8)
+    )
+    cfg_m = VideoModelConfig(
+        temporal=TransformerConfig(
+            input_dim=64, hidden_dim=32, num_layers=1, num_heads=4,
+            dropout_rate=0.1,  # nonzero: the dropout stream is pinned too
+        )
+    )
+
+    def run(tag):
+        flow = VideoFlow(
+            VideoHybridNet(config=cfg_m),
+            cfg=TrainConfig(model_name=f"det_{tag}", loss="mse", lr=1e-3,
+                            checkpoint_dir=str(tmp_path / f"ck_{tag}")),
+            image_size=32,
+        )
+        data = clippack.ClipPackDataset(
+            pack, batch_size=4, seed=7, prefer_native=False
+        )
+        flow.train(data, epochs=2, clip_len=2, save_every=100)
+        return flow.state
+
+    import jax
+
+    a, b = run("a"), run("b")
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(
+        jax.tree.leaves(a.opt_state), jax.tree.leaves(b.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_checkpoint_roundtrip(workdir):
     import jax
 
