@@ -166,10 +166,22 @@ void* clippack_open(const char* path) {
   r->h = hdr[4];
   r->w = hdr[5];
   r->c = hdr[6];
+  // Overflow-checked size validation: a corrupt/malicious header with
+  // huge dims could wrap n*t*h*w*c past 2^64, spuriously pass a naive
+  // size check, and turn every clip() into an out-of-bounds mmap read.
+  auto mul_ok = [](size_t a, size_t b, size_t* out) {
+    if (a != 0 && b > SIZE_MAX / a) return false;
+    *out = a * b;
+    return true;
+  };
+  size_t cb = 1, total = 0;
   bool ok = hdr[0] == kMagic && hdr[1] == kVersion && r->n > 0 &&
             r->t > 0 && r->h > 0 && r->w > 0 && r->c > 0 &&
-            r->file_size >=
-                kHeaderBytes + static_cast<size_t>(r->n) * r->clip_bytes();
+            mul_ok(static_cast<size_t>(r->t), static_cast<size_t>(r->h), &cb) &&
+            mul_ok(cb, static_cast<size_t>(r->w), &cb) &&
+            mul_ok(cb, static_cast<size_t>(r->c), &cb) &&
+            mul_ok(cb, static_cast<size_t>(r->n), &total) &&
+            r->file_size >= kHeaderBytes && total <= r->file_size - kHeaderBytes;
   if (!ok) {
     munmap(m, st.st_size);
     ::close(fd);

@@ -122,6 +122,27 @@ def test_rejects_corrupt_file(tmp_path):
             clippack.ClipPackDataset(str(bad), batch_size=1)
 
 
+def test_rejects_lying_header(tmp_path):
+    """A header whose dims overflow n*t*h*w*c past 2^64 must be rejected,
+    not spuriously pass the size check and turn clip reads into
+    out-of-bounds mmap accesses (overflow-checked validation in
+    clippack_open)."""
+    path, _ = _make_pack(tmp_path, n=4)
+    hdr = np.fromfile(path, dtype="<i8", count=8)  # _HEADER_INTS
+    body = open(path, "rb").read()
+    for n, t in [(1 << 62, 1 << 62), (hdr[2], 1 << 61)]:
+        evil = hdr.copy()
+        evil[2], evil[3] = n, t  # n_clips, frames
+        bad = tmp_path / "evil.cpk"
+        bad.write_bytes(evil.tobytes() + body[evil.nbytes:])
+        with pytest.raises((OSError, ValueError)):
+            clippack.ClipPackDataset(str(bad), batch_size=1,
+                                     prefer_native=False)
+        if clippack.native_available():
+            with pytest.raises((OSError, ValueError)):
+                clippack.ClipPackDataset(str(bad), batch_size=1)
+
+
 def test_pack_from_manifest_roundtrip(tmp_path):
     """CSV manifest of frame images -> clippack -> batches."""
     PIL = pytest.importorskip("PIL.Image")

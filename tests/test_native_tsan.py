@@ -20,16 +20,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NATIVE = os.path.join(REPO, "native")
 
 
-def _tsan_available() -> bool:
+def _san_available(lib: str) -> bool:
     if shutil.which("g++") is None:
         return False
     import glob
 
-    return bool(glob.glob("/usr/lib/gcc/*/*/libtsan.so*"))
+    return bool(glob.glob(f"/usr/lib/gcc/*/*/lib{lib}.so*"))
 
 
-@pytest.mark.skipif(not _tsan_available(), reason="no g++/libtsan")
-def test_loader_is_race_free_under_tsan(tmp_path):
+@pytest.mark.parametrize(
+    "flag,lib,env",
+    [
+        ("thread", "tsan", {"TSAN_OPTIONS": "halt_on_error=1 exitcode=66"}),
+        ("address,undefined", "asan",
+         {"ASAN_OPTIONS": "detect_leaks=1", "UBSAN_OPTIONS": "print_stacktrace=1"}),
+    ],
+    ids=["tsan", "asan-ubsan"],
+)
+def test_loader_is_clean_under_sanitizers(tmp_path, flag, lib, env):
+    if not _san_available(lib):
+        pytest.skip(f"no g++/lib{lib}")
     from tchvp_tpu.data.clippack import pack_clips
 
     pack = str(tmp_path / "clips.cpk")
@@ -39,7 +49,8 @@ def test_loader_is_race_free_under_tsan(tmp_path):
     binary = str(tmp_path / "stress")
     build = subprocess.run(
         [
-            "g++", "-std=c++17", "-O1", "-g", "-fsanitize=thread",
+            "g++", "-std=c++17", "-O1", "-g", f"-fsanitize={flag}",
+            "-fno-sanitize-recover=all", "-fno-omit-frame-pointer",
             os.path.join(NATIVE, "clippack.cc"),
             os.path.join(NATIVE, "clippack_stress.cc"),
             "-o", binary, "-pthread",
@@ -51,9 +62,11 @@ def test_loader_is_race_free_under_tsan(tmp_path):
     run = subprocess.run(
         [binary, pack, "3"],
         capture_output=True, text=True, timeout=300,
-        env={**os.environ, "TSAN_OPTIONS": "halt_on_error=1 exitcode=66"},
+        env={**os.environ, **env},
     )
     out = run.stdout + run.stderr
-    assert "ThreadSanitizer" not in out, out[-4000:]
+    for marker in ("ThreadSanitizer", "AddressSanitizer", "runtime error",
+                   "LeakSanitizer"):
+        assert marker not in out, out[-4000:]
     assert run.returncode == 0, f"rc={run.returncode}\n{out[-4000:]}"
     assert "stress OK" in run.stdout
