@@ -439,7 +439,12 @@ def _flash_bwd(
 # (G+1)/(2G) vs the exact band, but the matmuls are MXU-sized.
 # ---------------------------------------------------------------------------
 
-DEFAULT_BAND_ROWS = 512
+# 256 measured best on the v5e across the fwd and fwd+bwd block_rows
+# sweeps (benchmarks/band_block_sweep.py, BENCHES.md): it ties 128 at
+# fwd S=4096, wins fwd+bwd per-shard by 12%, and keeps G >= 2 grouped
+# windows per grid step up to window 128 (G=1 degenerates to the slow
+# round-2 geometry). 512 (the round-3 initial guess) loses 8-15% fwd+bwd.
+DEFAULT_BAND_ROWS = 256
 
 
 def _band_geometry(s: int, window: int, block_rows: Optional[int]):
