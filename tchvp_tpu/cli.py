@@ -914,6 +914,37 @@ def cmd_pack(args) -> None:
     print(f"packed {n} clips x {t} frames -> {args.out}")
 
 
+def cmd_tune(args) -> None:
+    """Autotune Pallas kernel block sizes on the current device and
+    persist the winners (kernels/autotune.py). Subsequent processes pick
+    the tuned blocks up automatically at trace time."""
+    from tchvp_tpu.kernels import autotune
+
+    shape = tuple(int(x) for x in args.shape.split("x"))
+    if len(shape) != 4:
+        raise SystemExit("tune: --shape must be BxHxSxDh, e.g. 8x8x2048x64")
+    kinds = args.kernels.split(",") if args.kernels else ["flash", "band"]
+    path = autotune.cache_path()
+    if path is None:
+        raise SystemExit("tune: TCHVP_AUTOTUNE_CACHE=0 disables the cache")
+    for kind in kinds:
+        print(f"tuning {kind} @ {shape} dtype={args.dtype} "
+              f"window={args.window} mode={args.mode}", flush=True)
+        if kind == "flash":
+            params, ms = autotune.tune_flash(
+                shape, args.dtype, mode=args.mode, iters=args.iters)
+        elif kind in ("band", "halo"):
+            if not args.window:
+                raise SystemExit(f"tune: {kind} needs --window")
+            params, ms = autotune.tune_banded(
+                shape, args.window, args.dtype, halo=(kind == "halo"),
+                mode=args.mode, iters=args.iters)
+        else:
+            raise SystemExit(f"tune: unknown kernel {kind!r} "
+                             "(flash, band, halo)")
+        print(f"  -> best {params} at {ms:.3f} ms (saved to {path})")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser("tchvp_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -1069,6 +1100,21 @@ def main(argv=None) -> None:
             p.add_argument("--clip-len", type=int, default=16)
             p.add_argument("--height", type=int, default=720)
             p.add_argument("--width", type=int, default=1280)
+
+    p = sub.add_parser(
+        "tune", help="autotune Pallas kernel blocks on this device")
+    p.set_defaults(fn=cmd_tune)
+    p.add_argument("--shape", default="8x8x2048x64",
+                   help="BxHxSxDh of the attention input to tune for")
+    p.add_argument("--kernels", default=None,
+                   help="comma list of flash,band,halo "
+                        "(default: flash,band)")
+    p.add_argument("--window", type=int, default=0,
+                   help="window size for band/halo kernels")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mode", default="fwdbwd", choices=("fwd", "fwdbwd"),
+                   help="tune forward-only or forward+backward")
+    p.add_argument("--iters", type=int, default=20)
 
     args = parser.parse_args(argv)
     # Persistent XLA compile cache: FCT-256 is ~286 s cold / ~25 s warm

@@ -745,10 +745,16 @@ def windowed_mha(
     Pallas counterpart of :func:`tchvp_tpu.ops.attention.sdpa_windowed`
     with O(S * window) compute and memory. ``dropout_rate``/``dropout_seed``
     as in :func:`mha` (same global-index mask). ``block_rows`` sets the
-    target query rows per grid step (DEFAULT_BAND_ROWS; the kernel groups
+    target query rows per grid step (the kernel groups
     block_rows // window_size windows per step — see the banded-kernel
-    section comment)."""
+    section comment); default: the autotune cache for this
+    (device, shape, window, dtype) when one exists, else
+    DEFAULT_BAND_ROWS."""
+    from tchvp_tpu.kernels import autotune
+
     b, h, s, dh = q.shape
+    block_rows = autotune.band_rows("band", q.shape, window_size, q.dtype,
+                                    block_rows)
     scale = 1.0 / math.sqrt(dh) if scale is None else scale
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -821,8 +827,8 @@ def mha(
     v: jnp.ndarray,
     *,
     scale: Optional[float] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     dropout_rate: float = 0.0,
     dropout_seed=None,
@@ -834,8 +840,16 @@ def mha(
     kernel (counter-based mask, O(1) memory; see module docstring). The
     mask for batch-head ``bh`` equals
     ``attention_dropout_mask(dropout_seed, bh, S, S, rate)``.
+
+    ``block_q``/``block_k`` default to the autotune cache for this
+    (device, shape, dtype) when one exists (``tchvp tune``), else
+    DEFAULT_BLOCK_Q/K.
     """
+    from tchvp_tpu.kernels import autotune
+
     b, h, s, dh = q.shape
+    block_q, block_k = autotune.flash_blocks(q.shape, q.dtype, block_q,
+                                             block_k)
     scale = 1.0 / math.sqrt(dh) if scale is None else scale
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1196,9 +1210,13 @@ def windowed_mha_halo(
     sequence start). Matches :func:`windowed_mha` exactly when the context
     window is present (equivalently, equals full banded attention over the
     concatenated sequence with the first window's outputs dropped).
-    ``block_rows`` as in :func:`windowed_mha`.
+    ``block_rows`` as in :func:`windowed_mha` (autotune kernel "halo").
     """
+    from tchvp_tpu.kernels import autotune
+
     b, h, s, dh = q.shape
+    block_rows = autotune.band_rows("halo", q.shape, window_size, q.dtype,
+                                    block_rows)
     scale = 1.0 / math.sqrt(dh) if scale is None else scale
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
