@@ -55,6 +55,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     # Multi-host launch (survey §5.8): run the SAME command once per host
     # with a shared --coordinator and per-host --process-id; jax.distributed
     # stitches the hosts into one device mesh and `--data-parallel` spans it.
+    p.add_argument("--device-prefetch", type=int, default=2,
+                   help="keep N batches pre-placed on device so the H2D "
+                        "copy overlaps the running step "
+                        "(data/device_prefetch.py); 0 disables")
     p.add_argument("--coordinator", default=None,
                    help="host:port of process 0 for jax.distributed")
     p.add_argument("--num-processes", type=int, default=1)
@@ -71,6 +75,7 @@ def _train_cfg_kwargs(args):
         ema_decay=args.ema_decay,
         async_checkpoint=args.async_checkpoint,
         keep_checkpoints=args.keep_checkpoints,
+        device_prefetch=args.device_prefetch,
     )
 
 

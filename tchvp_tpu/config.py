@@ -312,6 +312,12 @@ class TrainConfig:
     # train/checkpoint.py::prune_step_dirs); 0 = keep all (reference
     # behavior: its .tar files accumulate forever).
     keep_checkpoints: int = 0
+    # Device-side input lookahead (data/device_prefetch.py): keep N
+    # batches pre-placed on device so the H2D copy of batch i+1 overlaps
+    # the compute of batch i; 0 = off (reference behavior: transfer on
+    # the step's critical path). 2 hides the copy; more only buys slack
+    # against host jitter at N extra batches of HBM.
+    device_prefetch: int = 0
 
 
 def dtype_policy(cfg: TrainConfig) -> DTypePolicy:

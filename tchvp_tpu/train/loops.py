@@ -72,6 +72,20 @@ class _FlowBase:
             return shard_batch(batch, self.mesh)
         return jax.tree.map(jnp.asarray, batch)
 
+    def _prefetched(self, data):
+        """Wrap ``data`` in device-side lookahead when the config asks
+        for it (``TrainConfig.device_prefetch``): batches arrive already
+        placed via ``_shard``, so the H2D copy overlaps the running
+        step. ``_shard`` on an already-placed batch is a no-op, so the
+        train loops stay placement-agnostic. Sized datasets only (the
+        position-accounting contract needs ``len``)."""
+        n = getattr(self.cfg, "device_prefetch", 0)
+        if n and data is not None and hasattr(data, "__len__"):
+            from tchvp_tpu.data.device_prefetch import DevicePrefetch
+
+            return DevicePrefetch(data, n, place=self._shard)
+        return data
+
     def _replicate(self, state):
         """Place train state on the mesh: replicated by default, or
         ZeRO-3 sharded over ``self.fsdp_axis`` when a flow sets it
@@ -136,6 +150,7 @@ class DenoisingFlow(_FlowBase):
     ) -> TrainState:
         cfg = self.cfg
         epochs = epochs or cfg.epochs
+        train_data = self._prefetched(train_data)
         if self.state is None:
             self.init_state(lr)
         print(f"Total parameters: {human_param_count(param_count(self.state.params))}")
@@ -272,6 +287,7 @@ class SegmentationFlow(_FlowBase):
         the loss-history list instead of replaying epoch 1 (the
         FCT.py:368-373 resume contract)."""
         cfg = self.cfg
+        train_data = self._prefetched(train_data)
         if self.state is None:
             self.init_state(lr)
         if start_epoch is None:
@@ -437,6 +453,7 @@ class TransferFlow(_FlowBase):
         self, train_data: Iterable, epochs: int = 10, start_epoch: int = 0
     ) -> TrainState:
         assert self.state is not None, "call init_from_pretrained first"
+        train_data = self._prefetched(train_data)
         best_loss = float("inf")
         rng = np.random.default_rng(self.cfg.seed)
         for epoch in range(start_epoch + 1, epochs + 1):
@@ -636,6 +653,7 @@ class VideoFlow(_FlowBase):
         sized ``train_data``."""
         from tchvp_tpu.train.health import HealthMonitor, TrainingDiverged, recover_latest
 
+        train_data = self._prefetched(train_data)
         if save_every_steps and not hasattr(train_data, "__len__"):
             raise ValueError(
                 "save_every_steps needs a sized dataset (len()) for "

@@ -121,6 +121,25 @@ def test_kernels_consult_cache(tuned_cache, monkeypatch):
     assert seen and seen[-1][0] == "halo"
 
 
+def test_cli_tune_end_to_end(tuned_cache, capsys):
+    """`tchvp tune` sweeps, reports, and persists; bad args exit
+    cleanly."""
+    from tchvp_tpu.cli import main
+
+    main(["tune", "--kernels", "band", "--window", "32",
+          "--shape", "1x1x128x8", "--dtype", "float32",
+          "--mode", "fwd", "--iters", "2"])
+    out = capsys.readouterr().out
+    assert "best" in out and "block_rows" in out
+    autotune.reload()
+    assert autotune.lookup("band", (1, 1, 128, 8), 32, jnp.float32)
+
+    with pytest.raises(SystemExit):
+        main(["tune", "--kernels", "band", "--shape", "1x1x128x8"])  # no --window
+    with pytest.raises(SystemExit):
+        main(["tune", "--shape", "128x8"])  # malformed shape
+
+
 def test_tune_banded_end_to_end(tuned_cache):
     """The tuner sweeps real candidates on this backend (interpret mode
     on CPU), persists the winner, and the kernel picks it up."""
