@@ -137,7 +137,9 @@ class TransformerConfig:
     dropout_rate: float = 0.1
     relu_qkv: bool = True
     scale_out: bool = True
-    attn_impl: str = "xla"  # "xla" | "flash" | "windowed" | "auto"
+    # "ring" = FULL attention over seq-sharded tokens via a k/v ring
+    # rotation (context parallelism; requires seq_axis, window_size 0).
+    attn_impl: str = "xla"  # "xla" | "flash" | "windowed" | "auto" | "ring"
     window_size: int = 0  # 0 = full attention; >0 = overlapping windows
     # Mesh axis name for tensor-parallel activation sharding (q/k/v heads
     # and the FFN hidden dim split over this axis; requires an ambient

@@ -10,7 +10,10 @@ Here both route through :func:`multi_head_attention`, which dispatches to:
 * ``"xla"``  — einsum attention, fp32 accumulation, fused by XLA;
 * ``"flash"`` — Pallas blockwise-softmax flash attention (O(S) memory);
 * ``"windowed"`` — overlapping-window attention for long/streaming clips
-  (survey §5.7 build-new component ⊕B).
+  (survey §5.7 build-new component ⊕B);
+* ``"ring"`` — FULL attention over sequence-sharded tokens via a k/v ring
+  rotation (context parallelism; survey §5.7 lists ring attention as
+  absent in the reference — build-new).
 """
 
 from __future__ import annotations
@@ -273,6 +276,99 @@ def sdpa_windowed_seq_sharded(
     )(*operands)
 
 
+def sdpa_ring_seq_sharded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    seq_axis: str,
+    scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Ring attention: FULL all-pairs attention over seq-sharded tokens.
+
+    Context parallelism for the quadratic attention the reference computes
+    monolithically (recovered ``TransformerEncoder.py`` L51, ``FCT.py:75``):
+    tokens shard over the mesh's ``seq_axis`` in contiguous blocks and
+    NEVER gather. Each device holds its query block; key/value blocks
+    rotate around the ring one ``ppermute`` hop per step while a streaming
+    (flash-style) softmax accumulates the exact full-attention result —
+    running row max ``m``, denominator ``l`` and fp32 numerator carried
+    across the ``n`` steps. Per-device memory is O(S·S/n) transient logits
+    instead of O(S²), and the collective cost is n−1 O(S/n·Dh) hops over
+    ICI instead of the O(S·Dh) all-gather GSPMD inserts for seq-sharded
+    full attention (asserted in tests/test_parallel.py). The loop is
+    unrolled so XLA can overlap each hop with the previous block's matmuls.
+
+    Exact math (same numbers as :func:`sdpa_xla` up to streaming-softmax
+    rounding); grads flow through the unrolled loop and the ppermute
+    transpose. Attention-weight dropout scales the UNNORMALIZED block
+    weights by the keep mask (the denominator keeps every key, matching
+    dropout-after-softmax semantics); the mask derives from
+    ``fold_in(rng, q_shard, k_block)`` so each (query, key) pair sees one
+    draw regardless of ring position. Masks are unsupported (raise
+    upstream); S must divide the axis size.
+    """
+    mesh = _seq_mesh(seq_axis)
+    if mesh is None:
+        dispatch_trace.record("ring_fallback")
+        return sdpa_xla(
+            q, k, v, scale=scale, dropout_rate=dropout_rate,
+            dropout_rng=dropout_rng, deterministic=deterministic,
+        )
+    n = mesh.shape[seq_axis]
+    b, h, s, dh = q.shape
+    if s % n:
+        raise ValueError(f"seq len {s} not divisible by {seq_axis}={n}")
+    scale_ = 1.0 / math.sqrt(dh) if scale is None else scale
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    drop_on = dropout_rate > 0.0 and not deterministic
+
+    def local(ql, kl, vl, rng=None):
+        dispatch_trace.record("ring_shard_map")
+        my = jax.lax.axis_index(seq_axis)
+        shape_m = ql.shape[:3] + (1,)
+        m = jnp.full(shape_m, -jnp.inf, jnp.float32)
+        l = jnp.zeros(shape_m, jnp.float32)
+        acc = jnp.zeros(ql.shape[:3] + (dh,), jnp.float32)
+        kb, vb = kl, vl
+        for i in range(n):
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", ql, kb,
+                preferred_element_type=jnp.float32,
+            ) * jnp.asarray(scale_, jnp.float32)
+            m_new = jnp.maximum(m, logits.max(axis=-1, keepdims=True))
+            p = jnp.exp(logits - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + p.sum(axis=-1, keepdims=True)
+            if drop_on:
+                src = (my - i) % n  # ring position -> k-block owner
+                key = jax.random.fold_in(jax.random.fold_in(rng, my), src)
+                keep = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)
+                p = p * keep / (1.0 - dropout_rate)
+            acc = acc * corr + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+            if i + 1 < n:
+                kb = jax.lax.ppermute(kb, seq_axis, perm)
+                vb = jax.lax.ppermute(vb, seq_axis, perm)
+        return (acc / l).astype(v.dtype)
+
+    spec = P(None, None, seq_axis, None)
+    in_specs = (spec, spec, spec)
+    operands = (q, k, v)
+    if drop_on:
+        in_specs += (P(),)
+        operands += (dropout_rng,)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=spec
+    )(*operands)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -299,6 +395,11 @@ def multi_head_attention(
     stay sharded over the axis, neighbors exchange one window of k/v by
     ppermute. Takes precedence over ``impl`` (the Pallas kernels compute
     per-device full sequences; the sharded band is an XLA shard_map).
+
+    ``impl="ring"``: FULL attention over seq-sharded tokens via a k/v
+    ring rotation (:func:`sdpa_ring_seq_sharded`) — requires ``seq_axis``
+    and ``window_size == 0``; falls back to the einsum core when no mesh
+    carries the axis.
     """
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     if impl == "auto":
@@ -314,6 +415,25 @@ def multi_head_attention(
     drop_active = dropout_rate > 0.0 and not deterministic
     if drop_active and dropout_rng is None:
         raise ValueError("active attention dropout requires dropout_rng")
+    if impl == "ring":
+        # Context parallelism for FULL attention: requires an explicit
+        # seq_axis; without a mesh carrying it the ring falls back to the
+        # unsharded einsum core (marker "ring_fallback").
+        if mask is not None:
+            raise ValueError("impl='ring' does not support attention masks")
+        if window_size > 0:
+            raise ValueError(
+                "impl='ring' computes FULL attention; use impl='windowed' "
+                "or 'flash' for banded windows under sequence sharding"
+            )
+        if seq_axis is None:
+            raise ValueError("impl='ring' requires seq_axis")
+        out = sdpa_ring_seq_sharded(
+            qh, kh, vh, seq_axis=seq_axis, scale=scale,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            deterministic=deterministic,
+        )
+        return _merge_heads(out)
     banded = window_size > 0 and impl in ("flash", "windowed")
     if banded and mask is None and _seq_mesh(seq_axis) is not None:
         # Only when the resolved impl already means banded attention:

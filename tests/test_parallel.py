@@ -345,6 +345,11 @@ def test_seq_parallel_flash_matches_unsharded():
         # xla + seq_axis + mesh: sharding must NOT change the math — full
         # attention stays full (GSPMD may gather, but no banding).
         ("xla", 8, "seq", ("seq",), {"sdpa_xla"}),
+        # Ring: full attention, seq-sharded k/v rotation; fallback to the
+        # einsum core when no mesh carries the axis.
+        ("ring", 0, "seq", ("seq",), {"ring_shard_map"}),
+        ("ring", 0, "seq", None, {"ring_fallback", "sdpa_xla"}),
+        ("ring", 0, "seq", ("data",), {"ring_fallback", "sdpa_xla"}),
     ],
 )
 def test_attention_dispatch_matrix(impl, window, seq_axis, mesh_axes, expect):
@@ -560,3 +565,158 @@ def test_dispatch_trace_nested_captures():
         dt.record("c")
     assert outer == {"a", "b", "c"}
     assert inner == {"b"}
+
+
+@pytest.mark.parametrize("mesh_api", ["with_mesh", "set_mesh", "activate"])
+def test_ring_attention_matches_full(mesh_api):
+    """Ring attention (context parallelism, survey §5.7 build-new): FULL
+    attention over seq-sharded tokens via k/v ring rotation must equal the
+    unsharded einsum core — forward AND gradients — and its compiled HLO
+    must rotate blocks by collective-permute with no all-gather of the
+    sequence (the cost GSPMD pays, test_gspmd_full_attention_gathers_
+    sequence). Marker makes silent fallback a failure."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.ops.attention import sdpa_ring_seq_sharded, sdpa_xla
+
+    mesh = make_mesh(("seq",))
+    b, h, s, dh = 2, 4, 64, 8
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, h, s, dh)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def loss_ref(q, k, v):
+        return (sdpa_xla(q, k, v) ** 2).sum()
+
+    def loss_ring(q, k, v):
+        return (sdpa_ring_seq_sharded(q, k, v, seq_axis="seq") ** 2).sum()
+
+    want, wgrads = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    spec = NamedSharding(mesh, P(None, None, "seq", None))
+    qs, ks, vs = (jax.device_put(t, spec) for t in (q, k, v))
+    ctx = {
+        "with_mesh": lambda: mesh,
+        "set_mesh": lambda: jax.sharding.set_mesh(mesh),
+        "activate": lambda: activate_mesh(mesh),
+    }[mesh_api]()
+    with ctx:
+        with dispatch_trace.capture() as seen:
+            fn = jax.jit(jax.value_and_grad(loss_ring, argnums=(0, 1, 2)))
+            got, grads = fn(qs, ks, vs)
+            hlo = fn.lower(qs, ks, vs).compile().as_text()
+
+    assert "ring_shard_map" in seen, (
+        f"ring shard_map not engaged under {mesh_api} (saw {sorted(seen)})"
+    )
+    assert "ring_fallback" not in seen
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for g, wg in zip(grads, wgrads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wg), atol=1e-4)
+    assert "all-gather" not in hlo, "ring must not gather the sequence"
+    assert "collective-permute" in hlo, "ring rotation should be ppermute"
+
+
+def test_ring_attention_dropout_and_fallback():
+    """Active attention dropout rides the ring as a replicated operand
+    (per-(q,k)-block fold_in); without a mesh carrying the axis the ring
+    falls back to the unsharded einsum core, marker-attested."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.ops.attention import sdpa_ring_seq_sharded
+
+    mesh = make_mesh(("seq",))
+    b, h, s, dh = 2, 2, 64, 8
+    q = jnp.asarray(
+        np.random.default_rng(0).normal(size=(b, h, s, dh)).astype(np.float32)
+    )
+    spec = NamedSharding(mesh, P(None, None, "seq", None))
+    qs = jax.device_put(q, spec)
+
+    def loss(q, k, v, key):
+        out = sdpa_ring_seq_sharded(
+            q, k, v, seq_axis="seq",
+            dropout_rate=0.5, dropout_rng=key, deterministic=False,
+        )
+        return (out ** 2).sum()
+
+    with activate_mesh(mesh):
+        with dispatch_trace.capture() as seen:
+            val, grads = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+                qs, qs, qs, jax.random.PRNGKey(7)
+            )
+        det = jax.jit(
+            lambda q, k, v: (
+                sdpa_ring_seq_sharded(q, k, v, seq_axis="seq") ** 2
+            ).sum()
+        )(qs, qs, qs)
+    assert "ring_shard_map" in seen
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in grads)
+    assert abs(float(val) - float(det)) > 1e-3, "dropout must actually drop"
+
+    # No mesh: fallback to the unsharded einsum core.
+    from tchvp_tpu.ops.attention import sdpa_xla
+
+    with dispatch_trace.capture() as seen:
+        got = jax.jit(
+            lambda t: sdpa_ring_seq_sharded(t, t, t, seq_axis="seq")
+        )(q)
+    assert {"ring_fallback", "sdpa_xla"} <= seen
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(sdpa_xla(q, q, q)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_ring_attention_validation():
+    """impl='ring' rejects masks, windows, and a missing seq_axis."""
+    from tchvp_tpu.ops.attention import multi_head_attention
+
+    x = jnp.ones((2, 16, 8), jnp.float32)
+    with pytest.raises(ValueError, match="mask"):
+        multi_head_attention(
+            x, x, x, 2, impl="ring", seq_axis="seq",
+            mask=jnp.ones((2, 1, 16, 16), bool),
+        )
+    with pytest.raises(ValueError, match="FULL attention"):
+        multi_head_attention(x, x, x, 2, impl="ring", window_size=4, seq_axis="seq")
+    with pytest.raises(ValueError, match="seq_axis"):
+        multi_head_attention(x, x, x, 2, impl="ring")
+
+
+def test_transformer_ring_end_to_end():
+    """TransformerEncoder with attn_impl='ring' over a dp x seq mesh
+    matches the unsharded xla model (same params, same inputs) and
+    engages the ring shard_map."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.config import TransformerConfig
+    from tchvp_tpu.models import TransformerEncoder
+
+    d, s, b = 16, 32, 2
+    base = dict(
+        input_dim=d, hidden_dim=24, num_layers=2, num_heads=4,
+        dropout_rate=0.0,
+    )
+    m_ref = TransformerEncoder(config=TransformerConfig(**base, attn_impl="xla"))
+    m_ring = TransformerEncoder(
+        config=TransformerConfig(**base, attn_impl="ring", seq_axis="seq")
+    )
+
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(b, s, d)).astype(np.float32)
+    )
+    variables = m_ref.init(jax.random.PRNGKey(0), x)
+    want = m_ref.apply(variables, x, deterministic=True)
+
+    mesh = make_mesh(("data", "seq"), (2, 4))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None)))
+    with mesh:
+        with dispatch_trace.capture() as seen:
+            got = jax.jit(
+                lambda v, t: m_ring.apply(v, t, deterministic=True)
+            )(variables, xs)
+    assert "ring_shard_map" in seen, "model-level ring attention not engaged"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
