@@ -169,7 +169,11 @@ def config3(results, batch=None):
     size, frames = 224, 16
     n_dev = len(jax.devices())
     if batch is None:
-        batch = 4 * n_dev
+        # BASELINE batch 32 over a v4-8 (4 chips, megacore) = 8 clips/chip.
+        # Measured on v5e (benchmarks/remat_sweep.py): batch 8 fits in HBM
+        # WITHOUT remat (XLA schedules around the pressure; temp 13.5 GB)
+        # and is 13% faster per frame than 4/chip — 454.7 vs 400.8 f/s.
+        batch = 8 * n_dev
     cfg = VideoModelConfig(
         encoder=ResNetAEConfig(token_latent=True),
         temporal=TransformerConfig(
@@ -186,8 +190,9 @@ def config3(results, batch=None):
     raw = np.random.default_rng(0).integers(
         0, 256, (batch, frames, size, size, 3), dtype=np.uint8
     )
-    # 4 clips/chip fits without remat (measured 25% faster: 400 vs 319
-    # frames/s); remat remains the lever for bigger per-chip batches.
+    # No remat: every policy measured slower at these shapes (remat_sweep:
+    # 21% at batch 4) and XLA fits batch 8 on its own; remat_policy stays
+    # the lever for batches past the HBM knee (see BENCHES.md).
     step = make_video_train_step(size, loss="mse", remat=False)
     mesh = make_mesh(("data",))
     with mesh:

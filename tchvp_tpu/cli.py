@@ -227,6 +227,7 @@ def cmd_video(args) -> None:
         model, cfg=cfg, image_size=args.image_size, mesh=mesh,
         fsdp_axis="data" if args.fsdp else None,
         accum_steps=args.accum_steps,
+        remat_policy=args.remat_policy,
     )
     start = flow.resume(args.clip_len, data=data) if args.resume else 0
     flow.train(
@@ -998,6 +999,14 @@ def main(argv=None) -> None:
                                 "into N microbatches inside the jit "
                                 "(lax.scan), one optimizer update — "
                                 "~N x less activation memory")
+            p.add_argument("--remat-policy", default="none",
+                           choices=("none", "full", "stages", "dots"),
+                           help="rematerialization policy for the train "
+                                "step: full = recompute the whole forward "
+                                "in backprop; stages = save only the two "
+                                "stage-boundary token tensors and "
+                                "recompute within each stage; dots = save "
+                                "matmul outputs, recompute convs")
         if name == "transfer":
             p.add_argument("--pretrained", default=None)
         if name == "pack":

@@ -129,7 +129,16 @@ class VideoHybridNet(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """clip: (B, T, H, W, C) -> (tokens (B, T*tpf, D), recon (B, T, H, W, C'))."""
+        from jax.ad_checkpoint import checkpoint_name
+
+        # Stage-boundary tags for remat_policy="stages"
+        # (train/steps.py::make_video_train_step): under
+        # save_only_these_names the backward keeps ONLY these two small
+        # token tensors and recomputes within each stage — identity
+        # everywhere else.
         tokens, hw = self.encode_clip(clip, train=train, deterministic=deterministic)
+        tokens = checkpoint_name(tokens, "encoder_tokens")
         tokens = self.temporal_mix(tokens, mask=mask, deterministic=deterministic)
+        tokens = checkpoint_name(tokens, "temporal_tokens")
         recon = self.decode_tokens(tokens, hw, train=train)
         return tokens, recon

@@ -546,6 +546,7 @@ class VideoFlow(_FlowBase):
         loss_alpha: float = 0.3,
         loss_beta: float = 0.7,
         remat: bool = False,
+        remat_policy: str = "none",
         fsdp_axis: Optional[str] = None,
         accum_steps: int = 1,
     ):
@@ -557,6 +558,7 @@ class VideoFlow(_FlowBase):
         self.fsdp_axis = fsdp_axis
         self._train_step = steps_lib.make_video_train_step(
             image_size, cfg.loss, loss_alpha, loss_beta, remat=remat,
+            remat_policy=remat_policy,
             data_range=cfg.mixed_data_range,
             moe_aux_weight=cfg.moe_aux_weight,
             fsdp_axis=fsdp_axis, fsdp_mesh=mesh,

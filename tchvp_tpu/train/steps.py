@@ -235,6 +235,7 @@ def make_video_train_step(
     beta: float = 0.7,
     noise_std: float = 0.05,
     remat: bool = False,
+    remat_policy: str = "none",
     data_range: float = 1.0,
     moe_aux_weight: float = 0.0,
     fsdp_axis: Optional[str] = None,
@@ -248,7 +249,17 @@ def make_video_train_step(
     is donated (HBM buffer reuse). ``remat=True`` rematerializes the
     forward during backprop (jax.checkpoint) — trades ~30% more FLOPs for
     activation memory, the lever for long clips / big batches
-    (BASELINE config 3). ``moe_aux_weight`` > 0 adds the Switch
+    (BASELINE config 3). ``remat_policy`` refines the trade:
+
+    * ``"none"`` — no remat (``remat=True`` alone means ``"full"``);
+    * ``"full"`` — save nothing, recompute the whole forward;
+    * ``"stages"`` — save ONLY the two stage-boundary token tensors
+      (``checkpoint_name`` tags in ``models/video.py``) and recompute
+      within each stage: the backward re-runs encoder/temporal/decoder
+      independently, so peak activation memory is one stage's instead of
+      the whole model's, at far less recompute than ``"full"``;
+    * ``"dots"`` — ``dots_with_no_batch_dims_saveable``: matmul outputs
+      (the temporal attention/FFN) are saved, convs recompute. ``moe_aux_weight`` > 0 adds the Switch
     load-balance loss sown by MoE FFN layers (ops/moe.py) to the
     objective and reports it as the ``moe_aux`` metric — required for a
     ``num_experts``-configured temporal transformer to keep its experts
@@ -274,6 +285,20 @@ def make_video_train_step(
     want_aux = moe_aux_weight > 0.0
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    if remat and remat_policy == "none":
+        remat_policy = "full"
+    if remat_policy not in ("none", "full", "stages", "dots"):
+        raise ValueError(
+            f"remat_policy must be none|full|stages|dots, got {remat_policy!r}"
+        )
+    _ckpt_policy = {
+        "none": None,
+        "full": None,  # jax.checkpoint default: save nothing
+        "stages": jax.checkpoint_policies.save_only_these_names(
+            "encoder_tokens", "temporal_tokens"
+        ),
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }[remat_policy]
 
     def grads_of(state, params, batch_stats, x, y, k_drop):
         """(grads, loss, mse, new_stats, aux) for one (micro)batch
@@ -287,8 +312,12 @@ def make_video_train_step(
                 want_intermediates=want_aux,
             )
 
-        if remat:
-            forward = jax.checkpoint(forward)
+        if remat_policy != "none":
+            forward = (
+                jax.checkpoint(forward, policy=_ckpt_policy)
+                if _ckpt_policy is not None
+                else jax.checkpoint(forward)
+            )
 
         def loss_of(params):
             (tokens, recon), mut = forward(params, x)

@@ -352,23 +352,35 @@ def test_video_step_remat_matches_no_remat():
         0, 255, (2, 2, size, size, 3), dtype=np.uint8
     )
 
-    def run(remat):
+    def run(**kw):
         state = create_train_state(
             model,
             jnp.zeros((2, 2, size, size, 3)),
             make_optimizer(1e-3),
             jax.random.PRNGKey(0),
         )
-        step = make_video_train_step(size, loss="mse", remat=remat)
+        step = make_video_train_step(size, loss="mse", **kw)
         state, m = step(state, jnp.asarray(batch))
         return float(m["loss"]), jax.tree.leaves(
             jax.tree.map(np.asarray, state.params)
         )[0]
 
-    l0, p0 = run(False)
-    l1, p1 = run(True)
-    np.testing.assert_allclose(l0, l1, rtol=1e-6)
-    np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-6)
+    l0, p0 = run(remat=False)
+    # Every remat policy recomputes differently but must not change the
+    # math: legacy remat=True (== "full"), stage-boundary, and dots.
+    for kw in (
+        dict(remat=True),
+        dict(remat_policy="stages"),
+        dict(remat_policy="dots"),
+    ):
+        l1, p1 = run(**kw)
+        np.testing.assert_allclose(l0, l1, rtol=1e-6, err_msg=str(kw))
+        np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-6, err_msg=str(kw))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        make_video_train_step(size, loss="mse", remat_policy="bogus")
 
 
 def test_segmentation_restore_resumes_epoch_numbering(tmp_path):
