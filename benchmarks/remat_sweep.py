@@ -4,56 +4,45 @@ For each rematerialization policy of the video train step
 (``make_video_train_step(remat_policy=...)``) this measures, on the real
 chip: step time, frames/s, and the compiled peak/temp HBM footprint
 (``compiled.memory_analysis()``) — the data behind choosing a policy for
-bigger per-chip batches. Run:
+bigger per-chip batches. Model construction and the timing recipe are
+shared with run_all.py's config3 via ``benchmarks/_config3.py`` so the
+numbers stay cross-comparable with the config-3 headline. Run:
 
     PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/remat_sweep.py \
-        [--batch 4] [--policies none,stages,full,dots] [--try-batches 4,8,12]
+        [--batch 4] [--policies none,stages,full,dots] [--try-batches 8,12]
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+from benchmarks import _config3
 from tchvp_tpu.utils.cache import enable_compilation_cache
 
 
-def build(size=224):
-    from tchvp_tpu.config import ResNetAEConfig, TransformerConfig, VideoModelConfig
-    from tchvp_tpu.models import VideoHybridNet
-
-    cfg = VideoModelConfig(
-        encoder=ResNetAEConfig(token_latent=True),
-        temporal=TransformerConfig(
-            input_dim=(size // 4) ** 2, hidden_dim=2048, num_layers=2, num_heads=8
-        ),
-    )
-    return VideoHybridNet(config=cfg, dtype=jnp.bfloat16)
-
-
 def measure(model, policy: str, batch: int, size=224, frames=16):
-    from tchvp_tpu.train import create_train_state, make_optimizer
     from tchvp_tpu.train.steps import make_video_train_step
 
-    state = create_train_state(
-        model,
-        jnp.zeros((1, 2, size, size, 3)),
-        make_optimizer(1e-4, grad_clip_norm=1.0),
-        jax.random.PRNGKey(0),
-    )
-    raw = jnp.asarray(
-        np.random.default_rng(0).integers(
-            0, 256, (batch, frames, size, size, 3), dtype=np.uint8
-        )
-    )
+    state = _config3.make_state(model, size)
+    raw = jnp.asarray(_config3.make_batch(batch, frames, size))
     step = make_video_train_step(size, loss="mse", remat_policy=policy)
+
+    # The heavy XLA compile happens HERE (the later step() call re-traces
+    # but reuses the executable), so time it as the compile cost.
+    t0 = time.perf_counter()
+    compiled = step.lower(state, raw).compile()
+    compile_s = time.perf_counter() - t0
     mem = {}
     try:
-        ma = step.lower(state, raw).compile().memory_analysis()
+        ma = compiled.memory_analysis()
         if ma is not None:
             mem = {
                 "temp_gb": round(ma.temp_size_in_bytes / 2**30, 2),
@@ -65,19 +54,7 @@ def measure(model, policy: str, batch: int, size=224, frames=16):
     except Exception as e:  # memory_analysis unsupported on some backends
         mem = {"memory_analysis": f"unavailable: {type(e).__name__}"}
 
-    t0 = time.perf_counter()
-    state, m = step(state, raw)
-    _ = float(m["loss"])  # real sync (axon block_until_ready lies)
-    compile_s = time.perf_counter() - t0
-    times = []
-    inner = 5
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(inner):
-            state, m = step(state, raw)
-        _ = float(m["loss"])
-        times.append((time.perf_counter() - t0) / inner)
-    t = float(np.median(times))
+    t, _ = _config3.time_train_step(step, state, raw)
     return {
         "policy": policy,
         "batch": batch,
@@ -99,7 +76,7 @@ def main():
 
     enable_compilation_cache()
     print(f"devices: {jax.devices()}")
-    model = build()
+    model = _config3.build_model()
     for policy in args.policies.split(","):
         batches = [args.batch] + [
             int(b) for b in args.try_batches.split(",") if b

@@ -157,13 +157,12 @@ def config2(results, batch=16, microbatch=4):
 def config3(results, batch=None):
     """Full training step, data-parallel over all local devices.
 
-    BASELINE's batch 32 assumes a v4-8 (4 clips/chip); batch scales with
-    the local device count so the per-chip working set is constant.
+    BASELINE's batch 32 over a v4-8's 4 chips = 8 clips/chip; batch
+    scales with the local device count so the per-chip working set is
+    constant.
     """
-    from tchvp_tpu.config import ResNetAEConfig, TransformerConfig, VideoModelConfig
-    from tchvp_tpu.models import VideoHybridNet
+    from benchmarks import _config3
     from tchvp_tpu.parallel import make_mesh, replicate, shard_batch
-    from tchvp_tpu.train import create_train_state, make_optimizer
     from tchvp_tpu.train.steps import make_video_train_step
 
     size, frames = 224, 16
@@ -174,22 +173,9 @@ def config3(results, batch=None):
         # WITHOUT remat (XLA schedules around the pressure; temp 13.5 GB)
         # and is 13% faster per frame than 4/chip — 454.7 vs 400.8 f/s.
         batch = 8 * n_dev
-    cfg = VideoModelConfig(
-        encoder=ResNetAEConfig(token_latent=True),
-        temporal=TransformerConfig(
-            input_dim=(size // 4) ** 2, hidden_dim=2048, num_layers=2, num_heads=8
-        ),
-    )
-    model = VideoHybridNet(config=cfg, dtype=jnp.bfloat16)
-    state = create_train_state(
-        model,
-        jnp.zeros((1, 2, size, size, 3)),
-        make_optimizer(1e-4, grad_clip_norm=1.0),
-        jax.random.PRNGKey(0),
-    )
-    raw = np.random.default_rng(0).integers(
-        0, 256, (batch, frames, size, size, 3), dtype=np.uint8
-    )
+    model = _config3.build_model(size)
+    state = _config3.make_state(model, size)
+    raw = _config3.make_batch(batch, frames, size)
     # No remat: every policy measured slower at these shapes (remat_sweep:
     # 21% at batch 4) and XLA fits batch 8 on its own; remat_policy stays
     # the lever for batches past the HBM knee (see BENCHES.md).
@@ -198,17 +184,7 @@ def config3(results, batch=None):
     with mesh:
         state = replicate(state, mesh)
         sharded = shard_batch(jnp.asarray(raw), mesh)
-        state, m = step(state, sharded)  # compile
-        _ = float(m["loss"])  # real sync (axon: block_until_ready lies)
-        times = []
-        inner = 5
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(inner):
-                state, m = step(state, sharded)
-            _ = float(m["loss"])  # one readback drains the chain
-            times.append((time.perf_counter() - t0) / inner)
-    t = float(np.median(times))
+        t, state = _config3.time_train_step(step, state, sharded)
     _emit({
         "config": 3,
         "metric": f"train step (fwd/bwd, mse) batch-{batch} 16f 224px, dp x{n_dev}",

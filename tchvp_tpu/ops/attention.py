@@ -270,6 +270,10 @@ def sdpa_windowed_seq_sharded(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=spec,
+        # Only seq_axis goes manual — other axes (e.g. "data") stay auto
+        # so GSPMD keeps partitioning batch/head dims instead of
+        # all-gathering them under a dp x sp mesh.
+        axis_names={seq_axis},
         # pallas_call outputs carry no varying-mesh-axes metadata, so the
         # halo-kernel route cannot run under shard_map's vma checker.
         check_vma=not use_flash,
@@ -364,8 +368,13 @@ def sdpa_ring_seq_sharded(
     if drop_on:
         in_specs += (P(),)
         operands += (dropout_rng,)
+    # Only seq_axis goes manual: every other mesh axis (e.g. "data")
+    # stays auto so GSPMD keeps partitioning the batch/head dims — a
+    # fully-manual shard_map would all-gather them (dp x cp would then
+    # redundantly compute the global batch on every data row).
     return jax.shard_map(
-        local, mesh=mesh, in_specs=in_specs, out_specs=spec
+        local, mesh=mesh, in_specs=in_specs, out_specs=spec,
+        axis_names={seq_axis},
     )(*operands)
 
 

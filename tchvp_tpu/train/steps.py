@@ -258,8 +258,17 @@ def make_video_train_step(
       within each stage: the backward re-runs encoder/temporal/decoder
       independently, so peak activation memory is one stage's instead of
       the whole model's, at far less recompute than ``"full"``;
-    * ``"dots"`` — ``dots_with_no_batch_dims_saveable``: matmul outputs
-      (the temporal attention/FFN) are saved, convs recompute. ``moe_aux_weight`` > 0 adds the Switch
+    * ``"dots"`` — ``dots_with_no_batch_dims_saveable``: saves only
+      UNBATCHED matmul outputs (the q/k/v/FFN projections); the
+      attention einsums carry (b, h) batch dims and recompute, and convs
+      are not dots at all — measured to save nothing extra on this
+      conv-dominated model (BENCHES.md remat sweep).
+
+    Measured on the v5e (BENCHES.md): no policy is a throughput win at
+    the config-3 shapes; ``stages`` dominates the other policies on
+    memory; past the 8-clips/chip HBM knee use ``accum_steps``.
+
+    ``moe_aux_weight`` > 0 adds the Switch
     load-balance loss sown by MoE FFN layers (ops/moe.py) to the
     objective and reports it as the ``moe_aux`` metric — required for a
     ``num_experts``-configured temporal transformer to keep its experts

@@ -377,8 +377,6 @@ def test_video_step_remat_matches_no_remat():
         np.testing.assert_allclose(l0, l1, rtol=1e-6, err_msg=str(kw))
         np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-6, err_msg=str(kw))
 
-    import pytest
-
     with pytest.raises(ValueError, match="remat_policy"):
         make_video_train_step(size, loss="mse", remat_policy="bogus")
 

@@ -278,11 +278,14 @@ def test_transformer_seq_axis_end_to_end():
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None)))
     with mesh:
         with dispatch_trace.capture() as seen:
-            got = jax.jit(
-                lambda v, t: m_sh.apply(v, t, deterministic=True)
-            )(variables, xs)
+            fn = jax.jit(lambda v, t: m_sh.apply(v, t, deterministic=True))
+            got = fn(variables, xs)
+            hlo = fn.lower(variables, xs).compile().as_text()
     assert "seq_sharded_shard_map" in seen, "model-level seq parallelism not engaged"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # dp composition: only seq_axis is manual in the shard_map — the
+    # batch dim must stay partitioned over "data", not all-gathered.
+    assert "all-gather" not in hlo, "band + dp must not gather batch or seq"
 
 
 def test_seq_parallel_flash_matches_unsharded():
@@ -715,8 +718,13 @@ def test_transformer_ring_end_to_end():
     xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None)))
     with mesh:
         with dispatch_trace.capture() as seen:
-            got = jax.jit(
-                lambda v, t: m_ring.apply(v, t, deterministic=True)
-            )(variables, xs)
+            fn = jax.jit(lambda v, t: m_ring.apply(v, t, deterministic=True))
+            got = fn(variables, xs)
+            hlo = fn.lower(variables, xs).compile().as_text()
     assert "ring_shard_map" in seen, "model-level ring attention not engaged"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # dp composition: only seq_axis goes manual in the shard_map, so the
+    # batch dim stays partitioned over "data" — a fully-manual shard_map
+    # would all-gather q/k/v over "data" and every data row would
+    # redundantly compute the global batch's attention.
+    assert "all-gather" not in hlo, "ring + dp must not gather batch or seq"
