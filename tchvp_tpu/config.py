@@ -93,8 +93,14 @@ class FCTConfig:
     dropout_rate: float = 0.3  # FCT.py:146,176
     out_channels: int = 1
     # "auto" = Pallas flash on TPU (faster + much cheaper to compile for
-    # the H*W-token spatial attention), XLA einsum elsewhere.
-    attn_impl: str = "auto"  # "auto" | "xla" | "flash"
+    # the H*W-token spatial attention), XLA einsum elsewhere. "ring" =
+    # context parallelism for the H*W-token FULL attention: spatial
+    # tokens shard over `seq_axis` and k/v blocks rotate by ppermute
+    # (ops/attention.py::sdpa_ring_seq_sharded) — the scale-out path for
+    # big-resolution FCT where one chip can't hold the token count.
+    attn_impl: str = "auto"  # "auto" | "xla" | "flash" | "ring"
+    # Mesh axis for ring attention; None = off (single-device math).
+    seq_axis: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -46,6 +46,7 @@ class BlockEncoderBottleneck(nn.Module):
     dropout_rate: float = 0.3
     attn_impl: str = "xla"
     drop_path_rate: float = 0.0
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -72,6 +73,7 @@ class BlockEncoderBottleneck(nn.Module):
             num_heads=self.att_heads,
             attn_impl=self.attn_impl,
             drop_path_rate=self.drop_path_rate,
+            seq_axis=self.seq_axis,
             name="trans",
             dtype=dt,
             param_dtype=pdt,
@@ -86,6 +88,7 @@ class BlockDecoder(nn.Module):
     dropout_rate: float = 0.3
     attn_impl: str = "xla"
     drop_path_rate: float = 0.0
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -105,6 +108,7 @@ class BlockDecoder(nn.Module):
             num_heads=self.att_heads,
             attn_impl=self.attn_impl,
             drop_path_rate=self.drop_path_rate,
+            seq_axis=self.seq_axis,
             name="trans",
             dtype=dt,
             param_dtype=pdt,
@@ -165,6 +169,7 @@ class FCT(nn.Module):
                 att_heads=heads,
                 dropout_rate=cfg.dropout_rate,
                 attn_impl=cfg.attn_impl,
+                seq_axis=cfg.seq_axis,
                 drop_path_rate=dpr[i],
                 name=f"block_{i + 1}",
                 dtype=dt,
@@ -177,6 +182,7 @@ class FCT(nn.Module):
                 att_heads=heads,
                 dropout_rate=cfg.dropout_rate,
                 attn_impl=cfg.attn_impl,
+                seq_axis=cfg.seq_axis,
                 drop_path_rate=dpr[i],
                 name=f"block_{i + 1}",
                 dtype=dt,

@@ -512,6 +512,7 @@ class TorchMultiheadAttention(nn.Module):
     use_bias: bool = True
     impl: str = "xla"
     window_size: int = 0
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -542,6 +543,7 @@ class TorchMultiheadAttention(nn.Module):
             impl=self.impl,
             window_size=self.window_size,
             mask=mask,
+            seq_axis=self.seq_axis,
         )
         return nn.Dense(
             d,

@@ -19,7 +19,7 @@ stride 1, and the quirk is replicated exactly for other strides
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Optional, Union
 
 import flax.linen as nn
 import jax
@@ -60,6 +60,7 @@ class ConvProjAttention(nn.Module):
     padding_q: Union[str, int] = "same"
     padding_kv: Union[str, int] = "same"  # dead in the reference too
     proj_drop: float = 0.0
+    seq_axis: Optional[str] = None  # ring/context parallelism (impl="ring")
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -106,6 +107,7 @@ class ConvProjAttention(nn.Module):
             num_heads=self.num_heads,
             use_bias=self.use_bias,
             impl=self.attn_impl,
+            seq_axis=self.seq_axis,
             name="attention",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -180,6 +182,7 @@ class SpatialTransformer(nn.Module):
     num_heads: int
     attn_impl: str = "xla"
     drop_path_rate: float = 0.0
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -189,6 +192,7 @@ class SpatialTransformer(nn.Module):
             channels=self.channels,
             num_heads=self.num_heads,
             attn_impl=self.attn_impl,
+            seq_axis=self.seq_axis,
             name="attention_output",
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -728,3 +728,37 @@ def test_transformer_ring_end_to_end():
     # would all-gather q/k/v over "data" and every data row would
     # redundantly compute the global batch's attention.
     assert "all-gather" not in hlo, "ring + dp must not gather batch or seq"
+
+
+def test_fct_ring_spatial_attention_matches_unsharded():
+    """FCT with attn_impl='ring': the H*W-token spatial attention in every
+    block runs context-parallel over the 'seq' mesh axis and must match
+    the unsharded xla model. 4-way mesh at 64^2 input keeps every block's
+    token count (1024/256/64/16/4) divisible by the axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.config import FCTConfig
+    from tchvp_tpu.models import FCT
+
+    m_ref = FCT(config=FCTConfig(attn_impl="xla"))
+    m_ring = FCT(config=FCTConfig(attn_impl="ring", seq_axis="seq"))
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    variables = m_ref.init(jax.random.PRNGKey(0), x)
+    want = m_ref.apply(variables, x, deterministic=True)
+
+    mesh = make_mesh(("data", "seq"), (2, 4))
+    # Image rows shard over "seq": GSPMD spatially partitions the convs
+    # (halo exchanges) and the ring shard_map handles the attention.
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", None, None)))
+    with mesh:
+        with dispatch_trace.capture() as seen:
+            got = jax.jit(
+                lambda v, t: m_ring.apply(v, t, deterministic=True)
+            )(variables, xs)
+    assert "ring_shard_map" in seen, "FCT spatial ring attention not engaged"
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
+    )
