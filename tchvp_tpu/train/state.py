@@ -25,6 +25,26 @@ class TrainState(train_state.TrainState):
     rng: Optional[jax.Array] = None
 
 
+def _dealias_opt_state(params: Any, opt_state: Any) -> Any:
+    """Copy any optimizer-state leaf that aliases a parameter buffer (or
+    another opt-state leaf). optax transforms initialize state AS the
+    param tree itself — ``param_ema``'s init returns the params
+    (``jnp.asarray`` is a no-op on jax arrays) and ``apply_if_finite``
+    keeps ``last_finite = params`` — so the freshly created train state
+    holds the SAME buffer in two leaves and the donated train step dies
+    with "Attempt to donate the same buffer twice in Execute()"."""
+    seen = {id(l) for l in jax.tree.leaves(params)}
+
+    def unalias(leaf):
+        if isinstance(leaf, jax.Array):
+            if id(leaf) in seen:
+                return jnp.array(leaf, copy=True)
+            seen.add(id(leaf))
+        return leaf
+
+    return jax.tree.map(unalias, opt_state)
+
+
 def create_train_state(
     model,
     example_input: Any,
@@ -33,12 +53,15 @@ def create_train_state(
     init_kwargs: Optional[dict] = None,
 ) -> TrainState:
     variables = model.init(rng, example_input, **(init_kwargs or {}))
-    return TrainState.create(
+    state = TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
         tx=tx,
         batch_stats=variables.get("batch_stats"),
         rng=rng,
+    )
+    return state.replace(
+        opt_state=_dealias_opt_state(state.params, state.opt_state)
     )
 
 
@@ -160,7 +183,12 @@ def param_ema(decay: float) -> optax.GradientTransformation:
         raise ValueError(f"ema decay must be in (0, 1), got {decay}")
 
     def init(params):
-        return EmaState(ema=jax.tree.map(jnp.asarray, params))
+        # Explicit copies: jnp.asarray is a NO-OP on jax arrays, and an
+        # EMA state aliasing the live param buffers breaks donated train
+        # steps ("donate the same buffer twice") — see _dealias_opt_state.
+        return EmaState(
+            ema=jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+        )
 
     def update(updates, state, params=None):
         if params is None:

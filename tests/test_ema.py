@@ -129,3 +129,51 @@ def test_param_ema_validates_decay():
     with pytest.raises(ValueError):
         param_ema(1.0)
     assert isinstance(EmaState(ema=None), tuple)
+
+
+def test_donated_step_with_ema_and_nan_guard():
+    """The DONATED video train step must run with ema_decay and
+    skip_nonfinite_updates on: both optax transforms initialize their
+    state as the param tree itself (param_ema's init, apply_if_finite's
+    last_finite), which aliased live param buffers and crashed Execute()
+    with 'donate the same buffer twice' — caught driving `tchvp video
+    --ema-decay` on the chip (round 3). create_train_state now de-aliases
+    the fresh optimizer state."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tchvp_tpu.config import ResNetAEConfig, TransformerConfig, VideoModelConfig
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train import create_train_state, make_optimizer
+    from tchvp_tpu.train.steps import make_video_train_step
+
+    size = 16
+    cfg = VideoModelConfig(
+        encoder=ResNetAEConfig(layers=(1, 1), token_latent=True),
+        temporal=TransformerConfig(
+            input_dim=(size // 4) ** 2, hidden_dim=8, num_layers=1, num_heads=2
+        ),
+    )
+    model = VideoHybridNet(config=cfg)
+    state = create_train_state(
+        model,
+        jnp.zeros((2, 2, size, size, 3)),
+        make_optimizer(1e-3, ema_decay=0.9, skip_nonfinite_updates=2),
+        jax.random.PRNGKey(0),
+    )
+    # No optimizer-state leaf may alias a param buffer (or another leaf).
+    ids = [id(l) for l in jax.tree.leaves(state.params)]
+    ids += [
+        id(l) for l in jax.tree.leaves(state.opt_state)
+        if isinstance(l, jax.Array)
+    ]
+    assert len(ids) == len(set(ids)), "aliased buffers in fresh train state"
+
+    step = make_video_train_step(size, loss="mse")
+    batch = np.random.default_rng(0).integers(
+        0, 255, (2, 2, size, size, 3), dtype=np.uint8
+    )
+    state, m = step(state, jnp.asarray(batch))  # donates state
+    state, m = step(state, jnp.asarray(batch))
+    assert np.isfinite(float(m["loss"]))
