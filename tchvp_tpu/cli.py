@@ -648,12 +648,53 @@ def cmd_eval(args) -> None:
         return ckpt.latest_step_dir(args.checkpoint_dir)
 
     def load_into(state, path):
-        """Full state (has a 'params' key) or bare weights-only tree."""
+        """Full state (has a 'params' key) or bare weights-only tree.
+
+        Only params (+ batch stats) load — NOT the optimizer state, whose
+        structure depends on the TRAINING run's flags (--schedule,
+        --ema-decay, NaN guard) this command cannot know; retyping it
+        against eval's default optimizer raised on mismatched chains
+        (round-3 chip drive). ``--ema`` evaluates the EMA parameter
+        average the training optimizer carried instead of the live
+        params (train/state.py::param_ema).
+        """
         raw = ckpt.restore_state(path)
         if isinstance(raw, dict) and "params" in raw:
-            state, _ = ckpt.restore_state_into(state, path)
+            payload = raw["params"]
+            if args.ema:
+                payload = _find_ema(raw.get("opt_state"))
+                if payload is None:
+                    raise SystemExit(
+                        f"--ema: checkpoint {path} carries no EMA state "
+                        f"(train with --ema-decay)"
+                    )
+            state = state.replace(params=_retype(state.params, payload))
+            if state.batch_stats is not None and raw.get("batch_stats") is not None:
+                state = state.replace(
+                    batch_stats=_retype(state.batch_stats, raw["batch_stats"])
+                )
             return state
+        if args.ema:
+            raise SystemExit("--ema needs a full-state checkpoint, got weights-only")
         return state.replace(params=_retype(state.params, raw))
+
+    def _find_ema(node):
+        """The EmaState subtree in an UNTYPED orbax payload: serialized
+        namedtuples become name-keyed dicts, so EmaState appears as a
+        single-key {'ema': <param tree>} dict."""
+        if isinstance(node, dict):
+            if set(node) == {"ema"}:
+                return node["ema"]
+            it = node.values()
+        elif isinstance(node, (list, tuple)):
+            it = node
+        else:
+            return None
+        for sub in it:
+            found = _find_ema(sub)
+            if found is not None:
+                return found
+        return None
 
     # The shared loaders' CSV slot is train_csv; an eval run naturally
     # passes --test-csv, so alias it in.
@@ -1044,6 +1085,10 @@ def main(argv=None) -> None:
             p.add_argument("--num-experts", type=int, default=0,
                            help="match the --num-experts the checkpoint "
                                 "was trained with (MoE param tree)")
+            p.add_argument("--ema", action="store_true",
+                           help="evaluate the EMA parameter average the "
+                                "optimizer carried (--ema-decay training) "
+                                "instead of the live params")
             p.add_argument("--clippack", default=None)
             p.add_argument("--clip-len", type=int, default=8)
         if name == "summary":

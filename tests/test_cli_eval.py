@@ -81,3 +81,57 @@ def test_eval_rejects_mismatched_checkpoint(tmp_path):
             "eval", "--model", "ae", "--synthetic", "1", "--batch-size", "2",
             "--image-size", "64", "--checkpoint", path,
         ])
+
+
+def test_eval_checkpoint_from_differently_flagged_optimizer(tmp_path, capsys):
+    """Eval must load checkpoints regardless of the TRAINING optimizer's
+    flags: a --schedule/--ema-decay/NaN-guard chain stores an opt_state
+    whose structure eval's default template can't retype — round 3's chip
+    drive crashed here. Eval now loads only params (+ batch stats);
+    --ema evaluates the carried EMA average instead."""
+    from tchvp_tpu.models import AutoEncoder
+    from tchvp_tpu.train import create_train_state, make_optimizer
+
+    size = 64
+    model = AutoEncoder()
+    state = create_train_state(
+        model,
+        jnp.zeros((1, size, size, 3)),
+        make_optimizer(
+            1e-3, schedule="cosine", warmup_steps=2, total_steps=8,
+            ema_decay=0.9, skip_nonfinite_updates=2, grad_clip_norm=1.0,
+        ),
+        jax.random.PRNGKey(0),
+    )
+    path = ckpt.save_state(
+        str(tmp_path), 5, state.params, state.opt_state, state.batch_stats
+    )
+    main([
+        "eval", "--model", "ae", "--synthetic", "1", "--batch-size", "2",
+        "--image-size", "64", "--checkpoint", path,
+    ])
+    out = capsys.readouterr().out
+    assert "eval ae: reconstruction PSNR" in out
+
+    # --ema evaluates the EMA average carried in the optimizer state.
+    main([
+        "eval", "--model", "ae", "--synthetic", "1", "--batch-size", "2",
+        "--image-size", "64", "--checkpoint", path, "--ema",
+    ])
+    out = capsys.readouterr().out
+    assert "eval ae: reconstruction PSNR" in out
+
+    # --ema on a checkpoint without EMA state exits with a clear message.
+    state2 = create_train_state(
+        model, jnp.zeros((1, size, size, 3)), make_optimizer(1e-3),
+        jax.random.PRNGKey(0),
+    )
+    path2 = ckpt.save_state(
+        str(tmp_path / "plain"), 5, state2.params, state2.opt_state,
+        state2.batch_stats,
+    )
+    with pytest.raises(SystemExit, match="no EMA state"):
+        main([
+            "eval", "--model", "ae", "--synthetic", "1", "--batch-size", "2",
+            "--image-size", "64", "--checkpoint", path2, "--ema",
+        ])
