@@ -301,7 +301,7 @@ def cmd_stream(args) -> None:
     variables = model.init(jax.random.PRNGKey(0), example)
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
-        variables = {"params": restored["params"], **(
+        variables = {"params": _restored_params(restored, args.ema), **(
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
@@ -484,7 +484,7 @@ def cmd_infer(args) -> None:
     )
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
-        variables = {"params": restored["params"], **(
+        variables = {"params": _restored_params(restored, args.ema), **(
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
@@ -618,6 +618,39 @@ def cmd_summary(args) -> None:
     print(f"Input: {tuple(example.shape)} {example.dtype}")
 
 
+def _find_ema_payload(node):
+    """The EmaState subtree in an UNTYPED orbax payload: serialized
+    namedtuples become name-keyed dicts, so EmaState appears as a
+    single-key {'ema': <param tree>} dict (train/state.py::EmaState)."""
+    if isinstance(node, dict):
+        if set(node) == {"ema"}:
+            return node["ema"]
+        it = node.values()
+    elif isinstance(node, (list, tuple)):
+        it = node
+    else:
+        return None
+    for sub in it:
+        found = _find_ema_payload(sub)
+        if found is not None:
+            return found
+    return None
+
+
+def _restored_params(restored: dict, ema: bool):
+    """params — or, with ``--ema``, the EMA parameter average the training
+    optimizer carried (train/state.py::param_ema) — from a
+    ``restore_state`` payload."""
+    if not ema:
+        return restored["params"]
+    found = _find_ema_payload(restored.get("opt_state"))
+    if found is None:
+        raise SystemExit(
+            "--ema: checkpoint carries no EMA state (train with --ema-decay)"
+        )
+    return found
+
+
 def cmd_eval(args) -> None:
     """Standalone checkpoint evaluation: a metric table over a dataset.
 
@@ -660,14 +693,7 @@ def cmd_eval(args) -> None:
         """
         raw = ckpt.restore_state(path)
         if isinstance(raw, dict) and "params" in raw:
-            payload = raw["params"]
-            if args.ema:
-                payload = _find_ema(raw.get("opt_state"))
-                if payload is None:
-                    raise SystemExit(
-                        f"--ema: checkpoint {path} carries no EMA state "
-                        f"(train with --ema-decay)"
-                    )
+            payload = _restored_params(raw, args.ema)
             state = state.replace(params=_retype(state.params, payload))
             if state.batch_stats is not None and raw.get("batch_stats") is not None:
                 state = state.replace(
@@ -677,24 +703,6 @@ def cmd_eval(args) -> None:
         if args.ema:
             raise SystemExit("--ema needs a full-state checkpoint, got weights-only")
         return state.replace(params=_retype(state.params, raw))
-
-    def _find_ema(node):
-        """The EmaState subtree in an UNTYPED orbax payload: serialized
-        namedtuples become name-keyed dicts, so EmaState appears as a
-        single-key {'ema': <param tree>} dict."""
-        if isinstance(node, dict):
-            if set(node) == {"ema"}:
-                return node["ema"]
-            it = node.values()
-        elif isinstance(node, (list, tuple)):
-            it = node
-        else:
-            return None
-        for sub in it:
-            found = _find_ema(sub)
-            if found is not None:
-                return found
-        return None
 
     # The shared loaders' CSV slot is train_csv; an eval run naturally
     # passes --test-csv, so alias it in.
@@ -813,7 +821,7 @@ def cmd_export(args) -> None:
     variables = model.init(jax.random.PRNGKey(0), example)
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
-        variables = {"params": restored["params"], **(
+        variables = {"params": _restored_params(restored, args.ema), **(
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
@@ -1056,6 +1064,10 @@ def main(argv=None) -> None:
         if name == "infer":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--ema", action="store_true",
+                           help="serve the EMA parameter average the "
+                                "optimizer carried (--ema-decay training) "
+                                "instead of the live params")
             p.add_argument("--num-experts", type=int, default=0,
                            help="match the --num-experts the checkpoint "
                                 "was trained with (MoE param tree)")
@@ -1112,6 +1124,10 @@ def main(argv=None) -> None:
                                 "was trained with (MoE param tree)")
             p.add_argument("--clippack", default=None,
                            help="calibration source for --int8")
+            p.add_argument("--ema", action="store_true",
+                           help="serve the EMA parameter average the "
+                                "optimizer carried (--ema-decay training) "
+                                "instead of the live params")
             p.add_argument("--int8", action="store_true",
                            help="export the int8 PTQ serving program "
                                 "(calibrates on one batch)")
@@ -1144,6 +1160,10 @@ def main(argv=None) -> None:
         if name == "stream":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--ema", action="store_true",
+                           help="serve the EMA parameter average the "
+                                "optimizer carried (--ema-decay training) "
+                                "instead of the live params")
             p.add_argument("--num-experts", type=int, default=0,
                            help="match the --num-experts the checkpoint "
                                 "was trained with (MoE param tree)")

@@ -220,3 +220,62 @@ def test_cli_export_then_serve(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "served 2 batches" in out
     assert "PSNR" in out
+
+
+def test_cli_export_ema_weights(tmp_path, capsys):
+    """`tchvp export --ema` ships the EMA parameter average the training
+    optimizer carried, not the live params (same discovery path as
+    `tchvp eval --ema`); without EMA state in the checkpoint it exits
+    with a clear message."""
+    from tchvp_tpu import cli
+    from tchvp_tpu.config import flagship_video_config
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train import checkpoint as ckpt
+    from tchvp_tpu.train import create_train_state, ema_params, make_optimizer
+    from tchvp_tpu.train.steps import make_video_train_step
+
+    model = VideoHybridNet(config=flagship_video_config(image_size=SIZE))
+    state = create_train_state(
+        model,
+        jnp.zeros((1, CLIP_LEN, SIZE, SIZE, 3)),
+        make_optimizer(1e-2, ema_decay=0.5),
+        jax.random.PRNGKey(0),
+    )
+    # One real step so ema != params.
+    step = make_video_train_step(SIZE, loss="mse")
+    state, _ = step(state, _batch(2))
+    ema = ema_params(state.opt_state)
+    path = ckpt.save_state(
+        str(tmp_path), 1, state.params, state.opt_state, state.batch_stats
+    )
+
+    art = str(tmp_path / "ema.tchvp")
+    cli.main([
+        "export", "--out", art, "--image-size", str(SIZE),
+        "--clip-len", str(CLIP_LEN), "--checkpoint", path, "--ema",
+    ])
+    m = export_lib.load_artifact(art)
+    # The artifact's weights must be the EMA tree, not the live params.
+    leaf = lambda t: np.asarray(  # noqa: E731
+        jax.tree.leaves(t)[0]
+    )
+    got = leaf(m._weights["params"])
+    np.testing.assert_allclose(got, leaf(ema), atol=1e-6)
+    assert not np.allclose(got, leaf(state.params)), "exported live params"
+
+    plain = create_train_state(
+        model,
+        jnp.zeros((1, CLIP_LEN, SIZE, SIZE, 3)),
+        make_optimizer(1e-2),
+        jax.random.PRNGKey(0),
+    )
+    path2 = ckpt.save_state(
+        str(tmp_path / "plain"), 1, plain.params, plain.opt_state,
+        plain.batch_stats,
+    )
+    with pytest.raises(SystemExit, match="no EMA state"):
+        cli.main([
+            "export", "--out", str(tmp_path / "x.tchvp"),
+            "--image-size", str(SIZE), "--clip-len", str(CLIP_LEN),
+            "--checkpoint", path2, "--ema",
+        ])
