@@ -228,6 +228,7 @@ def cmd_video(args) -> None:
         fsdp_axis="data" if args.fsdp else None,
         accum_steps=args.accum_steps,
         remat_policy=args.remat_policy,
+        qat=args.qat, qat_dense=args.qat_dense,
     )
     start = flow.resume(args.clip_len, data=data) if args.resume else 0
     flow.train(
@@ -709,6 +710,12 @@ def cmd_eval(args) -> None:
     if getattr(args, "test_csv", None) and not args.train_csv:
         args.train_csv = args.test_csv
 
+    if args.int8 and args.model not in ("hybrid", "ae32k", "ae4k"):
+        raise SystemExit(
+            "eval --int8 supports the video models (hybrid/ae32k/ae4k); "
+            "FCT measures SLOWER in int8 (BENCHES.md)"
+        )
+
     path = resolve_path()
     src = f"ckpt {path}" if path else "fresh params (no checkpoint found)"
 
@@ -724,6 +731,43 @@ def cmd_eval(args) -> None:
         flow.init_state(args.clip_len)
         if path:
             flow.state = flow._replicate(load_into(flow.state, path))
+        if args.int8:
+            # Serving-mode eval: PSNR of the int8 PTQ engine's output
+            # against the clean clips — the number `infer --int8` ships,
+            # and the yardstick for --qat checkpoints.
+            from tchvp_tpu.data.pipeline import preprocess_clip
+            from tchvp_tpu.infer import Int8Engine
+            from tchvp_tpu import losses as losses_lib
+
+            variables = {"params": flow.state.params, **(
+                {"batch_stats": flow.state.batch_stats}
+                if flow.state.batch_stats is not None else {}
+            )}
+            eng = Int8Engine(flow.model, variables,
+                             quantize_dense=args.int8_dense)
+            data = _clip_data(args, args.image_size)
+            size = args.image_size
+            try:
+                first = next(iter(data))
+            except StopIteration:
+                raise SystemExit("eval --int8: no batches to calibrate on")
+            eng.calibrate([preprocess_clip(jnp.asarray(first), size)])
+
+            def int8_psnr(qparams, variables, batch):
+                clean = preprocess_clip(batch, size)
+                with eng.intercepting(qparams):
+                    _, recon = flow.model.apply(
+                        variables, clean, deterministic=True
+                    )
+                return losses_lib.psnr(recon, clean)
+
+            fn = jax.jit(int8_psnr)
+            vals = [float(fn(eng.qparams, variables, jnp.asarray(b)))
+                    for b in data]
+            psnr = sum(vals) / len(vals)
+            print(f"eval {args.model} [int8 serving]: reconstruction PSNR "
+                  f"{psnr:.2f} dB  [{src}]")
+            return
         psnr = flow.evaluate(_clip_data(args, args.image_size))
         print(f"eval {args.model}: reconstruction PSNR {psnr:.2f} dB  [{src}]")
     elif args.model == "fct":
@@ -1048,6 +1092,14 @@ def main(argv=None) -> None:
                                 "into N microbatches inside the jit "
                                 "(lax.scan), one optimizer update — "
                                 "~N x less activation memory")
+            p.add_argument("--qat", action="store_true",
+                           help="quantization-aware training: convs run on "
+                                "fake-int8 input/kernel with STE gradients "
+                                "(train/qat.py) so the checkpoint serves "
+                                "through `infer --int8` at higher fidelity")
+            p.add_argument("--qat-dense", action="store_true",
+                           help="with --qat: fake-quantize nn.Dense layers "
+                                "too (pair with --int8-dense serving)")
             p.add_argument("--remat-policy", default="none",
                            choices=("none", "full", "stages", "dots"),
                            help="rematerialization policy for the train "
@@ -1101,6 +1153,13 @@ def main(argv=None) -> None:
                            help="evaluate the EMA parameter average the "
                                 "optimizer carried (--ema-decay training) "
                                 "instead of the live params")
+            p.add_argument("--int8", action="store_true",
+                           help="evaluate in the int8 PTQ serving mode "
+                                "(calibrates on the first batch) — the "
+                                "yardstick for --qat training; video "
+                                "models only")
+            p.add_argument("--int8-dense", action="store_true",
+                           help="with --int8: quantize nn.Dense layers too")
             p.add_argument("--clippack", default=None)
             p.add_argument("--clip-len", type=int, default=8)
         if name == "summary":

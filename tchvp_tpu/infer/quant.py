@@ -114,22 +114,24 @@ def quantize_conv_params(
     return out
 
 
+def _pad_of(module: nn.Conv):
+    """Normalize flax's padding attribute for lax.conv_general_dilated
+    (str passthrough, bare int, per-dim int/pair — round-2 advisor)."""
+    pad = module.padding
+    if isinstance(pad, str):
+        return pad
+    if isinstance(pad, int):
+        return ((pad, pad),) * 2
+    return tuple((p, p) if isinstance(p, int) else tuple(p) for p in pad)
+
+
 def _int8_conv(module: nn.Conv, x: jnp.ndarray, q: Dict[str, jnp.ndarray],
                s_x: float) -> jnp.ndarray:
     """The quantized replacement for one nn.Conv call."""
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(
         jnp.int8
     )
-    pad = module.padding
-    if isinstance(pad, str):
-        padding = pad
-    elif isinstance(pad, int):
-        # flax accepts a bare int padding (padding=1) — normalize like
-        # _pair does, or int8 conversion crashes on models the fp path
-        # handles fine (round-2 advisor, low).
-        padding = ((pad, pad),) * 2
-    else:
-        padding = tuple((p, p) if isinstance(p, int) else tuple(p) for p in pad)
+    padding = _pad_of(module)
     def _pair(v):
         if v is None:
             return (1, 1)

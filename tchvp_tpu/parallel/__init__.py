@@ -20,6 +20,7 @@ from tchvp_tpu.parallel.mesh import (
     batch_spec,
     host_local_batch_slice,
     initialize_distributed,
+    make_hybrid_mesh,
     make_mesh,
     mesh_with_axis,
     replicate,
@@ -44,6 +45,7 @@ __all__ = [
     "transformer_layer_fn",
     "host_local_batch_slice",
     "initialize_distributed",
+    "make_hybrid_mesh",
     "make_mesh",
     "mesh_with_axis",
     "replicate",

@@ -117,6 +117,65 @@ def make_mesh(
     return Mesh(arr, tuple(axes))
 
 
+def make_hybrid_mesh(
+    ici_axes: Sequence[str],
+    ici_shape: Sequence[int],
+    dcn_axis: str = "replica",
+    dcn_size: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Mesh for multi-slice topologies: the slow DCN axis OUTERMOST, the
+    fast ICI axes inner.
+
+    TPU pods connect chips within a slice over ICI (~100s of GB/s) and
+    slices to each other over data-center network (~10s of GB/s). The
+    scaling-book recipe: collectives that move activations or gradients
+    every layer (tensor/sequence/expert parallel) must ride ICI, so those
+    axes partition WITHIN a slice; only the once-per-step gradient
+    all-reduce (data parallelism) may cross DCN. Mesh-dim order encodes
+    exactly that — jax assigns the most-distant device pairs to the
+    leading mesh dim — so this helper puts ``dcn_axis`` first and factors
+    each slice's devices over ``ici_axes``.
+
+    On real multi-slice TPU hardware the grouping comes from each
+    device's ``slice_index``; anywhere else (CPU test meshes, single
+    slice) devices are grouped contiguously, which preserves the layout
+    contract (process-local devices stay in one ICI group).
+
+    >>> mesh = make_hybrid_mesh(("data", "model"), (2, 2), dcn_size=2)
+    >>> step = jax.jit(..., in_shardings=NamedSharding(mesh, P(("replica", "data"), ...)))
+
+    Shard the batch over ``(dcn_axis, "data")`` together; keep "model"/
+    "seq" specs off the DCN axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    if dcn_size is None:
+        dcn_size = len(slice_ids) if len(slice_ids) > 1 else 1
+    per_slice = int(np.prod(tuple(ici_shape)))
+    if dcn_size * per_slice != len(devices):
+        raise ValueError(
+            f"{dcn_size} slices x {tuple(ici_shape)} ici = "
+            f"{dcn_size * per_slice} devices, have {len(devices)}"
+        )
+    if len(slice_ids) == dcn_size > 1:
+        # Real multi-slice: group by the hardware's slice index.
+        order = {s: i for i, s in enumerate(slice_ids)}
+        buckets: list = [[] for _ in slice_ids]
+        for d in devices:
+            buckets[order[getattr(d, "slice_index", 0)]].append(d)
+        if any(len(b) != per_slice for b in buckets):
+            raise ValueError(
+                f"uneven slices: {[len(b) for b in buckets]} devices per "
+                f"slice, need {per_slice}"
+            )
+        arr = np.asarray(buckets, dtype=object)
+    else:
+        arr = np.asarray(devices, dtype=object).reshape(dcn_size, per_slice)
+    arr = arr.reshape((dcn_size,) + tuple(ici_shape))
+    return Mesh(arr, (dcn_axis,) + tuple(ici_axes))
+
+
 def batch_spec(mesh: Mesh, ndim: int, batch_axis: str = "data") -> P:
     """PartitionSpec sharding dim 0 over the batch axis, rest replicated."""
     return P(batch_axis, *([None] * (ndim - 1)))

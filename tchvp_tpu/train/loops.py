@@ -549,6 +549,8 @@ class VideoFlow(_FlowBase):
         remat_policy: str = "none",
         fsdp_axis: Optional[str] = None,
         accum_steps: int = 1,
+        qat: bool = False,
+        qat_dense: bool = False,
     ):
         super().__init__(cfg, mesh)
         self.model = model
@@ -563,8 +565,11 @@ class VideoFlow(_FlowBase):
             moe_aux_weight=cfg.moe_aux_weight,
             fsdp_axis=fsdp_axis, fsdp_mesh=mesh,
             accum_steps=accum_steps,
+            qat=qat, qat_dense=qat_dense,
         )
-        self._eval_step = steps_lib.make_video_eval_step(image_size)
+        self._eval_step = steps_lib.make_video_eval_step(
+            image_size, qat=qat, qat_dense=qat_dense
+        )
 
     def init_state(self, clip_len: int, lr: Optional[float] = None) -> TrainState:
         cfg = self.cfg
@@ -751,5 +756,29 @@ class VideoFlow(_FlowBase):
                 ckpt.prune_step_dirs(
                     self.cfg.checkpoint_dir, self.cfg.keep_checkpoints
                 )
+        # A finished run must never end checkpoint-less: when the final
+        # epoch missed both cadences (epochs % save_every != 0 and no
+        # step-cadence save landed on the last batch), save the final
+        # state now — otherwise `tchvp video --epochs 2` (default
+        # --save-every 10) silently discards the whole run (found while
+        # driving the QAT flow on the chip).
+        final_covered = (
+            epochs <= start_epoch
+            or (bool(save_every_steps) and spe % save_every_steps == 0)
+            or epochs % save_every == 0
+        )
+        if not final_covered:
+            ckpt.save_state(
+                self.cfg.checkpoint_dir,
+                epochs * spe if save_every_steps else epochs,
+                self.state.params,
+                self.state.opt_state,
+                self.state.batch_stats,
+                extra=self._ckpt_extra(epochs, train_data),
+                async_write=self.cfg.async_checkpoint,
+            )
+            ckpt.prune_step_dirs(
+                self.cfg.checkpoint_dir, self.cfg.keep_checkpoints
+            )
         ckpt.wait_for_async_saves()
         return self.state

@@ -241,6 +241,8 @@ def make_video_train_step(
     fsdp_axis: Optional[str] = None,
     fsdp_mesh=None,
     accum_steps: int = 1,
+    qat: bool = False,
+    qat_dense: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
     """Video AE/pipeline step (recovered AE_256_32K L226-330 semantics:
     gaussian input noise x0.05, MixedLoss(0.3, 0.7) reconstruction).
@@ -280,6 +282,11 @@ def make_video_train_step(
     with :func:`tchvp_tpu.parallel.fsdp.shard_train_state` on the state;
     dormant when no mesh (or a size-1 axis) is in scope.
 
+    ``qat=True``: quantization-aware training — every conv (and, with
+    ``qat_dense``, every Dense) runs on fake-int8 input/kernel with STE
+    gradients (:mod:`tchvp_tpu.train.qat`), so the fp32 master weights
+    train against the exact arithmetic of the int8 serving engine.
+
     ``accum_steps`` > 1: gradient accumulation — the batch is split into
     ``accum_steps`` microbatches along dim 0 inside the jit; a
     ``lax.scan`` computes and averages their gradients, then ONE
@@ -316,6 +323,14 @@ def make_video_train_step(
         b, t = x.shape[0], x.shape[1]
 
         def forward(params, xx):
+            if qat:
+                from tchvp_tpu.train.qat import qat_fake_quant
+
+                with qat_fake_quant(dense=qat_dense):
+                    return _apply(
+                        st, params, xx, train=True, rngs={"dropout": k_drop},
+                        want_intermediates=want_aux,
+                    )
             return _apply(
                 st, params, xx, train=True, rngs={"dropout": k_drop},
                 want_intermediates=want_aux,
@@ -409,11 +424,24 @@ def make_video_train_step(
     return step
 
 
-def make_video_eval_step(image_size: int) -> Callable:
+def make_video_eval_step(
+    image_size: int, qat: bool = False, qat_dense: bool = False
+) -> Callable:
+    """``qat``: evaluate under the same fake-int8 forward the QAT train
+    step uses, so validation PSNR tracks the quantized model."""
+
     @jax.jit
     def step(state: TrainState, batch: jnp.ndarray) -> Metrics:
         clean = pipeline.preprocess_clip(batch, image_size)
-        (tokens, recon), _ = _apply(state, state.params, clean, train=False)
+        if qat:
+            from tchvp_tpu.train.qat import qat_fake_quant
+
+            with qat_fake_quant(dense=qat_dense):
+                (tokens, recon), _ = _apply(
+                    state, state.params, clean, train=False
+                )
+        else:
+            (tokens, recon), _ = _apply(state, state.params, clean, train=False)
         return {"psnr": losses.psnr(recon, clean)}
 
     return step

@@ -135,3 +135,22 @@ def test_eval_checkpoint_from_differently_flagged_optimizer(tmp_path, capsys):
             "eval", "--model", "ae", "--synthetic", "1", "--batch-size", "2",
             "--image-size", "64", "--checkpoint", path2, "--ema",
         ])
+
+
+def test_eval_int8_serving_mode(capsys):
+    """`eval --int8`: serving-mode PSNR over synthetic clips (fresh
+    params — the plumbing, calibration, and interception are the test)."""
+    main([
+        "eval", "--model", "hybrid", "--synthetic", "1", "--batch-size", "2",
+        "--image-size", "32", "--clip-len", "2", "--int8",
+    ])
+    out = capsys.readouterr().out
+    assert "eval hybrid [int8 serving]: reconstruction PSNR" in out
+
+
+def test_eval_int8_rejects_non_video_models():
+    with pytest.raises(SystemExit, match="int8"):
+        main([
+            "eval", "--model", "fct", "--synthetic", "1", "--batch-size", "1",
+            "--image-size", "32", "--int8",
+        ])

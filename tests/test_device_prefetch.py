@@ -185,6 +185,11 @@ def test_mid_epoch_resume_exact_with_prefetch(workdir, tmp_path):
     flow.train(mk(), epochs=1, clip_len=4, save_every=10,
                save_every_steps=2)
     assert os.path.isdir("checkpoints/step_2")
+    # Discard the clean-shutdown final save (step_3): this test resumes
+    # from the mid-epoch cadence checkpoint, simulating preemption.
+    import shutil
+
+    shutil.rmtree("checkpoints/step_3")
 
     data2 = mk()
     flow2 = _tiny_flow(cfg)

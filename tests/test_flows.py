@@ -156,6 +156,36 @@ def test_video_flow_train_and_resume(workdir):
     flow2.train(data, epochs=3, clip_len=4, start_epoch=start, save_every=10)
 
 
+def test_video_flow_always_saves_final_state(workdir):
+    """A finished run keeps its final state even when epochs is not a
+    multiple of save_every (found driving `tchvp video --epochs 2` with
+    the default --save-every 10: the whole run was silently discarded)."""
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train import checkpoint as ckpt_lib
+    from tchvp_tpu.train.loops import VideoFlow
+
+    cfg = TrainConfig(model_name="VID_FINAL", loss="mse", lr=1e-4,
+                      checkpoint_dir="ckpt_final")
+    model = VideoHybridNet(
+        config=VideoModelConfig(
+            temporal=TransformerConfig(
+                input_dim=64, hidden_dim=32, num_layers=1, num_heads=4
+            )
+        )
+    )
+    flow = VideoFlow(model, cfg=cfg, image_size=32)
+    data = SyntheticClips(1, 4, 32, 2)
+    flow.train(data, epochs=2, clip_len=4, save_every=10)
+    path = ckpt_lib.latest_step_dir("ckpt_final")
+    assert path is not None and path.endswith("step_2")
+    # And no double-save when the epoch cadence already covered it.
+    flow2 = VideoFlow(model, cfg=TrainConfig(
+        model_name="VID_FINAL2", loss="mse", lr=1e-4,
+        checkpoint_dir="ckpt_final2"), image_size=32)
+    flow2.train(data, epochs=2, clip_len=4, save_every=2)
+    assert ckpt_lib.latest_step_dir("ckpt_final2").endswith("step_2")
+
+
 def test_video_flow_mid_epoch_checkpoint_resume(workdir, tmp_path):
     """``save_every_steps`` checkpoints WITHIN an epoch, recording the
     dataset position; ``resume(data=...)`` seeks the clippack iterator to
@@ -189,6 +219,12 @@ def test_video_flow_mid_epoch_checkpoint_resume(workdir, tmp_path):
     flow.train(data, epochs=1, clip_len=4, save_every=10, save_every_steps=2)
     assert os.path.isdir("checkpoints/step_2")
     assert not os.path.isdir("checkpoints/step_1")
+    # A clean shutdown also writes the final state (step_3); this test
+    # simulates PREEMPTION mid-epoch, so discard it and resume from the
+    # step-cadence checkpoint.
+    import shutil
+
+    shutil.rmtree("checkpoints/step_3")
 
     # "Preempted": resume from the latest (after batch 2 of epoch 1).
     data2 = clippack.ClipPackDataset(
@@ -205,10 +241,14 @@ def test_video_flow_mid_epoch_checkpoint_resume(workdir, tmp_path):
     assert int(flow2.state.step) == 4
     assert data2.position() == {"epoch": 2, "batch": 0}
     # Step-granular tags stay globally monotone across the resume: the
-    # epoch-2 cadence save lands at global batch (2-1)*3 + 2 = 5.
+    # epoch-2 cadence save lands at global batch (2-1)*3 + 2 = 5, and the
+    # clean shutdown adds the final state at 2*3 = 6.
     from tchvp_tpu.train import checkpoint as ckpt_lib
 
-    assert ckpt_lib.latest_step_dir("checkpoints").endswith("step_5")
+    assert ckpt_lib.latest_step_dir("checkpoints").endswith("step_6")
+    assert os.path.isdir("checkpoints/step_5")
+    # Preempt again: drop the clean-shutdown save to resume mid-epoch.
+    shutil.rmtree("checkpoints/step_6")
 
     # Boundary case: a cadence that lands on the epoch's final batch
     # still saves (save_every=10 would otherwise skip epochs 1-9), and

@@ -762,3 +762,41 @@ def test_fct_ring_spatial_attention_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
     )
+
+
+def test_make_hybrid_mesh_layout_and_step():
+    """DCN-aware mesh: the slow axis is OUTERMOST, each DCN group holds a
+    contiguous ICI block, and a dp-over-(replica,data) x tp-over-model
+    matmul partitioned on it matches the unsharded result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.parallel import make_hybrid_mesh
+
+    devs = jax.devices()[:8]
+    mesh = make_hybrid_mesh(("data", "model"), (2, 2), dcn_size=2, devices=devs)
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert dict(mesh.shape) == {"replica": 2, "data": 2, "model": 2}
+    # Contract: one DCN group = one contiguous device block (a slice),
+    # so per-layer collectives over data/model never cross groups.
+    got_ids = [d.id for d in mesh.devices[0].flatten()]
+    assert got_ids == [d.id for d in devs[:4]]
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    want = np.asarray(x @ w)
+    from jax.sharding import NamedSharding as NS
+
+    fn = jax.jit(
+        lambda x, w: x @ w,
+        in_shardings=(
+            NS(mesh, P(("replica", "data"), None)),
+            NS(mesh, P(None, "model")),
+        ),
+    )
+    with activate_mesh(mesh):
+        got = np.asarray(fn(x, w))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        make_hybrid_mesh(("data",), (3,), dcn_size=2, devices=devs)
