@@ -619,6 +619,60 @@ def cmd_summary(args) -> None:
     print(f"Input: {tuple(example.shape)} {example.dtype}")
 
 
+def cmd_shards(args) -> None:
+    """Sharding/memory plan for a training config BEFORE touching a chip.
+
+    Build-new production tool (the reference places everything on one
+    ``cuda:0`` — ``FCT.py:276``, ``Model.py:17``): prints the
+    PartitionSpec and per-device bytes of every param / grad /
+    optimizer-state leaf under the requested mesh, using the SAME
+    placement rules the runtime applies (``parallel/fsdp.py``,
+    ``ops/moe.py``). Entirely abstract — plans a 256-chip pod with no
+    devices attached:
+
+        tchvp shards --model hybrid --mesh data=8 --fsdp
+        tchvp shards --model hybrid --mesh data=16,expert=4 \\
+            --num-experts 8 --hbm-gb 16
+    """
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from tchvp_tpu.parallel.plan import abstract_train_state, plan_state
+    from tchvp_tpu.train.state import make_optimizer
+
+    axes: dict = {}
+    for part in filter(None, (args.mesh or "").split(",")):
+        if "=" not in part:
+            raise SystemExit(f"--mesh: expected axis=size, got {part!r}")
+        k, v = part.split("=", 1)
+        axes[k.strip()] = int(v)
+    if not axes:
+        axes = {"data": 1}
+
+    model, example, is_clip = _export_model(args, args.image_size)
+    if is_clip:
+        example = jnp.zeros(
+            (1, args.clip_len) + example.shape[2:], example.dtype
+        )
+    tx = make_optimizer(args.lr, ema_decay=args.ema_decay)
+    state = abstract_train_state(model, example, tx)
+
+    batch_shape = (args.batch_size,) + example.shape[1:]
+    batch_example = jax.ShapeDtypeStruct(batch_shape, jnp.float32)
+    ep_axis = "expert" if "expert" in axes else None
+    plan = plan_state(
+        state,
+        axes,
+        fsdp_axis="data" if args.fsdp else None,
+        ep_axis=ep_axis,
+        num_experts=getattr(args, "num_experts", 0),
+        batch_axis="data",
+        batch_example={"clip" if is_clip else "image": batch_example},
+    )
+    print(plan.table(top=args.top, hbm_gb=args.hbm_gb))
+
+
 def _find_ema_payload(node):
     """The EmaState subtree in an UNTYPED orbax payload: serialized
     namedtuples become name-keyed dicts, so EmaState appears as a
@@ -1058,6 +1112,7 @@ def main(argv=None) -> None:
         ("infer", cmd_infer),
         ("eval", cmd_eval),
         ("summary", cmd_summary),
+        ("shards", cmd_shards),
         ("export", cmd_export),
         ("serve", cmd_serve),
         ("port", cmd_port),
@@ -1170,6 +1225,23 @@ def main(argv=None) -> None:
             p.add_argument("--depth", type=int, default=None,
                            help="module nesting depth to show "
                                 "(default: all submodules)")
+        if name == "shards":
+            p.add_argument("--model", default="hybrid",
+                           choices=_EXPORT_CLIP_MODELS + _EXPORT_IMAGE_MODELS)
+            p.add_argument("--clip-len", type=int, default=8)
+            p.add_argument("--num-experts", type=int, default=0)
+            p.add_argument("--mesh", default="data=1",
+                           help="axis=size pairs, e.g. data=16,expert=4 "
+                                "— no devices needed, planning is "
+                                "abstract")
+            p.add_argument("--fsdp", action="store_true",
+                           help="plan ZeRO-3 placement over the data axis "
+                                "(parallel/fsdp.py rules)")
+            p.add_argument("--hbm-gb", type=float, default=16.0,
+                           help="per-device HBM budget for the %% line "
+                                "(v5e=16, v5p=95)")
+            p.add_argument("--top", type=int, default=12,
+                           help="largest-N leaf rows to print")
         if name == "export":
             p.add_argument("--out", default=None,
                            help="artifact path (.tchvp zip)")

@@ -14,6 +14,12 @@ from tchvp_tpu.parallel.pipeline import (
     stack_layer_params,
     transformer_layer_fn,
 )
+from tchvp_tpu.parallel.plan import (
+    LeafPlan,
+    ShardingPlan,
+    abstract_train_state,
+    plan_state,
+)
 from tchvp_tpu.parallel.mesh import (
     activate_mesh,
     ambient_mesh,
@@ -30,6 +36,10 @@ from tchvp_tpu.parallel.mesh import (
 
 __all__ = [
     "GlobalBatchLoader",
+    "LeafPlan",
+    "ShardingPlan",
+    "abstract_train_state",
+    "plan_state",
     "sharded_clippack_loader",
     "activate_mesh",
     "ambient_mesh",
