@@ -1001,12 +1001,15 @@ def cmd_serve(args) -> None:
                if args.buckets else None)
     print(f"warming buckets {list(buckets) if buckets else '(off)'} — "
           f"one compile per bucket, minutes each over a tunnel...", flush=True)
-    srv = serve_artifact(args.exported, args.host, args.port, buckets=buckets)
+    srv = serve_artifact(args.exported, args.host, args.port, buckets=buckets,
+                         data_parallel=args.data_parallel)
     host, port = srv.address
+    dp = getattr(srv.model, "n_devices", 1)
     print(f"serving {args.exported} on http://{host}:{port} "
           f"(platforms {list(srv.model.platforms)}, "
-          f"buckets {list(srv.buckets) if srv.buckets else 'off'}) — "
-          f"POST /infer, GET /health",
+          f"buckets {list(srv.buckets) if srv.buckets else 'off'}"
+          + (f", data-parallel over {dp} devices" if dp > 1 else "")
+          + ") — POST /infer, GET /health",
           flush=True)
     try:
         srv.serve_forever()

@@ -144,6 +144,90 @@ class ServingModel:
             self._on_device = True
         return self._exported.call(self._weights, batch)
 
+    def over_mesh(self, mesh=None, axis: str = "data") -> "DataParallelServingModel":
+        """Data-parallel serving over a device mesh.
+
+        Returns a wrapper whose calls split the request batch along dim 0
+        over ``mesh``'s ``axis`` and run the exported single-chip program
+        as N SPMD copies via ``shard_map`` (weights replicated once) — N
+        chips serve one request at ~1/N the latency. The reference's
+        serving story is single-``cuda:0`` by construction
+        (``FCT.py:276``); scaling out is a TPU-native addition.
+
+        ``mesh=None`` builds a 1-D mesh over all local devices.
+        """
+        return DataParallelServingModel(self, mesh=mesh, axis=axis)
+
+
+class DataParallelServingModel:
+    """N SPMD copies of one exported program; batches split along dim 0.
+
+    Soundness rests on the same invariant the server's batch-bucket
+    padding uses: every artifact maps clips independently along the
+    batch dim, so per-device shards compute exactly what the one-device
+    program would on those rows. No collectives are involved —
+    ``shard_map`` here is placement, not communication. Outputs match
+    the single-device call row for row up to compilation-level float
+    reassociation (XLA schedules the batch-B/N program differently from
+    the batch-B one; ~1e-7 — asserted in ``tests/test_server.py``).
+    """
+
+    def __init__(self, base: ServingModel, mesh=None, axis: str = "data"):
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), (axis,))
+        if axis not in mesh.axis_names:
+            raise ValueError(
+                f"axis {axis!r} not in mesh axes {mesh.axis_names}"
+            )
+        self.meta = base.meta
+        self.mesh = mesh
+        self.axis = axis
+        self.n_devices = int(mesh.shape[axis])
+        self._exported = base._exported
+        # Replicate the weights across the mesh ONCE (the single-device
+        # path pins to one device; here every device needs its copy).
+        self._weights = jax.device_put(
+            base._weights, NamedSharding(mesh, P())
+        )
+        self._batch_sharding = NamedSharding(mesh, P(axis))
+        exported = self._exported
+
+        def _dp_call(w, b):
+            from tchvp_tpu.ops import dispatch_trace
+
+            dispatch_trace.record("serving_dp_shard_map")
+            return exported.call(w, b)
+
+        self._jitted = jax.jit(jax.shard_map(
+            _dp_call, mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=P(axis),
+        ))
+
+    @property
+    def platforms(self) -> Tuple[str, ...]:
+        return tuple(self._exported.platforms)
+
+    def example_input(self, batch_size: int = 0) -> Any:
+        """Defaults to one row per mesh device (the minimum batch)."""
+        return ServingModel.example_input(
+            self, batch_size or self.n_devices
+        )
+
+    def __call__(self, batch: jnp.ndarray) -> Any:
+        b = int(batch.shape[0])
+        if b % self.n_devices:
+            raise ValueError(
+                f"data-parallel serving over {self.n_devices} devices "
+                f"needs batch % {self.n_devices} == 0, got {b} (configure "
+                f"server buckets as multiples of the mesh size)"
+            )
+        batch = jax.device_put(batch, self._batch_sharding)
+        return self._jitted(self._weights, batch)
+
 
 def load_artifact(path: str) -> ServingModel:
     with zipfile.ZipFile(path, "r") as z:

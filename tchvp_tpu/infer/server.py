@@ -257,7 +257,9 @@ class ArtifactServer:
 
 def serve_artifact(path: str, host: str = "127.0.0.1", port: int = 0,
                    warmup: bool = True,
-                   buckets: Optional[Tuple[int, ...]] = (1,)) -> ArtifactServer:
+                   buckets: Optional[Tuple[int, ...]] = (1,),
+                   data_parallel: bool = False,
+                   mesh=None) -> ArtifactServer:
     """Load a ``.tchvp`` artifact and bind (but not start) a server.
 
     ``buckets`` is the set of batch sizes the program will ever run at
@@ -267,14 +269,31 @@ def serve_artifact(path: str, host: str = "127.0.0.1", port: int = 0,
     size pays a cold compile *while holding the infer lock* — only sane
     off-tunnel. ``warmup=True`` compiles every bucket before the server
     takes traffic, so steady-state requests never compile.
+
+    ``data_parallel=True`` serves over every local device (or ``mesh``):
+    each request batch splits across the mesh's data axis and runs as N
+    SPMD copies of the program (``infer/export.py::over_mesh``), ~1/N
+    the latency of one chip. Buckets must then be multiples of the mesh
+    size; the ``(1,)`` default auto-scales to one row per device.
     """
     model = load_artifact(path)
     norm = _normalize_buckets(buckets)  # validate BEFORE any warmup work
+    if data_parallel:
+        model = model.over_mesh(mesh)
+        n = model.n_devices
+        if norm == (1,):  # the padding-only default: one row per device
+            norm = (n,)
+        bad = [b for b in (norm or ()) if b % n]
+        if bad:
+            raise ValueError(
+                f"data-parallel serving over {n} devices needs buckets "
+                f"that are multiples of {n}, got {bad}"
+            )
     if warmup:
         # Input shape/dtype come from the exported program's own batch
         # aval (`example_input`) — works for every artifact, including
         # meta-less ones and float-input (preprocess=False) exports.
-        for b in (norm or (1,)):
+        for b in (norm or (getattr(model, "n_devices", 1),)):
             model(model.example_input(b))
     return ArtifactServer(model, host, port, buckets=norm)
 

@@ -24,7 +24,7 @@ CLIP_LEN = 4
 
 
 @pytest.fixture(scope="module")
-def served(tmp_path_factory):
+def artifact_path(tmp_path_factory):
     cfg = flagship_video_config(image_size=SIZE)
     model = VideoHybridNet(config=cfg)
     vs = model.init(
@@ -38,9 +38,14 @@ def served(tmp_path_factory):
         path, exported, w,
         meta={"model": "hybrid", "image_size": SIZE, "clip_len": CLIP_LEN},
     )
+    return path
+
+
+@pytest.fixture(scope="module")
+def served(artifact_path):
     # buckets (1, 2): batch 2 pads nothing, batch 1 pads nothing,
     # batch 3+ splits into 2+pad(1->2) chunks.
-    srv = serve_artifact(path, port=0, buckets=(1, 2))  # ephemeral port
+    srv = serve_artifact(artifact_path, port=0, buckets=(1, 2))
     srv.start()
     yield srv
     srv.shutdown()
@@ -182,3 +187,63 @@ def test_server_faults_read_as_500_client_errors_as_400():
         assert e.value.code == 500
     finally:
         srv.shutdown()
+
+
+def test_data_parallel_model_matches_single_device(artifact_path):
+    """over_mesh(): matches the one-device program (up to XLA's
+    batch-shape-dependent float reassociation), shard_map marker
+    attested, and the output REALLY lives sharded over all 8 devices
+    (round-2 lesson: prove placement, not just math)."""
+    from tchvp_tpu.infer.export import load_artifact
+    from tchvp_tpu.ops import dispatch_trace
+
+    base = load_artifact(artifact_path)
+    batch = _batch(8, seed=21)
+    want = np.asarray(base(batch), np.float32)
+
+    dp = base.over_mesh()  # all 8 virtual devices
+    assert dp.n_devices == len(jax.devices())
+    with dispatch_trace.capture() as markers:
+        out = dp(batch)
+    assert "serving_dp_shard_map" in markers
+    assert len(out.sharding.device_set) == dp.n_devices
+    shard = out.addressable_shards[0].data
+    assert shard.shape[0] == batch.shape[0] // dp.n_devices
+    # The per-device program compiles at batch B/N (vs B): same math,
+    # different schedules -> float-level differences only.
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), want, atol=1e-6, rtol=1e-5
+    )
+
+    with pytest.raises(ValueError, match="batch %"):
+        dp(_batch(3))
+
+
+def test_data_parallel_server_end_to_end(artifact_path):
+    """serve_artifact(data_parallel=True): default bucket auto-scales to
+    one row per device, sub-mesh batches pad soundly over HTTP."""
+    srv = serve_artifact(artifact_path, port=0, data_parallel=True)
+    assert srv.buckets == (len(jax.devices()),)
+    srv.start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}/infer"
+        batch = _batch(3, seed=33)  # pads 3 -> 8 across the mesh
+        got = post_npy(url, batch)
+        # Only the real rows come back, identical to the padded run's.
+        assert got.shape[0] == 3
+        dp_full = np.asarray(
+            srv.model(np.concatenate(
+                [batch, np.zeros((5,) + batch.shape[1:], batch.dtype)]
+            )), np.float32,
+        )
+        np.testing.assert_allclose(got, dp_full[:3], atol=0)
+    finally:
+        srv.shutdown()
+
+
+def test_data_parallel_rejects_indivisible_buckets(artifact_path):
+    with pytest.raises(ValueError, match="multiples of"):
+        serve_artifact(
+            artifact_path, port=0, data_parallel=True, buckets=(4,),
+            warmup=False,
+        )
