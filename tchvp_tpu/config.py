@@ -182,6 +182,8 @@ def flagship_video_config(
     window_size: int = 0,
     num_experts: int = 0,
     ep_axis: Optional[str] = None,
+    seq_axis: Optional[str] = None,
+    tp_axis: Optional[str] = None,
 ) -> "VideoModelConfig":
     """The benchmark flagship: per-frame CNN encoder -> temporal transformer
     -> decoder at the BASELINE 224x224x16-frame operating point. The token
@@ -201,6 +203,8 @@ def flagship_video_config(
             window_size=window_size,
             num_experts=num_experts,
             ep_axis=ep_axis,
+            seq_axis=seq_axis,
+            tp_axis=tp_axis,
         )
     )
 

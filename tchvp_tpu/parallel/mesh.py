@@ -181,14 +181,23 @@ def batch_spec(mesh: Mesh, ndim: int, batch_axis: str = "data") -> P:
     return P(batch_axis, *([None] * (ndim - 1)))
 
 
-def shard_batch(batch: Any, mesh: Mesh, batch_axis: str = "data") -> Any:
-    """Place a (pytree of) host array(s) with dim-0 sharded over the mesh."""
+def shard_batch(batch: Any, mesh: Mesh, batch_axis: str = "data",
+                seq_axis: Optional[str] = None, seq_dim: int = 1) -> Any:
+    """Place a (pytree of) host array(s) with dim-0 sharded over the mesh.
+
+    ``seq_axis``: additionally shard ``seq_dim`` (the clip's frame dim)
+    over that mesh axis — sequence-parallel training feeds tokens
+    already split, so the attention shard_map starts from local shards
+    instead of GSPMD resharding the gathered clip."""
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
-        return jax.device_put(
-            x, NamedSharding(mesh, batch_spec(mesh, x.ndim, batch_axis))
-        )
+        spec = list(batch_spec(mesh, x.ndim, batch_axis))
+        if (seq_axis and x.ndim > seq_dim
+                and mesh.shape.get(seq_axis, 1) > 1
+                and x.shape[seq_dim] % mesh.shape[seq_axis] == 0):
+            spec[seq_dim] = seq_axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(put, batch)
 

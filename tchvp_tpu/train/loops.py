@@ -69,8 +69,33 @@ class _FlowBase:
 
     def _shard(self, batch):
         if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
+            return shard_batch(
+                batch, self.mesh, seq_axis=getattr(self, "seq_axis", None)
+            )
         return jax.tree.map(jnp.asarray, batch)
+
+    def _under_mesh(self, fn):
+        """Run ``fn`` inside ``activate_mesh(self.mesh)``.
+
+        The sp/tp/ep dispatch gates read the AMBIENT mesh
+        (``parallel/mesh.py::mesh_with_axis``) at trace time; a flow
+        that calls its jitted step outside any mesh scope silently
+        degrades those paths to the GSPMD fallback (round-2 verdict).
+        Wrapping the step keeps every flow's training loop
+        placement-agnostic while making multi-axis meshes engage.
+        Entering the scope is a few µs — after the first trace the call
+        is a jit-cache hit and the scope only matters for re-traces.
+        """
+        if self.mesh is None:
+            return fn
+
+        from tchvp_tpu.parallel import activate_mesh
+
+        def wrapped(*a, **k):
+            with activate_mesh(self.mesh):
+                return fn(*a, **k)
+
+        return wrapped
 
     def _prefetched(self, data):
         """Wrap ``data`` in device-side lookahead when the config asks
@@ -119,12 +144,14 @@ class DenoisingFlow(_FlowBase):
         self.image_size = image_size
         self.aug = aug
         self.state: Optional[TrainState] = None
-        self._train_step = steps_lib.make_denoising_train_step(
+        self._train_step = self._under_mesh(steps_lib.make_denoising_train_step(
             image_size, aug, cfg.loss, cfg.mixed_alpha, cfg.mixed_beta,
             data_range=cfg.mixed_data_range,
-        )
-        self._eval_step = steps_lib.make_denoising_eval_step(image_size)
-        self._test_step = steps_lib.make_inpainting_test_step(image_size, aug)
+        ))
+        self._eval_step = self._under_mesh(
+            steps_lib.make_denoising_eval_step(image_size))
+        self._test_step = self._under_mesh(
+            steps_lib.make_inpainting_test_step(image_size, aug))
 
     def init_state(self, lr: Optional[float] = None) -> TrainState:
         cfg = self.cfg
@@ -259,8 +286,10 @@ class SegmentationFlow(_FlowBase):
         # contract, restored by :meth:`restore`.
         self.loss_history: list = []
         self.start_epoch: int = 0  # set by restore(); train() continues here
-        self._train_step = steps_lib.make_segmentation_train_step(image_size, cfg.loss)
-        self._eval_step = steps_lib.make_segmentation_eval_step(image_size, cfg.loss)
+        self._train_step = self._under_mesh(
+            steps_lib.make_segmentation_train_step(image_size, cfg.loss))
+        self._eval_step = self._under_mesh(
+            steps_lib.make_segmentation_eval_step(image_size, cfg.loss))
 
     def init_state(self, lr: Optional[float] = None) -> TrainState:
         cfg = self.cfg
@@ -413,9 +442,10 @@ class TransferFlow(_FlowBase):
         self.model = Autoencoder32K(config=ResNetAEConfig(output_type="mask"))
         self.state: Optional[TrainState] = None
         # Autoencoder32K returns (latent, mask): select output 1 for the loss.
-        self._train_step = steps_lib.make_segmentation_train_step(
-            image_size, cfg.loss, output_index=1
-        )
+        self._train_step = self._under_mesh(
+            steps_lib.make_segmentation_train_step(
+                image_size, cfg.loss, output_index=1
+            ))
 
     def init_from_pretrained(
         self, pretrained_params_path: Optional[str] = None, lr: float = 1e-3
@@ -551,6 +581,7 @@ class VideoFlow(_FlowBase):
         accum_steps: int = 1,
         qat: bool = False,
         qat_dense: bool = False,
+        seq_axis: Optional[str] = None,
     ):
         super().__init__(cfg, mesh)
         self.model = model
@@ -558,7 +589,12 @@ class VideoFlow(_FlowBase):
         self.clip_example: Optional[Tuple[int, int]] = None
         self.state: Optional[TrainState] = None
         self.fsdp_axis = fsdp_axis
-        self._train_step = steps_lib.make_video_train_step(
+        # Sequence-parallel training: feed clips with the frame dim
+        # already sharded over this mesh axis (must match the model
+        # config's TransformerConfig.seq_axis); steps run under
+        # activate_mesh so the shard_map attention cores engage.
+        self.seq_axis = seq_axis
+        self._train_step = self._under_mesh(steps_lib.make_video_train_step(
             image_size, cfg.loss, loss_alpha, loss_beta, remat=remat,
             remat_policy=remat_policy,
             data_range=cfg.mixed_data_range,
@@ -566,10 +602,10 @@ class VideoFlow(_FlowBase):
             fsdp_axis=fsdp_axis, fsdp_mesh=mesh,
             accum_steps=accum_steps,
             qat=qat, qat_dense=qat_dense,
-        )
-        self._eval_step = steps_lib.make_video_eval_step(
+        ))
+        self._eval_step = self._under_mesh(steps_lib.make_video_eval_step(
             image_size, qat=qat, qat_dense=qat_dense
-        )
+        ))
 
     def init_state(self, clip_len: int, lr: Optional[float] = None) -> TrainState:
         cfg = self.cfg
