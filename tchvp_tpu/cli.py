@@ -203,10 +203,11 @@ def _video_model(args):
             )
             return latent, layout.unfold_time(recon, b)
 
+    tp_axis = getattr(args, "tp_axis", None)
     if args.model == "ae32k":
-        return FrameAE(ae=Autoencoder32K(config=ResNetAEConfig()))
+        return FrameAE(ae=Autoencoder32K(config=ResNetAEConfig(tp_axis=tp_axis)))
     if args.model == "ae4k":
-        return FrameAE(ae=Autoencoder4K())
+        return FrameAE(ae=Autoencoder4K(tp_axis=tp_axis))
     raise SystemExit(f"unknown --model {args.model!r}")
 
 
@@ -265,8 +266,8 @@ def cmd_video(args) -> None:
         )
     if args.ep_axis and not args.num_experts:
         raise SystemExit("--mesh expert=N needs --num-experts")
-    if args.tp_axis and args.model != "hybrid":
-        raise SystemExit("--mesh model=N applies to --model hybrid only")
+    # "model" axis: tensor parallelism — transformer heads/FFN hidden for
+    # the hybrid, conv channel sharding for every CNN (parallel/tp.py).
     model = _video_model(args)
     if args.fsdp and mesh is None:
         raise SystemExit("--fsdp requires --data-parallel or --mesh (a mesh "
@@ -1183,8 +1184,8 @@ def main(argv=None) -> None:
                                 "expert=2. Axis names route parallelism: "
                                 "data (batch / --fsdp), seq (sequence-"
                                 "parallel attention), model (tensor-"
-                                "parallel heads/FFN), expert (MoE). "
-                                "Supersedes --data-parallel")
+                                "parallel heads/FFN + conv channels), "
+                                "expert (MoE). Supersedes --data-parallel")
             p.add_argument("--attn-impl", default="xla",
                            choices=("xla", "flash", "windowed", "auto",
                                     "ring"),

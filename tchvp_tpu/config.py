@@ -123,6 +123,12 @@ class ResNetAEConfig:
     dropout_rate: float = 0.3
     token_latent: bool = False
     vae: bool = False
+    # Mesh axis for tensor-parallel channel sharding: NHWC channel dims
+    # constrained onto this axis after every conv stage (stem, bottleneck
+    # blocks, squeeze chain, decoder chains), so GSPMD partitions the conv
+    # compute over output channels (parallel/tp.py::conv_tp_constrain).
+    # Narrow dims (RGB/mask heads) auto-skip. None = off.
+    tp_axis: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,6 +200,9 @@ def flagship_video_config(
     if d % num_heads:
         raise ValueError(f"latent dim {d} not divisible by {num_heads} heads")
     return VideoModelConfig(
+        # tp_axis reaches the CNN too: conv channel dims shard over the
+        # same "model" axis as the transformer's heads/FFN hidden.
+        encoder=ResNetAEConfig(token_latent=True, tp_axis=tp_axis),
         temporal=TransformerConfig(
             input_dim=d,
             hidden_dim=hidden_dim,

@@ -34,47 +34,25 @@ import math
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
 
 from tchvp_tpu.config import TransformerConfig
-from tchvp_tpu.ops import dispatch_trace
 from tchvp_tpu.ops.attention import multi_head_attention
 from tchvp_tpu.ops.moe import MoEFFN
-from tchvp_tpu.parallel.mesh import ambient_mesh
+from tchvp_tpu.parallel.tp import tp_constrain
 
 # LayerNorm epsilon shared with the functional per-layer rebuild in
 # parallel/pipeline.py::transformer_layer_fn — one source of truth.
 LN_EPS = 1e-5
 
 
-def _tp_constrain(x: jnp.ndarray, tp_axis: Optional[str]) -> jnp.ndarray:
-    """Shard the trailing (feature) dim over ``tp_axis`` when set.
-
-    Tensor parallelism at the activation level: q/k/v feature dims split on
-    head boundaries (the contiguous-chunk head reshape keeps whole heads
-    per shard) and the FFN hidden dim splits column-wise; GSPMD partitions
-    the adjacent matmuls and inserts the reduce for the second FFN matmul.
-    Gated on :func:`tchvp_tpu.parallel.mesh.ambient_mesh`, so BOTH mesh
-    APIs (`with mesh:` and `set_mesh`) engage it — round 2 read only the
-    abstract mesh and the constraint never applied (VERDICT round 2).
-    No-mesh (e.g. eager init) stays a no-op.
-    """
-    if tp_axis is None:
-        return x
-    mesh = ambient_mesh()
-    if mesh is None or tp_axis not in mesh.axis_names or mesh.shape[tp_axis] == 1:
-        return x
-    dispatch_trace.record("tp_constrain")
-    spec = P(*([None] * (x.ndim - 1) + [tp_axis]))
-    if isinstance(mesh, jax.sharding.Mesh):
-        # Legacy `with mesh:` scope: bare specs aren't accepted, bind the
-        # concrete mesh explicitly.
-        return jax.lax.with_sharding_constraint(
-            x, jax.sharding.NamedSharding(mesh, spec)
-        )
-    return jax.lax.with_sharding_constraint(x, spec)
+# Tensor parallelism at the activation level: q/k/v feature dims split on
+# head boundaries (the contiguous-chunk head reshape keeps whole heads per
+# shard) and the FFN hidden dim splits column-wise; GSPMD partitions the
+# adjacent matmuls and inserts the reduce for the second FFN matmul. The
+# shared primitive (also used channel-wise by the CNN encoder/decoder)
+# lives in parallel/tp.py.
+_tp_constrain = tp_constrain
 
 
 class TokenMultiheadAttention(nn.Module):

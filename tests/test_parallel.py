@@ -134,6 +134,74 @@ def test_tensor_parallel_matches_unsharded(mesh_api):
     )
 
 
+@pytest.mark.parametrize("mesh_api", ["with_mesh", "set_mesh"])
+def test_conv_tensor_parallel_matches_unsharded(mesh_api):
+    """tp_axis reaches the CNN: channel dims constrained onto the "model"
+    axis after every conv stage (parallel/tp.py::conv_tp_constrain), so
+    GSPMD partitions the conv compute. Marker-attested (a silent fallback
+    fails), collective-attested (partitioned conv chains need comms), and
+    the latent must come back PHYSICALLY channel-sharded — plus exact
+    numeric parity with the unsharded model."""
+    from tchvp_tpu.config import ResNetAEConfig
+    from tchvp_tpu.models.resnet_ae import Autoencoder32K, Encoder32K
+
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 32, 32, 3)).astype(np.float32)
+    )
+    base = Autoencoder32K(config=ResNetAEConfig(token_latent=False))
+    variables = base.init(jax.random.PRNGKey(0), x)
+    want_latent, want_recon = base.apply(variables, x)
+
+    tp_cfg = ResNetAEConfig(token_latent=False, tp_axis="model")
+    tp = Autoencoder32K(config=tp_cfg)
+    mesh = make_mesh(("data", "model"), (4, 2))
+    ctx = mesh if mesh_api == "with_mesh" else jax.sharding.set_mesh(mesh)
+    with ctx:
+        with dispatch_trace.capture() as seen:
+            fn = jax.jit(lambda v, x: tp.apply(v, x))
+            latent, recon = fn(variables, x)
+            hlo = fn.lower(variables, x).compile().as_text()
+        # The encoder's output constraint is the last op before return:
+        # the latent must be PHYSICALLY sharded over "model" on channels.
+        enc = Encoder32K(config=tp_cfg)
+        enc_vars = {"params": variables["params"]["encoder"],
+                    "batch_stats": variables["batch_stats"]["encoder"]}
+        enc_out = jax.jit(lambda v, x: enc.apply(v, x))(enc_vars, x)
+        jax.block_until_ready(enc_out)
+    assert "tp_constrain_conv" in seen, (
+        f"conv tp constraint not applied ({mesh_api}); traced: {sorted(seen)}"
+    )
+    assert any(c in hlo for c in ("all-reduce", "all-gather", "reduce-scatter")), (
+        "channel-partitioned conv chain produced no collectives"
+    )
+    assert enc_out.sharding.spec[-1] == "model", (
+        f"latent not channel-sharded: {enc_out.sharding.spec}"
+    )
+    np.testing.assert_allclose(
+        np.asarray(latent), np.asarray(want_latent), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(recon), np.asarray(want_recon), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_conv_tp_skips_indivisible_channels():
+    """The divisibility gate: narrow dims (RGB/mask heads, or a latent
+    narrower than the axis) stay replicated instead of forcing GSPMD's
+    padded partitioning — and the constraint is a no-op without a mesh."""
+    from tchvp_tpu.parallel.tp import conv_tp_constrain
+
+    x = jnp.ones((2, 8, 8, 3))
+    assert conv_tp_constrain(x, "model") is x  # no ambient mesh
+
+    mesh = make_mesh(("data", "model"), (1, 8))
+    with activate_mesh(mesh):
+        with dispatch_trace.capture() as seen:
+            y = jax.jit(lambda x: conv_tp_constrain(x, "model"))(x)
+        assert "tp_constrain_conv" not in seen  # 3 % 8 != 0 -> skip
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
 @pytest.mark.parametrize("mesh_api", ["with_mesh", "set_mesh", "activate"])
 def test_seq_parallel_windowed_attention_matches_unsharded(mesh_api):
     """TRUE sequence parallelism (survey §5.7 decision): the banded
