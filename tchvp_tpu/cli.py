@@ -22,6 +22,12 @@ import os
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default=None,
+                   help="YAML experiment config: a mapping of flag names "
+                        "(dashes or underscores) to values, applied as "
+                        "defaults for this subcommand — explicit CLI flags "
+                        "still win. The resolved run is recorded to "
+                        "<checkpoint-dir>/run.json for training commands")
     p.add_argument("--train-csv", default=None)
     p.add_argument("--val-csv", default=None)
     p.add_argument("--test-csv", default=None)
@@ -77,6 +83,65 @@ def _train_cfg_kwargs(args):
         keep_checkpoints=args.keep_checkpoints,
         device_prefetch=args.device_prefetch,
     )
+
+
+def _config_defaults(path: str, p: argparse.ArgumentParser) -> dict:
+    """Load a YAML experiment config as argparse defaults for subparser ``p``.
+
+    Keys are flag names (dashes or underscores interchangeably); values get
+    the flag's ``type`` coercion and ``choices`` validation, so a config
+    error reads like the equivalent CLI error instead of failing deep in a
+    flow. Unknown keys list the valid ones.
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    if not isinstance(raw, dict):
+        raise SystemExit(f"--config {path}: expected a mapping of flag: value")
+    valid = {
+        a.dest: a for a in p._actions
+        if a.dest not in ("help", "fn", "config")
+    }
+    out = {}
+    for key, val in raw.items():
+        dest = str(key).replace("-", "_")
+        if dest not in valid:
+            raise SystemExit(
+                f"--config {path}: unknown key {key!r} "
+                f"(valid: {', '.join(sorted(valid))})"
+            )
+        act = valid[dest]
+        if isinstance(act, (argparse._StoreTrueAction, argparse._StoreFalseAction)):
+            if not isinstance(val, bool):
+                raise SystemExit(
+                    f"--config {path}: {key} expects true/false, got {val!r}"
+                )
+        elif act.type is not None and val is not None:
+            try:
+                val = act.type(val)
+            except (TypeError, ValueError):
+                raise SystemExit(
+                    f"--config {path}: {key}={val!r} is not a valid "
+                    f"{getattr(act.type, '__name__', act.type)}"
+                )
+        if act.choices is not None and val not in act.choices:
+            raise SystemExit(
+                f"--config {path}: {key}={val!r} not in "
+                f"{tuple(act.choices)}"
+            )
+        out[dest] = val
+    return out
+
+
+def _record_run(args) -> None:
+    """Write <checkpoint-dir>/run.json before training starts: resolved
+    flags (post --config merge), devices, versions, git revision — the
+    reproducibility record the reference's hardcoded scripts lack
+    (utils/runrecord.py)."""
+    from tchvp_tpu.utils.runrecord import write_run_record
+
+    write_run_record(args.checkpoint_dir, args, extra={"command": args.cmd})
 
 
 def _parse_mesh_axes(spec: str) -> dict:
@@ -144,6 +209,7 @@ def cmd_denoise(args) -> None:
     )
     train, val, test = _image_data(args, supervised=False)
     flow = DenoisingFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
+    _record_run(args)
     flow.fit(train, val or train, test, epochs=args.epochs, lr=args.lr)
 
 
@@ -160,6 +226,7 @@ def cmd_segment(args) -> None:
     )
     train, _, test = _image_data(args, supervised=True)
     flow = SegmentationFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
+    _record_run(args)
     flow.train(train, test, epochs=args.epochs, lr=args.lr)
 
 
@@ -281,6 +348,7 @@ def cmd_video(args) -> None:
         seq_axis=args.seq_axis,
     )
     start = flow.resume(args.clip_len, data=data) if args.resume else 0
+    _record_run(args)
     flow.train(
         data,
         epochs=args.epochs,
@@ -304,6 +372,7 @@ def cmd_transfer(args) -> None:
     train, _, _ = _image_data(args, supervised=True)
     flow = TransferFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
     flow.init_from_pretrained(args.pretrained, lr=args.lr)
+    _record_run(args)
     flow.train(train, epochs=args.epochs)
 
 
@@ -1147,6 +1216,7 @@ def cmd_tune(args) -> None:
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser("tchvp_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
+    subparsers = {}
 
     for name, fn in (
         ("denoise", cmd_denoise),
@@ -1164,6 +1234,7 @@ def main(argv=None) -> None:
         ("port", cmd_port),
     ):
         p = sub.add_parser(name)
+        subparsers[name] = p
         _add_common(p)
         p.set_defaults(fn=fn)
         if name == "video":
@@ -1390,7 +1461,24 @@ def main(argv=None) -> None:
                    help="tune forward-only or forward+backward")
     p.add_argument("--iters", type=int, default=20)
 
-    args = parser.parse_args(argv)
+    import sys as _sys
+
+    raw_argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    # --config FILE: apply the YAML's values as this subcommand's defaults
+    # BEFORE parsing, so explicit CLI flags still win (argparse precedence:
+    # given flags > set_defaults > add_argument defaults).
+    cfg_path = None
+    for i, tok in enumerate(raw_argv):
+        if tok == "--config" and i + 1 < len(raw_argv):
+            cfg_path = raw_argv[i + 1]
+        elif tok.startswith("--config="):
+            cfg_path = tok.split("=", 1)[1]
+    if cfg_path is not None:
+        cmd = next((t for t in raw_argv if not t.startswith("-")), None)
+        if cmd in subparsers:
+            subparsers[cmd].set_defaults(**_config_defaults(cfg_path, subparsers[cmd]))
+
+    args = parser.parse_args(raw_argv)
     # Persistent XLA compile cache: FCT-256 is ~286 s cold / ~25 s warm
     # per process over the tunnel — warm every process after the first.
     if getattr(args, "int8_dense", False) and not getattr(args, "int8", False):
