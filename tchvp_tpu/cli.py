@@ -251,6 +251,7 @@ def _video_model(args):
             ep_axis=getattr(args, "ep_axis", None),
             seq_axis=getattr(args, "seq_axis", None),
             tp_axis=getattr(args, "tp_axis", None),
+            sp_axis=getattr(args, "sp_axis", None),
         ))
     if getattr(args, "num_experts", 0):
         raise SystemExit("--num-experts applies to --model hybrid only "
@@ -271,10 +272,12 @@ def _video_model(args):
             return latent, layout.unfold_time(recon, b)
 
     tp_axis = getattr(args, "tp_axis", None)
+    sp_axis = getattr(args, "sp_axis", None)
     if args.model == "ae32k":
-        return FrameAE(ae=Autoencoder32K(config=ResNetAEConfig(tp_axis=tp_axis)))
+        return FrameAE(ae=Autoencoder32K(
+            config=ResNetAEConfig(tp_axis=tp_axis, sp_axis=sp_axis)))
     if args.model == "ae4k":
-        return FrameAE(ae=Autoencoder4K(tp_axis=tp_axis))
+        return FrameAE(ae=Autoencoder4K(tp_axis=tp_axis, sp_axis=sp_axis))
     raise SystemExit(f"unknown --model {args.model!r}")
 
 
@@ -318,7 +321,9 @@ def cmd_video(args) -> None:
     mesh = _mesh(args)
     # Multi-axis meshes route model-side parallelism by axis NAME:
     # "seq" -> sequence parallelism (TransformerConfig.seq_axis),
-    # "model" -> tensor parallelism, "expert" -> expert parallelism.
+    # "model" -> tensor parallelism, "expert" -> expert parallelism,
+    # "spatial" -> spatial partitioning of the conv stacks (frame rows
+    # shard; GSPMD halo exchanges — the over-one-chip-resolution path).
     # The flow activates the mesh around its jitted steps so the
     # shard_map cores engage (round-2 verdict: steps traced outside a
     # mesh scope silently degrade to the GSPMD fallback).
@@ -326,6 +331,7 @@ def cmd_video(args) -> None:
     args.seq_axis = "seq" if mesh_axes.get("seq", 1) > 1 else None
     args.tp_axis = "model" if mesh_axes.get("model", 1) > 1 else None
     args.ep_axis = "expert" if mesh_axes.get("expert", 1) > 1 else None
+    args.sp_axis = "spatial" if mesh_axes.get("spatial", 1) > 1 else None
     if args.seq_axis and not args.window and args.attn_impl != "ring":
         raise SystemExit(
             "--mesh seq=N needs --window W (windowed/flash sequence "
@@ -346,6 +352,7 @@ def cmd_video(args) -> None:
         remat_policy=args.remat_policy,
         qat=args.qat, qat_dense=args.qat_dense,
         seq_axis=args.seq_axis,
+        sp_axis=args.sp_axis,
     )
     start = flow.resume(args.clip_len, data=data) if args.resume else 0
     _record_run(args)
@@ -1256,7 +1263,11 @@ def main(argv=None) -> None:
                                 "data (batch / --fsdp), seq (sequence-"
                                 "parallel attention), model (tensor-"
                                 "parallel heads/FFN + conv channels), "
-                                "expert (MoE). Supersedes --data-parallel")
+                                "expert (MoE), spatial (conv stacks "
+                                "partitioned over frame rows — GSPMD "
+                                "halo exchanges, for resolutions one "
+                                "chip can't hold). Supersedes "
+                                "--data-parallel")
             p.add_argument("--attn-impl", default="xla",
                            choices=("xla", "flash", "windowed", "auto",
                                     "ring"),

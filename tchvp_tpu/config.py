@@ -126,9 +126,15 @@ class ResNetAEConfig:
     # Mesh axis for tensor-parallel channel sharding: NHWC channel dims
     # constrained onto this axis after every conv stage (stem, bottleneck
     # blocks, squeeze chain, decoder chains), so GSPMD partitions the conv
-    # compute over output channels (parallel/tp.py::conv_tp_constrain).
+    # compute over output channels (parallel/tp.py::conv_constrain).
     # Narrow dims (RGB/mask heads) auto-skip. None = off.
     tp_axis: Optional[str] = None
+    # Mesh axis for SPATIAL partitioning: image rows (NHWC dim 1) shard
+    # over this axis through the whole conv stack — GSPMD inserts halo
+    # exchanges (collective-permute of boundary rows per conv, no
+    # gathers), the scale-out for resolutions one chip can't hold.
+    # Indivisible heights auto-skip. None = off.
+    sp_axis: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,6 +196,7 @@ def flagship_video_config(
     ep_axis: Optional[str] = None,
     seq_axis: Optional[str] = None,
     tp_axis: Optional[str] = None,
+    sp_axis: Optional[str] = None,
 ) -> "VideoModelConfig":
     """The benchmark flagship: per-frame CNN encoder -> temporal transformer
     -> decoder at the BASELINE 224x224x16-frame operating point. The token
@@ -201,8 +208,11 @@ def flagship_video_config(
         raise ValueError(f"latent dim {d} not divisible by {num_heads} heads")
     return VideoModelConfig(
         # tp_axis reaches the CNN too: conv channel dims shard over the
-        # same "model" axis as the transformer's heads/FFN hidden.
-        encoder=ResNetAEConfig(token_latent=True, tp_axis=tp_axis),
+        # same "model" axis as the transformer's heads/FFN hidden;
+        # sp_axis spatially partitions the per-frame convs (frame rows).
+        encoder=ResNetAEConfig(
+            token_latent=True, tp_axis=tp_axis, sp_axis=sp_axis
+        ),
         temporal=TransformerConfig(
             input_dim=d,
             hidden_dim=hidden_dim,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from tchvp_tpu.config import ResNetAEConfig
 from tchvp_tpu.ops.blocks import BatchNorm, Bottleneck
-from tchvp_tpu.parallel.tp import conv_tp_constrain
+from tchvp_tpu.parallel.tp import conv_constrain
 
 
 class Encoder32K(nn.Module):
@@ -74,7 +74,7 @@ class Encoder32K(nn.Module):
         # every conv stage — GSPMD partitions each conv's output-channel
         # compute and keeps activations split between stages
         # (parallel/tp.py; no-op without a mesh carrying the axis).
-        h = conv_tp_constrain(h, cfg.tp_axis)
+        h = conv_constrain(h, cfg.tp_axis, cfg.sp_axis)
 
         # Bottleneck stages: planes 64 (stride 1), 128 (stride 2)
         # — ResNet-50-style _make_layer (AE_32K L68-69, L92).
@@ -92,7 +92,7 @@ class Encoder32K(nn.Module):
                     dtype=dt,
                     param_dtype=pdt,
                 )(h, train=train)
-                h = conv_tp_constrain(h, cfg.tp_axis)
+                h = conv_constrain(h, cfg.tp_axis, cfg.sp_axis)
             planes *= 2
 
         # Squeeze chain to the latent channel count (AE_32K L71-81). Every
@@ -110,7 +110,7 @@ class Encoder32K(nn.Module):
                 param_dtype=pdt,
             )(h)
             h = nn.relu(bn(f"squeeze{i}_bn")(h))
-            h = conv_tp_constrain(h, cfg.tp_axis)
+            h = conv_constrain(h, cfg.tp_axis, cfg.sp_axis)
 
         # Channel-wise dropout == torch Dropout2d (AE_32K L84).
         h = nn.Dropout(cfg.dropout_rate, broadcast_dims=(1, 2))(
@@ -137,6 +137,9 @@ class Decoder32K(nn.Module):
     # Tensor-parallel channel sharding (parallel/tp.py); the 1/3-channel
     # head auto-skips via the divisibility gate.
     tp_axis: Optional[str] = None
+    # Spatial partitioning: image rows shard over this axis (halo
+    # exchanges per conv) — the over-one-chip-resolution scale-out.
+    sp_axis: Optional[str] = None
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -184,10 +187,10 @@ class Decoder32K(nn.Module):
         ura = not train
         for conv, bn in zip(self.convs, self.conv_bns):
             x = nn.relu(bn(conv(x), use_running_average=ura))
-            x = conv_tp_constrain(x, self.tp_axis)
+            x = conv_constrain(x, self.tp_axis, self.sp_axis)
         x = self.upconvs[0](x)
         x = nn.relu(self.up_bns[0](x, use_running_average=ura))
-        return conv_tp_constrain(x, self.tp_axis)
+        return conv_constrain(x, self.tp_axis, self.sp_axis)
 
     def tail(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Second ConvTranspose 384->192 (L142-143), conv 192->64->8
@@ -196,10 +199,10 @@ class Decoder32K(nn.Module):
         ura = not train
         x = self.upconvs[1](x)
         x = nn.relu(self.up_bns[1](x, use_running_average=ura))
-        x = conv_tp_constrain(x, self.tp_axis)
+        x = conv_constrain(x, self.tp_axis, self.sp_axis)
         for conv, bn in zip(self.post_convs, self.post_bns):
             x = nn.relu(bn(conv(x), use_running_average=ura))
-            x = conv_tp_constrain(x, self.tp_axis)
+            x = conv_constrain(x, self.tp_axis, self.sp_axis)
         x = self.head_bn(self.head_conv(x), use_running_average=ura)
         if self.output_type == "mask":
             return nn.sigmoid(x)  # mask head (L155-158)
@@ -244,6 +247,7 @@ class Autoencoder32K(nn.Module):
         self.decoder = Decoder32K(
             output_type=self.config.output_type,
             tp_axis=self.config.tp_axis,
+            sp_axis=self.config.sp_axis,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -282,6 +286,7 @@ class Autoencoder4K(nn.Module):
 
     output_type: str = "image"
     tp_axis: Optional[str] = None
+    sp_axis: Optional[str] = None
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -296,6 +301,7 @@ class Autoencoder4K(nn.Module):
             dropout_rate=0.1,  # AE_64_4k Dropout2d 0.1
             output_type=self.output_type,
             tp_axis=self.tp_axis,
+            sp_axis=self.sp_axis,
         )
         self.encoder = Encoder32K(
             config=cfg,
@@ -307,6 +313,7 @@ class Autoencoder4K(nn.Module):
             output_type=self.output_type,
             conv_features=(32, 64, 128, 256),
             tp_axis=self.tp_axis,
+            sp_axis=self.sp_axis,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -70,6 +70,7 @@ class VideoHybridNet(nn.Module):
         self.decoder = Decoder32K(
             output_type=self.config.output_type,
             tp_axis=enc_cfg.tp_axis,
+            sp_axis=enc_cfg.sp_axis,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -182,21 +182,28 @@ def batch_spec(mesh: Mesh, ndim: int, batch_axis: str = "data") -> P:
 
 
 def shard_batch(batch: Any, mesh: Mesh, batch_axis: str = "data",
-                seq_axis: Optional[str] = None, seq_dim: int = 1) -> Any:
+                seq_axis: Optional[str] = None, seq_dim: int = 1,
+                sp_axis: Optional[str] = None, sp_dim: int = 2) -> Any:
     """Place a (pytree of) host array(s) with dim-0 sharded over the mesh.
 
     ``seq_axis``: additionally shard ``seq_dim`` (the clip's frame dim)
     over that mesh axis — sequence-parallel training feeds tokens
     already split, so the attention shard_map starts from local shards
-    instead of GSPMD resharding the gathered clip."""
+    instead of GSPMD resharding the gathered clip.
+
+    ``sp_axis``: additionally shard ``sp_dim`` (the clip's frame-ROW dim)
+    over that mesh axis — spatially-partitioned conv stacks
+    (``parallel/tp.py::conv_constrain``) then start from local row
+    shards instead of GSPMD resharding on entry."""
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
         spec = list(batch_spec(mesh, x.ndim, batch_axis))
-        if (seq_axis and x.ndim > seq_dim
-                and mesh.shape.get(seq_axis, 1) > 1
-                and x.shape[seq_dim] % mesh.shape[seq_axis] == 0):
-            spec[seq_dim] = seq_axis
+        for axis, dim in ((seq_axis, seq_dim), (sp_axis, sp_dim)):
+            if (axis and x.ndim > dim
+                    and mesh.shape.get(axis, 1) > 1
+                    and x.shape[dim] % mesh.shape[axis] == 0):
+                spec[dim] = axis
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(put, batch)

@@ -70,7 +70,8 @@ class _FlowBase:
     def _shard(self, batch):
         if self.mesh is not None:
             return shard_batch(
-                batch, self.mesh, seq_axis=getattr(self, "seq_axis", None)
+                batch, self.mesh, seq_axis=getattr(self, "seq_axis", None),
+                sp_axis=getattr(self, "sp_axis", None),
             )
         return jax.tree.map(jnp.asarray, batch)
 
@@ -582,6 +583,7 @@ class VideoFlow(_FlowBase):
         qat: bool = False,
         qat_dense: bool = False,
         seq_axis: Optional[str] = None,
+        sp_axis: Optional[str] = None,
     ):
         super().__init__(cfg, mesh)
         self.model = model
@@ -594,6 +596,10 @@ class VideoFlow(_FlowBase):
         # config's TransformerConfig.seq_axis); steps run under
         # activate_mesh so the shard_map attention cores engage.
         self.seq_axis = seq_axis
+        # Spatial partitioning: pre-shard the clip's frame-row dim so the
+        # conv_constrain'd stacks start from local rows (must match the
+        # model config's ResNetAEConfig.sp_axis).
+        self.sp_axis = sp_axis
         self._train_step = self._under_mesh(steps_lib.make_video_train_step(
             image_size, cfg.loss, loss_alpha, loss_beta, remat=remat,
             remat_policy=remat_policy,

@@ -137,6 +137,37 @@ def test_videoflow_expert_parallel_engages(tmp_path):
     assert np.isfinite(loss)
 
 
+def test_videoflow_spatial_partition_engages(tmp_path):
+    """VideoFlow on a data x spatial mesh: the conv stacks' row sharding
+    applies (marker), the flow pre-shards the clip's frame-ROW dim, and
+    one optimizer step matches the unsharded flow on the same batch."""
+    mesh = make_mesh(("data", "spatial"), (2, 4))
+    cfg = VideoModelConfig(
+        encoder=ResNetAEConfig(token_latent=True, sp_axis="spatial"),
+        temporal=TransformerConfig(
+            input_dim=(IMAGE // 4) ** 2,
+            hidden_dim=32,
+            num_layers=1,
+            num_heads=4,
+            dropout_rate=0.0,
+        ),
+    )
+    flow = _flow(
+        VideoHybridNet(config=cfg), mesh, tmp_path, "spt", sp_axis="spatial"
+    )
+    with dispatch_trace.capture() as seen:
+        loss = _one_step(flow)
+    assert "sp_constrain_conv" in seen, seen
+    assert np.isfinite(loss)
+    clip = flow._shard(_clip_batch())
+    assert clip.sharding.spec[0] == "data"
+    assert clip.sharding.spec[2] == "spatial"  # frame rows pre-sharded
+
+    ref = _flow(_model(), None, tmp_path, "spt_ref")
+    l_ref = _one_step(ref)
+    assert np.isclose(loss, l_ref, rtol=1e-4, atol=1e-5), (loss, l_ref)
+
+
 def test_cli_mesh_parsing():
     """--mesh axis=size parsing + device-count validation."""
     from tchvp_tpu.cli import _parse_mesh_axes

@@ -185,6 +185,137 @@ def test_conv_tensor_parallel_matches_unsharded(mesh_api):
     )
 
 
+@pytest.mark.parametrize("mesh_api", ["with_mesh", "set_mesh"])
+def test_spatial_partition_matches_unsharded(mesh_api):
+    """Spatial partitioning ("spatial" mesh axis): image rows shard over
+    the axis through the whole conv stack — GSPMD must halo-exchange
+    (collective-permute), never gather the image, and the math is exact.
+    The scale-out for resolutions one chip can't hold (the reference is
+    single-device everywhere, FCT.py:276)."""
+    from tchvp_tpu.config import ResNetAEConfig
+    from tchvp_tpu.models.resnet_ae import Autoencoder32K, Encoder32K
+
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    base = Autoencoder32K(config=ResNetAEConfig(token_latent=False))
+    variables = base.init(jax.random.PRNGKey(0), x)
+    want_latent, want_recon = base.apply(variables, x)
+
+    sp_cfg = ResNetAEConfig(token_latent=False, sp_axis="spatial")
+    sp = Autoencoder32K(config=sp_cfg)
+    mesh = make_mesh(("data", "spatial"), (2, 4))
+    ctx = mesh if mesh_api == "with_mesh" else jax.sharding.set_mesh(mesh)
+    with ctx:
+        with dispatch_trace.capture() as seen:
+            fn = jax.jit(lambda v, x: sp.apply(v, x))
+            latent, recon = fn(variables, x)
+            hlo = fn.lower(variables, x).compile().as_text()
+        enc = Encoder32K(config=sp_cfg)
+        enc_vars = {"params": variables["params"]["encoder"],
+                    "batch_stats": variables["batch_stats"]["encoder"]}
+        enc_out = jax.jit(lambda v, x: enc.apply(v, x))(enc_vars, x)
+        jax.block_until_ready(enc_out)
+    assert "sp_constrain_conv" in seen, (
+        f"spatial constraint not applied ({mesh_api}); traced: {sorted(seen)}"
+    )
+    assert "collective-permute" in hlo, "spatial conv chain needs halo exchange"
+    assert "all-gather" not in hlo, "spatial partitioning must not gather rows"
+    assert enc_out.sharding.spec[1] == "spatial", (
+        f"latent rows not spatially sharded: {enc_out.sharding.spec}"
+    )
+    np.testing.assert_allclose(
+        np.asarray(latent), np.asarray(want_latent), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(recon), np.asarray(want_recon), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_spatial_partition_train_step_bn_stats():
+    """Spatial sharding through TRAINING with production placement (batch
+    fed data-sharded, as every flow does): BatchNorm batch statistics
+    reduce over the sharded row dim — grads AND updated running stats
+    must match the unsharded step. This test also pins the UNCONSTRAINED
+    batch-dim fix in parallel/tp.py::conv_constrain: with a hard
+    ``None`` (replicated) batch spec, XLA's SPMD partitioner returns
+    conv KERNEL grads exactly data-axis-size times too large."""
+    from jax.sharding import NamedSharding
+
+    from tchvp_tpu.config import ResNetAEConfig
+    from tchvp_tpu.models.resnet_ae import Autoencoder32K
+    from tchvp_tpu.parallel.mesh import activate_mesh
+
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(4, 32, 32, 3)).astype(np.float32)
+    )
+    variables = Autoencoder32K(
+        config=ResNetAEConfig(token_latent=False)
+    ).init(jax.random.PRNGKey(0), x)
+
+    def run(cfg, mesh=None):
+        model = Autoencoder32K(config=cfg)
+
+        def loss_fn(params, batch_stats, batch):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch, train=True, deterministic=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.mean((out[1] - batch) ** 2), mut["batch_stats"]
+
+        fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        if mesh is not None:
+            batch = jax.device_put(
+                x, NamedSharding(mesh, batch_spec(mesh, x.ndim))
+            )
+            with activate_mesh(mesh):
+                (loss, stats), grads = fn(
+                    variables["params"], variables["batch_stats"], batch
+                )
+                jax.block_until_ready(loss)
+        else:
+            (loss, stats), grads = fn(
+                variables["params"], variables["batch_stats"], x
+            )
+        return loss, stats, grads
+
+    base_loss, base_stats, base_grads = run(
+        ResNetAEConfig(token_latent=False)
+    )
+    mesh = make_mesh(("data", "spatial"), (2, 4))
+    sp_loss, sp_stats, sp_grads = run(
+        ResNetAEConfig(token_latent=False, sp_axis="spatial"), mesh
+    )
+    np.testing.assert_allclose(float(sp_loss), float(base_loss), rtol=1e-5)
+    # Per-leaf RELATIVE L2, not elementwise: partitioned fp32 reductions
+    # reassociate, and BN-train centers activations near zero, so ~1e-7
+    # forward noise flips isolated ReLU masks — a couple of grad elements
+    # per leaf land ~1e-3 off (chaotic, not wrong). Relative L2 ignores
+    # that (isolated flips carry negligible mass) while the bug class
+    # this test exists for is caught loudly: the pre-fix over-reduced
+    # kernel grads (hard-replicated batch spec) measured relL2 == 1.0
+    # per leaf; dropped halos would be O(1) too. Threshold 0.02.
+    num = den = 0.0
+    for a, b in zip(
+        jax.tree.leaves((base_stats, base_grads)),
+        jax.tree.leaves((sp_stats, sp_grads)),
+    ):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        num += float(np.sum((a - b) ** 2))
+        den += float(np.sum(a**2))
+        if np.abs(a).max() < 1e-6:
+            # e.g. head_conv bias: BN directly after absorbs any bias,
+            # so its grad is ~0 — relative error there is meaningless.
+            continue
+        leaf = np.sqrt(np.sum((a - b) ** 2) / (np.sum(a**2) + 1e-24))
+        # Per-leaf bound loose enough for a flipped mask in a 16-element
+        # BN grad, tight enough to catch a layer whose grads are 2x.
+        assert leaf < 0.2, f"leaf relative L2 {leaf:.4f} (shape {a.shape})"
+    total = np.sqrt(num / den)
+    assert total < 0.02, f"global relative L2 {total:.4f}"
+
+
 def test_conv_tp_skips_indivisible_channels():
     """The divisibility gate: narrow dims (RGB/mask heads, or a latent
     narrower than the axis) stay replicated instead of forcing GSPMD's
