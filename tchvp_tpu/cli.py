@@ -39,6 +39,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--loss", default=None)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--optimizer", default="adamw",
+                   choices=("adamw", "adam", "sgd", "lion"),
+                   help="adamw = reference parity (FCT.py:305); lion = "
+                        "half the optimizer-state HBM (one moment)")
     p.add_argument("--schedule", default=None,
                    choices=("constant", "cosine"),
                    help="LR schedule (default: constant, reference parity)")
@@ -74,6 +78,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 def _train_cfg_kwargs(args):
     """Shared TrainConfig fields from the common CLI flags."""
     return dict(
+        optimizer=args.optimizer,
         schedule=args.schedule,
         warmup_steps=args.warmup_steps,
         total_steps=args.total_steps,
@@ -225,7 +230,31 @@ def cmd_segment(args) -> None:
         **_train_cfg_kwargs(args),
     )
     train, _, test = _image_data(args, supervised=True)
-    flow = SegmentationFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
+    mesh = _mesh(args)
+    # segment meshes: "data" (batch) and "spatial" (FCT conv stacks
+    # row-sharded; pair with --attn-impl ring so the H*W-token attention
+    # circulates k/v over the same shards — fully distributed FCT).
+    mesh_axes = dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else {}
+    bad = {k for k, v in mesh_axes.items()
+           if v > 1 and k not in ("data", "spatial")}
+    if bad:
+        raise SystemExit(f"segment: unsupported mesh axes {sorted(bad)} "
+                         "(use data= and spatial=)")
+    sp_axis = "spatial" if mesh_axes.get("spatial", 1) > 1 else None
+    attn = getattr(args, "attn_impl", None) or "auto"
+    model = None
+    if sp_axis or attn != "auto":
+        from tchvp_tpu.config import FCTConfig
+        from tchvp_tpu.models import FCT
+
+        model = FCT(config=FCTConfig(
+            attn_impl=attn,
+            sp_axis=sp_axis,
+            seq_axis=sp_axis if attn == "ring" else None,
+        ))
+    flow = SegmentationFlow(
+        model, cfg=cfg, image_size=args.image_size, mesh=mesh, sp_axis=sp_axis
+    )
     _record_run(args)
     flow.train(train, test, epochs=args.epochs, lr=args.lr)
 
@@ -1309,6 +1338,18 @@ def main(argv=None) -> None:
                                 "stage-boundary token tensors and "
                                 "recompute within each stage; dots = save "
                                 "matmul outputs, recompute convs")
+        if name == "segment":
+            p.add_argument("--mesh", default=None,
+                           help="axis=size pairs; segment supports data= "
+                                "(batch) and spatial= (FCT conv stacks "
+                                "row-sharded with GSPMD halo exchanges — "
+                                "resolutions one chip can't hold)")
+            p.add_argument("--attn-impl", default=None,
+                           choices=("auto", "xla", "flash", "ring"),
+                           help="FCT spatial-attention core; ring + "
+                                "--mesh spatial=N = fully distributed "
+                                "big-resolution FCT (k/v circulate over "
+                                "the row shards, nothing gathers)")
         if name == "transfer":
             p.add_argument("--pretrained", default=None)
         if name == "pack":

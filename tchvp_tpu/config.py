@@ -101,6 +101,13 @@ class FCTConfig:
     attn_impl: str = "auto"  # "auto" | "xla" | "flash" | "ring"
     # Mesh axis for ring attention; None = off (single-device math).
     seq_axis: Optional[str] = None
+    # Mesh axis for SPATIAL partitioning of the conv stages: image rows
+    # shard over this axis (GSPMD halo exchanges per conv; indivisible
+    # deep levels auto-skip). Pair with attn_impl="ring" +
+    # seq_axis=<same axis> so the H*W-token attention circulates k/v
+    # over the same shards instead of gathering — fully distributed
+    # big-resolution FCT. None = off.
+    sp_axis: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -302,6 +309,9 @@ class TrainConfig:
     epochs: int = 250  # Model.py:212
     lr: float = 1e-3  # Model.py:212, FCT.py:293 default
     weight_decay: float = 0.01  # torch AdamW default (FCT.py:305, Model.py:153)
+    # "adamw" = reference parity (FCT.py:305); also "adam", "sgd"
+    # (momentum 0.9 nesterov), "lion" (half the optimizer-state HBM).
+    optimizer: str = "adamw"
     batch_size: int = 64
     loss: str = "mixed"  # "mixed" | "dice" | "mse"
     mixed_alpha: float = 0.5  # Model.py:156

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from tchvp_tpu.config import FCTConfig
 from tchvp_tpu.ops.basic import avg_pool_2x2, max_pool_2x2, upsample2x_nearest
 from tchvp_tpu.ops.conv_attention import SpatialTransformer
+from tchvp_tpu.parallel.tp import conv_constrain
 
 
 def _conv3x3(features: int, name: str, dtype, param_dtype) -> nn.Conv:
@@ -47,6 +48,7 @@ class BlockEncoderBottleneck(nn.Module):
     attn_impl: str = "xla"
     drop_path_rate: float = 0.0
     seq_axis: Optional[str] = None
+    sp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -58,16 +60,20 @@ class BlockEncoderBottleneck(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         dt, pdt = self.dtype, self.param_dtype
+        # Spatial partitioning: image rows stay sharded over sp_axis
+        # through the conv stages (parallel/tp.py::conv_constrain —
+        # GSPMD halo exchanges; no-op without a mesh / indivisible H).
+        sp = lambda t: conv_constrain(t, sp_axis=self.sp_axis)  # noqa: E731
         if self.blk in ("first", "bottleneck"):
-            x1 = nn.relu(_conv3x3(self.out_channels, "conv1_a", dt, pdt)(x))
-            x1 = nn.relu(_conv3x3(self.out_channels, "conv2", dt, pdt)(x1))
+            x1 = sp(nn.relu(_conv3x3(self.out_channels, "conv1_a", dt, pdt)(x)))
+            x1 = sp(nn.relu(_conv3x3(self.out_channels, "conv2", dt, pdt)(x1)))
         else:
             skip_x = nn.relu(_conv3x3(self.in_channels, "conv1_b", dt, pdt)(scale_img))
             x1 = jnp.concatenate([skip_x, x], axis=-1)
-            x1 = nn.relu(_conv3x3(self.out_channels, "conv2", dt, pdt)(x1))
-            x1 = nn.relu(_conv3x3(self.out_channels, "conv3", dt, pdt)(x1))
+            x1 = sp(nn.relu(_conv3x3(self.out_channels, "conv2", dt, pdt)(x1)))
+            x1 = sp(nn.relu(_conv3x3(self.out_channels, "conv3", dt, pdt)(x1)))
         x1 = nn.Dropout(self.dropout_rate)(x1, deterministic=deterministic)
-        x1 = max_pool_2x2(x1)
+        x1 = sp(max_pool_2x2(x1))
         return SpatialTransformer(
             channels=self.out_channels,
             num_heads=self.att_heads,
@@ -89,6 +95,7 @@ class BlockDecoder(nn.Module):
     attn_impl: str = "xla"
     drop_path_rate: float = 0.0
     seq_axis: Optional[str] = None
+    sp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -97,11 +104,12 @@ class BlockDecoder(nn.Module):
         self, x: jnp.ndarray, skip: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         dt, pdt = self.dtype, self.param_dtype
+        sp = lambda t: conv_constrain(t, sp_axis=self.sp_axis)  # noqa: E731
         x1 = upsample2x_nearest(x)
-        x1 = nn.relu(_conv3x3(self.out_channels, "conv1", dt, pdt)(x1))
+        x1 = sp(nn.relu(_conv3x3(self.out_channels, "conv1", dt, pdt)(x1)))
         x1 = jnp.concatenate([skip, x1], axis=-1)
-        x1 = nn.relu(_conv3x3(self.out_channels, "conv2", dt, pdt)(x1))
-        x1 = nn.relu(_conv3x3(self.out_channels, "conv3", dt, pdt)(x1))
+        x1 = sp(nn.relu(_conv3x3(self.out_channels, "conv2", dt, pdt)(x1)))
+        x1 = sp(nn.relu(_conv3x3(self.out_channels, "conv3", dt, pdt)(x1)))
         x1 = nn.Dropout(self.dropout_rate)(x1, deterministic=deterministic)
         return SpatialTransformer(
             channels=self.out_channels,
@@ -120,15 +128,17 @@ class DSOut(nn.Module):
 
     in_channels: int
     out_channels: int
+    sp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dt, pdt = self.dtype, self.param_dtype
+        sp = lambda t: conv_constrain(t, sp_axis=self.sp_axis)  # noqa: E731
         x1 = upsample2x_nearest(x)
-        x1 = nn.relu(_conv3x3(self.in_channels, "conv1", dt, pdt)(x1))
-        x1 = nn.relu(_conv3x3(self.in_channels, "conv2", dt, pdt)(x1))
+        x1 = sp(nn.relu(_conv3x3(self.in_channels, "conv1", dt, pdt)(x1)))
+        x1 = sp(nn.relu(_conv3x3(self.in_channels, "conv2", dt, pdt)(x1)))
         return nn.sigmoid(_conv3x3(self.out_channels, "conv3", dt, pdt)(x1))
 
 
@@ -170,6 +180,7 @@ class FCT(nn.Module):
                 dropout_rate=cfg.dropout_rate,
                 attn_impl=cfg.attn_impl,
                 seq_axis=cfg.seq_axis,
+                sp_axis=cfg.sp_axis,
                 drop_path_rate=dpr[i],
                 name=f"block_{i + 1}",
                 dtype=dt,
@@ -183,6 +194,7 @@ class FCT(nn.Module):
                 dropout_rate=cfg.dropout_rate,
                 attn_impl=cfg.attn_impl,
                 seq_axis=cfg.seq_axis,
+                sp_axis=cfg.sp_axis,
                 drop_path_rate=dpr[i],
                 name=f"block_{i + 1}",
                 dtype=dt,
@@ -207,6 +219,7 @@ class FCT(nn.Module):
         return DSOut(
             in_channels=f[8],
             out_channels=cfg.out_channels,
+            sp_axis=cfg.sp_axis,
             name="ds",
             dtype=dt,
             param_dtype=pdt,

@@ -72,6 +72,9 @@ class _FlowBase:
             return shard_batch(
                 batch, self.mesh, seq_axis=getattr(self, "seq_axis", None),
                 sp_axis=getattr(self, "sp_axis", None),
+                # Frame-row dim: 2 for clip flows (B,T,H,W,C), 1 for
+                # image flows (B,H,W,C) — each flow sets sp_dim.
+                sp_dim=getattr(self, "sp_dim", 2),
             )
         return jax.tree.map(jnp.asarray, batch)
 
@@ -159,7 +162,8 @@ class DenoisingFlow(_FlowBase):
         tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
                             schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
                             total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio,
-                            ema_decay=cfg.ema_decay)
+                            ema_decay=cfg.ema_decay,
+                            optimizer=cfg.optimizer)
         example = jnp.zeros((1, self.image_size, self.image_size, 3))
         self.state = self._replicate(
             create_train_state(
@@ -277,9 +281,14 @@ class SegmentationFlow(_FlowBase):
         cfg: TrainConfig = TrainConfig(model_name="FCT", loss="dice", lr=1e-3),
         image_size: int = 256,
         mesh=None,
+        sp_axis: Optional[str] = None,
     ):
         super().__init__(cfg, mesh)
         self.model = model if model is not None else FCT()
+        # Spatial partitioning: pre-shard image rows (dim 1 of (B,H,W,C))
+        # so the FCT conv stacks (FCTConfig.sp_axis) start from local rows.
+        self.sp_axis = sp_axis
+        self.sp_dim = 1
         self.image_size = image_size
         self.state: Optional[TrainState] = None
         # Per-epoch training-loss history — the reference checkpoints the
@@ -297,7 +306,8 @@ class SegmentationFlow(_FlowBase):
         tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
                             schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
                             total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio,
-                            ema_decay=cfg.ema_decay)
+                            ema_decay=cfg.ema_decay,
+                            optimizer=cfg.optimizer)
         example = jnp.zeros((1, self.image_size, self.image_size, 3))
         self.state = self._replicate(
             create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))
@@ -456,7 +466,7 @@ class TransferFlow(_FlowBase):
             lr, cfg.weight_decay, grad_clip_norm=1.0, frozen_prefixes=("encoder",),
             schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
             total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio,
-            ema_decay=cfg.ema_decay,
+            ema_decay=cfg.ema_decay, optimizer=cfg.optimizer,
         )
         example = jnp.zeros((1, self.image_size, self.image_size, 3))
         state = create_train_state(
@@ -618,7 +628,8 @@ class VideoFlow(_FlowBase):
         tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
                             schedule=cfg.schedule, warmup_steps=cfg.warmup_steps,
                             total_steps=cfg.total_steps, min_lr_ratio=cfg.min_lr_ratio,
-                            ema_decay=cfg.ema_decay)
+                            ema_decay=cfg.ema_decay,
+                            optimizer=cfg.optimizer)
         example = jnp.zeros((1, clip_len, self.image_size, self.image_size, 3))
         self.state = self._replicate(
             create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))

@@ -112,9 +112,16 @@ def make_optimizer(
     total_steps: int = 0,
     min_lr_ratio: float = 0.0,
     ema_decay: float = 0.0,
+    optimizer: str = "adamw",
 ) -> optax.GradientTransformation:
-    """AdamW (the reference's optimizer everywhere: FCT.py:305, Model.py:153,
-    AE_32K L250) with optional global-norm clipping and frozen subtrees.
+    """AdamW by default (the reference's optimizer everywhere: FCT.py:305,
+    Model.py:153, AE_32K L250) with optional global-norm clipping and
+    frozen subtrees.
+
+    ``optimizer``: "adamw" (reference parity) | "adam" (no decoupled
+    weight decay) | "sgd" (momentum 0.9, nesterov) | "lion" (sign-based;
+    ~1/2 the optimizer-state HBM of Adam — one moment instead of two,
+    which FSDP sharding and checkpoints inherit for free).
 
     ``frozen_prefixes``: top-level param-tree keys (e.g. ``("encoder",)``)
     whose updates are zeroed — the JAX equivalent of
@@ -141,7 +148,19 @@ def make_optimizer(
     lr_sched = make_lr_schedule(
         lr, schedule, warmup_steps, total_steps, min_lr_ratio
     )
-    chain.append(optax.adamw(lr_sched, weight_decay=weight_decay))
+    if optimizer == "adamw":
+        core = optax.adamw(lr_sched, weight_decay=weight_decay)
+    elif optimizer == "adam":
+        core = optax.adam(lr_sched)
+    elif optimizer == "sgd":
+        core = optax.sgd(lr_sched, momentum=0.9, nesterov=True)
+    elif optimizer == "lion":
+        core = optax.lion(lr_sched, weight_decay=weight_decay)
+    else:
+        raise ValueError(
+            f"unknown optimizer {optimizer!r} (adamw, adam, sgd, lion)"
+        )
+    chain.append(core)
     tx = optax.chain(*chain)
     if frozen_prefixes:
 

@@ -192,6 +192,19 @@ def test_cli_mesh_builds_multi_axis():
     assert _mesh(SimpleNamespace(mesh=None, data_parallel=False)) is None
 
 
+def test_cli_segment_rejects_unsupported_axes(tmp_path):
+    """`tchvp segment --mesh model=N` is rejected up front — segment
+    routes only data= and spatial=."""
+    from tchvp_tpu import cli
+
+    with pytest.raises(SystemExit, match="unsupported mesh axes"):
+        cli.main([
+            "segment", "--synthetic", "1", "--batch-size", "4",
+            "--image-size", "64", "--mesh", "data=4,model=2",
+            "--checkpoint-dir", str(tmp_path / "c"),
+        ])
+
+
 def test_cli_video_validates_seq_axis(tmp_path):
     """`tchvp video --mesh seq=N` without a windowed/ring attention
     config is rejected up front (the model would raise mid-trace)."""

@@ -963,6 +963,42 @@ def test_fct_ring_spatial_attention_matches_unsharded():
     )
 
 
+def test_fct_fully_distributed_sp_plus_ring():
+    """Fully distributed big-resolution FCT: conv stages row-sharded over
+    the same axis the ring attention circulates k/v on (sp_axis ==
+    seq_axis) — convs halo-exchange, attention rings, rows never gather
+    between them. Both markers must fire; output matches unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.config import FCTConfig
+    from tchvp_tpu.models import FCT
+
+    m_ref = FCT(config=FCTConfig(attn_impl="xla"))
+    m_dist = FCT(config=FCTConfig(
+        attn_impl="ring", seq_axis="spatial", sp_axis="spatial"
+    ))
+
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    variables = m_ref.init(jax.random.PRNGKey(0), x)
+    want = m_ref.apply(variables, x, deterministic=True)
+
+    mesh = make_mesh(("data", "spatial"), (2, 4))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial", None, None)))
+    with activate_mesh(mesh):
+        with dispatch_trace.capture() as seen:
+            got = jax.jit(
+                lambda v, t: m_dist.apply(v, t, deterministic=True)
+            )(variables, xs)
+            jax.block_until_ready(got)
+    assert "sp_constrain_conv" in seen, f"conv rows not sharded: {sorted(seen)}"
+    assert "ring_shard_map" in seen, f"ring attention not engaged: {sorted(seen)}"
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4
+    )
+
+
 def test_make_hybrid_mesh_layout_and_step():
     """DCN-aware mesh: the slow axis is OUTERMOST, each DCN group holds a
     contiguous ICI block, and a dp-over-(replica,data) x tp-over-model

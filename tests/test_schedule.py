@@ -59,3 +59,65 @@ def test_optimizer_updates_follow_schedule():
     a, _ = tx_plain.update(grads, o1, params)
     b, _ = ref.update(grads, o2, params)
     np.testing.assert_allclose(np.asarray(a["w"]), np.asarray(b["w"]))
+
+
+# ---------------------------------------------------------------------------
+# Optimizer zoo (make_optimizer(optimizer=...) — the reference is AdamW-only,
+# FCT.py:305 / Model.py:153)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name,ref",
+    [
+        ("adamw", lambda lr: optax.adamw(lr, weight_decay=0.01)),
+        ("adam", lambda lr: optax.adam(lr)),
+        ("sgd", lambda lr: optax.sgd(lr, momentum=0.9, nesterov=True)),
+        ("lion", lambda lr: optax.lion(lr, weight_decay=0.01)),
+    ],
+)
+def test_optimizer_zoo_matches_bare_optax(name, ref):
+    """Each --optimizer choice produces exactly the bare optax updates
+    (no clipping / transforms engaged at defaults except the core)."""
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 0.3), "b": jnp.full((4,), -0.7)}
+
+    tx = make_optimizer(1e-3, optimizer=name)
+    want_tx = ref(1e-3)
+    got, _ = tx.update(grads, tx.init(params), params)
+    want, _ = want_tx.update(grads, want_tx.init(params), params)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-6, atol=1e-8
+        )
+
+
+def test_optimizer_zoo_rejects_unknown():
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        make_optimizer(1e-3, optimizer="adafactor")
+
+
+def test_lion_state_checkpoint_roundtrip(tmp_path):
+    """Lion's ScaleByLionState must survive the untemplated checkpoint
+    retype path (train/checkpoint.py::_retype matches namedtuple fields
+    by NAME, not flat order)."""
+    import jax
+
+    from tchvp_tpu.train import checkpoint as ckpt
+    from tchvp_tpu.train.state import create_train_state
+    from tchvp_tpu.models import Autoencoder4K
+
+    model = Autoencoder4K()
+    tx = make_optimizer(1e-3, optimizer="lion", grad_clip_norm=1.0,
+                        skip_nonfinite_updates=2)
+    state = create_train_state(
+        model, jnp.zeros((1, 64, 64, 3)), tx, jax.random.PRNGKey(0)
+    )
+    path = ckpt.save_state(
+        str(tmp_path), 5, state.params, state.opt_state, state.batch_stats
+    )
+    restored, _ = ckpt.restore_state_into(state, path)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.opt_state, restored.opt_state,
+    )
