@@ -1249,6 +1249,86 @@ def cmd_tune(args) -> None:
         print(f"  -> best {params} at {ms:.3f} ms (saved to {path})")
 
 
+def cmd_doctor(args) -> None:
+    """Environment / runtime diagnostics: devices and HBM, cache states,
+    native-loader build, mesh suggestions — the ops-side first stop when
+    a training box misbehaves. Read-only; ``--smoke`` additionally runs
+    one tiny jitted matmul to prove the backend executes."""
+    import jax
+
+    print(f"jax {jax.__version__}  backend {jax.default_backend()}  "
+          f"process {jax.process_index()}/{jax.process_count()}")
+    devs = jax.devices()
+    kinds: dict = {}
+    for d in devs:
+        kinds.setdefault(d.device_kind, []).append(d)
+    for kind, ds in kinds.items():
+        print(f"devices: {len(ds)} x {kind}")
+        stats = getattr(ds[0], "memory_stats", lambda: None)() or {}
+        lim = stats.get("bytes_limit")
+        use = stats.get("bytes_in_use")
+        if lim:
+            print(f"  HBM: {use / 2**30:.2f} / {lim / 2**30:.2f} GiB in use "
+                  f"(device 0)")
+    n = len(devs)
+    if n > 1:
+        facs = [f"data={n}"]
+        for s in (2, 4, 8):
+            if n % s == 0 and n // s > 1:
+                facs.append(f"data={n // s},seq={s} | data={n // s},model={s}")
+        print(f"mesh suggestions (--mesh): {'; '.join(facs)}")
+
+    from tchvp_tpu.utils.cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    if cache_dir and os.path.isdir(cache_dir):
+        entries = os.listdir(cache_dir)
+        size = sum(
+            os.path.getsize(os.path.join(cache_dir, f))
+            for f in entries
+            if os.path.isfile(os.path.join(cache_dir, f))
+        )
+        print(f"compile cache: {cache_dir} ({len(entries)} entries, "
+              f"{size / 2**20:.1f} MiB)")
+    else:
+        print("compile cache: disabled")
+
+    from tchvp_tpu.kernels import autotune
+
+    at = autotune.cache_path()
+    if at and os.path.exists(at):
+        import json as _json
+
+        with open(at) as f:
+            n_tuned = len(_json.load(f))
+        print(f"autotune cache: {at} ({n_tuned} tuned entries)")
+    else:
+        print(f"autotune cache: {at or 'disabled'} (empty — run `tchvp tune` "
+              "on the target device)")
+
+    from tchvp_tpu.data import clippack
+
+    lib = clippack._build_native()
+    print(f"native clippack loader: "
+          f"{'OK ' + lib if lib else 'unavailable'} "
+          f"(falls back to NumPy, bit-identical)")
+
+    if args.smoke:
+        import time as _t
+
+        import jax.numpy as jnp
+
+        x = jnp.ones((512, 512), jnp.bfloat16)
+        f = jax.jit(lambda a: (a @ a).sum())
+        t0 = _t.monotonic()
+        f(x).block_until_ready()
+        t1 = _t.monotonic()
+        f(x).block_until_ready()
+        t2 = _t.monotonic()
+        print(f"smoke matmul: compile+run {t1 - t0:.2f}s, "
+              f"warm {1e3 * (t2 - t1):.1f}ms — backend executes")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser("tchvp_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -1497,6 +1577,13 @@ def main(argv=None) -> None:
             p.add_argument("--clip-len", type=int, default=16)
             p.add_argument("--height", type=int, default=720)
             p.add_argument("--width", type=int, default=1280)
+
+    p = sub.add_parser(
+        "doctor", help="environment / runtime diagnostics")
+    p.set_defaults(fn=cmd_doctor)
+    p.add_argument("--smoke", action="store_true",
+                   help="also run one tiny jitted matmul to prove the "
+                        "backend executes")
 
     p = sub.add_parser(
         "tune", help="autotune Pallas kernel blocks on this device")

@@ -83,3 +83,15 @@ def test_training_writes_run_record(tmp_path, capsys):
     assert rec["resolved_args"]["checkpoint_dir"] == ckdir
     assert rec["environment"]["device_count"] >= 1
     assert "timestamp_utc" in rec and "argv" in rec
+
+
+def test_cli_doctor_reports_environment(capsys):
+    """`tchvp doctor` prints devices, cache states, the native-loader
+    build, and the smoke matmul — the ops-side diagnostic."""
+    main(["doctor", "--smoke"])
+    out = capsys.readouterr().out
+    assert "backend" in out and "devices:" in out
+    assert "compile cache:" in out
+    assert "autotune cache:" in out
+    assert "native clippack loader:" in out
+    assert "backend executes" in out
