@@ -1150,7 +1150,8 @@ def cmd_serve(args) -> None:
     print(f"warming buckets {list(buckets) if buckets else '(off)'} — "
           f"one compile per bucket, minutes each over a tunnel...", flush=True)
     srv = serve_artifact(args.exported, args.host, args.port, buckets=buckets,
-                         data_parallel=args.data_parallel)
+                         data_parallel=args.data_parallel,
+                         batch_window_ms=args.batch_window_ms)
     host, port = srv.address
     dp = getattr(srv.model, "n_devices", 1)
     print(f"serving {args.exported} on http://{host}:{port} "
@@ -1547,6 +1548,12 @@ def main(argv=None) -> None:
                            help="comma-separated batch buckets compiled at "
                                 "startup; requests are padded/split to "
                                 "these sizes (empty string disables)")
+            p.add_argument("--batch-window-ms", type=float, default=0.0,
+                           help="dynamic micro-batching: coalesce "
+                                "concurrent requests arriving within this "
+                                "window into one device batch (0 = off); "
+                                "the server-side fix when many small "
+                                "clients can't batch for themselves")
         if name == "port":
             p.add_argument("--checkpoint", default=None,
                            help="reference torch .tar/.pth file")

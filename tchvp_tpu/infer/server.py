@@ -33,6 +33,15 @@ concurrency belongs in the batch dimension, so clients should batch, not
 fan out connections (the classic serving recipe this daemon encodes).
 ``/health`` splits ``last_queue_ms`` (lock wait) from ``last_infer_ms``
 (device time) and reports ``inflight`` so a convoy is visible.
+
+When clients CAN'T batch (many independent small senders), dynamic
+micro-batching recovers the throughput server-side: with
+``batch_window_ms > 0`` concurrent ``/infer`` requests wait up to the
+window, are coalesced into ONE device batch (grouped by trailing
+shape/dtype so mismatched clients can't poison each other), run through
+the same bucket machinery, and are split back per request. ``/health``
+reports ``coalesced_calls``/``coalesced_requests`` so the batching
+efficiency is observable.
 """
 
 from __future__ import annotations
@@ -81,6 +90,13 @@ class _Stats:
             if inflight:
                 self.inflight -= 1
 
+    def record_coalesced(self, n_requests: int) -> None:
+        with self.lock:
+            self.coalesced_calls = getattr(self, "coalesced_calls", 0) + 1
+            self.coalesced_requests = (
+                getattr(self, "coalesced_requests", 0) + n_requests
+            )
+
     def snapshot(self) -> dict:
         with self.lock:
             return {
@@ -91,6 +107,8 @@ class _Stats:
                 "last_latency_ms": self.last_latency_ms,
                 "last_queue_ms": self.last_queue_ms,
                 "last_infer_ms": self.last_infer_ms,
+                "coalesced_calls": getattr(self, "coalesced_calls", 0),
+                "coalesced_requests": getattr(self, "coalesced_requests", 0),
             }
 
 
@@ -129,9 +147,112 @@ def _bucketed_call(model: ServingModel, batch: np.ndarray,
     return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
 
+class _Request:
+    __slots__ = ("batch", "event", "out", "error")
+
+    def __init__(self, batch: np.ndarray):
+        self.batch = batch
+        self.event = threading.Event()
+        self.out: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
+
+
+class _MicroBatcher:
+    """Dynamic request batching: coalesce concurrent ``/infer`` bodies
+    into one device batch.
+
+    A dedicated worker wakes on the first pending request, sleeps out the
+    remaining ``window_ms``, drains everything queued, groups by
+    (trailing shape, dtype) — a client with the wrong clip shape fails
+    alone, not the whole window — concatenates each group along the
+    batch dim, runs ONE model call (through the bucket machinery when
+    configured), and scatters the rows back to their requests.
+    """
+
+    def __init__(self, model: ServingModel, stats: _Stats,
+                 infer_lock: threading.Lock,
+                 buckets: Optional[Tuple[int, ...]],
+                 window_ms: float):
+        self._model = model
+        self._stats = stats
+        self._lock = infer_lock
+        self._buckets = buckets
+        self._window = window_ms / 1e3
+        self._cv = threading.Condition()
+        self._pending: list = []
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, batch: np.ndarray) -> np.ndarray:
+        req = _Request(batch)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server shutting down")
+            self._pending.append(req)
+            self._cv.notify()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.out
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._pending:
+                    return
+                # First arrival opens the window; collect what lands in it.
+                deadline = time.monotonic() + self._window
+                while not self._closed:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._cv.wait(timeout=left)
+                reqs, self._pending = self._pending, []
+            self._serve(reqs)
+
+    def _serve(self, reqs: list) -> None:
+        groups: dict = {}
+        for r in reqs:
+            groups.setdefault(
+                (r.batch.shape[1:], r.batch.dtype.str), []
+            ).append(r)
+        for group in groups.values():
+            batch = (group[0].batch if len(group) == 1 else
+                     np.concatenate([r.batch for r in group], axis=0))
+            try:
+                with self._lock:
+                    if self._buckets:
+                        out = _bucketed_call(self._model, batch, self._buckets)
+                    else:
+                        out = np.asarray(self._model(batch))
+            except Exception as e:  # noqa: BLE001 — delivered per request
+                for r in group:
+                    r.error = e
+                    r.event.set()
+                continue
+            if len(group) > 1:
+                self._stats.record_coalesced(len(group))
+            row = 0
+            for r in group:
+                n = int(r.batch.shape[0])
+                r.out = out[row:row + n]
+                row += n
+                r.event.set()
+
+
 def _make_handler(model: ServingModel, stats: _Stats,
                   infer_lock: threading.Lock,
-                  buckets: Optional[Tuple[int, ...]]):
+                  buckets: Optional[Tuple[int, ...]],
+                  batcher: Optional[_MicroBatcher] = None):
     class Handler(BaseHTTPRequestHandler):
         # Quiet by default; the CLI prints its own line per request.
         def log_message(self, fmt, *args):  # noqa: D102
@@ -177,12 +298,19 @@ def _make_handler(model: ServingModel, stats: _Stats,
             stats.enter()
             try:
                 t0 = time.perf_counter()
-                with infer_lock:
-                    t1 = time.perf_counter()
-                    if buckets:
-                        out = _bucketed_call(model, batch, buckets)
-                    else:
-                        out = np.asarray(model(batch))
+                if batcher is not None:
+                    # Queue time and device time merge under coalescing;
+                    # report the whole wait as infer so latency stays
+                    # truthful in /health.
+                    t1 = t0
+                    out = batcher.submit(batch)
+                else:
+                    with infer_lock:
+                        t1 = time.perf_counter()
+                        if buckets:
+                            out = _bucketed_call(model, batch, buckets)
+                        else:
+                            out = np.asarray(model(batch))
                 t2 = time.perf_counter()
             except Exception as e:
                 stats.record_error(inflight=True)
@@ -219,14 +347,21 @@ class ArtifactServer:
 
     def __init__(self, model: ServingModel, host: str = "127.0.0.1",
                  port: int = 0,
-                 buckets: Optional[Tuple[int, ...]] = None):
+                 buckets: Optional[Tuple[int, ...]] = None,
+                 batch_window_ms: float = 0.0):
         self.model = model
         self.stats = _Stats()
         self.buckets = _normalize_buckets(buckets)
         self._infer_lock = threading.Lock()
+        self.batcher = (
+            _MicroBatcher(model, self.stats, self._infer_lock,
+                          self.buckets, batch_window_ms)
+            if batch_window_ms > 0 else None
+        )
         self._httpd = ThreadingHTTPServer(
             (host, port),
-            _make_handler(model, self.stats, self._infer_lock, self.buckets),
+            _make_handler(model, self.stats, self._infer_lock, self.buckets,
+                          self.batcher),
         )
         self._thread: Optional[threading.Thread] = None
 
@@ -253,13 +388,16 @@ class ArtifactServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self.batcher is not None:
+            self.batcher.close()
 
 
 def serve_artifact(path: str, host: str = "127.0.0.1", port: int = 0,
                    warmup: bool = True,
                    buckets: Optional[Tuple[int, ...]] = (1,),
                    data_parallel: bool = False,
-                   mesh=None) -> ArtifactServer:
+                   mesh=None,
+                   batch_window_ms: float = 0.0) -> ArtifactServer:
     """Load a ``.tchvp`` artifact and bind (but not start) a server.
 
     ``buckets`` is the set of batch sizes the program will ever run at
@@ -269,6 +407,11 @@ def serve_artifact(path: str, host: str = "127.0.0.1", port: int = 0,
     size pays a cold compile *while holding the infer lock* — only sane
     off-tunnel. ``warmup=True`` compiles every bucket before the server
     takes traffic, so steady-state requests never compile.
+
+    ``batch_window_ms > 0`` turns on dynamic micro-batching: concurrent
+    requests within the window coalesce into one device batch (see
+    ``_MicroBatcher``) — the server-side answer when many independent
+    small clients can't batch for themselves.
 
     ``data_parallel=True`` serves over every local device (or ``mesh``):
     each request batch splits across the mesh's data axis and runs as N
@@ -295,7 +438,8 @@ def serve_artifact(path: str, host: str = "127.0.0.1", port: int = 0,
         # meta-less ones and float-input (preprocess=False) exports.
         for b in (norm or (getattr(model, "n_devices", 1),)):
             model(model.example_input(b))
-    return ArtifactServer(model, host, port, buckets=norm)
+    return ArtifactServer(model, host, port, buckets=norm,
+                          batch_window_ms=batch_window_ms)
 
 
 def post_npy(url: str, array: np.ndarray, timeout: float = 600.0) -> np.ndarray:

@@ -247,3 +247,88 @@ def test_data_parallel_rejects_indivisible_buckets(artifact_path):
             artifact_path, port=0, data_parallel=True, buckets=(4,),
             warmup=False,
         )
+
+
+def test_dynamic_microbatching_coalesces_and_matches(artifact_path):
+    """batch_window_ms > 0: concurrent batch-1 requests coalesce into one
+    device batch (health shows coalesced_*), and every client gets
+    exactly the rows it would have gotten alone."""
+    import threading
+
+    srv = serve_artifact(
+        artifact_path, port=0, buckets=(1, 4), batch_window_ms=150.0
+    )
+    srv.start()
+    try:
+        url = f"http://{srv.address[0]}:{srv.port}"
+        n = 4
+        batches = [_batch(1, seed=10 + i) for i in range(n)]
+        want = [np.asarray(srv.model(b)) for b in batches]
+
+        outs = [None] * n
+        barrier = threading.Barrier(n)
+
+        def post(i):
+            barrier.wait()
+            outs[i] = post_npy(f"{url}/infer", batches[i])
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i in range(n):
+            np.testing.assert_allclose(
+                outs[i], want[i].astype(np.float32), rtol=1e-5, atol=1e-5
+            )
+        health = json.loads(
+            urllib.request.urlopen(f"{url}/health").read()
+        )
+        assert health["requests"] == n
+        assert health["coalesced_calls"] >= 1
+        assert health["coalesced_requests"] >= 2
+        # Coalescing must produce FEWER device calls than requests.
+        assert health["coalesced_calls"] < health["coalesced_requests"]
+    finally:
+        srv.shutdown()
+
+
+def test_microbatcher_isolates_bad_shapes(artifact_path):
+    """A client whose clip shape mismatches fails alone — requests with
+    the right shape in the same window still succeed (group-by-shape)."""
+    import threading
+
+    srv = serve_artifact(
+        artifact_path, port=0, buckets=(1, 4), batch_window_ms=150.0
+    )
+    srv.start()
+    try:
+        url = f"http://{srv.address[0]}:{srv.port}"
+        good = _batch(1, seed=3)
+        bad = np.zeros((1, CLIP_LEN, SIZE // 2, SIZE, 3), np.uint8)
+        results = {}
+        barrier = threading.Barrier(2)
+
+        def post(name, arr):
+            barrier.wait()
+            try:
+                results[name] = post_npy(f"{url}/infer", arr)
+            except Exception as e:  # noqa: BLE001
+                results[name] = e
+
+        ts = [threading.Thread(target=post, args=("good", good)),
+              threading.Thread(target=post, args=("bad", bad))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert isinstance(results["bad"], Exception)
+        assert isinstance(results["good"], np.ndarray)
+        np.testing.assert_allclose(
+            results["good"],
+            np.asarray(srv.model(good)).astype(np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+    finally:
+        srv.shutdown()
