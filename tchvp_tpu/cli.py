@@ -1075,6 +1075,37 @@ def cmd_export(args) -> None:
         tuple(p.strip() for p in args.platforms.split(",") if p.strip())
         if args.platforms else None
     )
+    if getattr(args, "streaming", False):
+        if args.model != "hybrid":
+            raise SystemExit("export --streaming applies to --model hybrid")
+        if args.int8:
+            raise SystemExit("export --streaming + --int8 not supported yet")
+        exported, weights = export_lib.export_streaming_step(
+            model, variables,
+            chunk_len=args.chunk_len, ctx_frames=args.ctx_frames,
+            image_size=size, batch=args.stream_batch, platforms=platforms,
+        )
+        export_lib.save_artifact(
+            args.out, exported, weights,
+            meta={
+                "model": args.model, "checkpoint": args.checkpoint or "",
+                **export_lib.streaming_meta(
+                    chunk_len=args.chunk_len, ctx_frames=args.ctx_frames,
+                    image_size=size, batch=args.stream_batch,
+                    tokens_per_frame=model.config.tokens_per_frame,
+                ),
+            },
+        )
+        import os as _os
+
+        print(
+            f"exported STREAMING {args.model} {size}px "
+            f"chunk {args.chunk_len}f ctx {args.ctx_frames}f -> {args.out} "
+            f"({_os.path.getsize(args.out) / 1e6:.1f} MB, "
+            f"platforms {list(exported.platforms)}) — serve it and POST "
+            f"chunks to /stream/<session>"
+        )
+        return
     if args.int8:
         import numpy as np
 
@@ -1539,6 +1570,20 @@ def main(argv=None) -> None:
             p.add_argument("--static-batch", action="store_true",
                            help="pin the batch dim instead of exporting "
                                 "it symbolically")
+            p.add_argument("--streaming", action="store_true",
+                           help="export the stateful streaming carry step "
+                                "fn(weights, carry, chunk) instead of the "
+                                "whole-clip program; `tchvp serve` then "
+                                "exposes /stream session endpoints "
+                                "(hybrid model)")
+            p.add_argument("--chunk-len", type=int, default=8,
+                           help="frames per streaming chunk (--streaming)")
+            p.add_argument("--ctx-frames", type=int, default=4,
+                           help="previous-chunk context frames visible to "
+                                "each chunk's attention (--streaming)")
+            p.add_argument("--stream-batch", type=int, default=1,
+                           help="concurrent clips per streaming session "
+                                "(--streaming; static)")
         if name == "serve":
             p.add_argument("--exported", default=None,
                            help=".tchvp artifact (tchvp export)")

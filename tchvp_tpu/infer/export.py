@@ -244,6 +244,8 @@ def load_artifact(path: str) -> ServingModel:
         weights = serialization.msgpack_restore(z.read(_WEIGHTS_NAME))
     # msgpack_restore yields numpy arrays; push to device lazily at the
     # first call (jax handles host arrays as operands).
+    if meta.get("meta", {}).get("streaming"):
+        return StreamingServingModel(exported, weights, meta)
     return ServingModel(exported, weights, meta)
 
 
@@ -320,6 +322,116 @@ def export_image_model(
         fn, variables, example,
         platforms=platforms, symbolic_batch=symbolic_batch,
     )
+
+
+def export_streaming_step(
+    model,
+    variables: Any,
+    *,
+    chunk_len: int,
+    ctx_frames: int,
+    image_size: int,
+    batch: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+) -> Tuple[jax_export.Exported, Any]:
+    """Export the STREAMING carry step: ``fn(weights, carry, chunk) ->
+    (new_carry, recon)``.
+
+    The exact per-chunk computation of
+    :func:`tchvp_tpu.models.streaming.stream_clip`'s scan body (pinned by
+    ``tests/test_export.py::test_streaming_artifact_matches_stream_clip``),
+    lowered AOT so a serving host can run long-video inference statefully:
+    the carry is the raw encoder tokens of the last ``ctx_frames`` frames,
+    each chunk's temporal attention sees [context || chunk], and only the
+    chunk's tokens are decoded. Static shapes throughout (a streaming
+    session has one fixed geometry; no symbolic dims).
+    """
+    from tchvp_tpu.data import pipeline
+    from tchvp_tpu.models.streaming import VideoHybridNet as _V
+
+    if ctx_frames > chunk_len:
+        raise ValueError("ctx_frames must be <= chunk_len")
+    tpf = model.config.tokens_per_frame
+    ctx_tokens = ctx_frames * tpf
+    d = (image_size // 4) ** 2
+
+    def fn(weights, carry, chunk):
+        x = pipeline.preprocess_clip(chunk, image_size)
+        tokens, hw = model.apply(weights, x, method=_V.encode_clip)
+        if ctx_tokens:
+            mixed = model.apply(
+                weights, jnp.concatenate([carry, tokens], axis=1),
+                method=_V.temporal_mix,
+            )
+            out_tokens = mixed[:, ctx_tokens:]
+            new_carry = tokens[:, -ctx_tokens:]
+        else:
+            out_tokens = model.apply(weights, tokens, method=_V.temporal_mix)
+            new_carry = carry
+        recon = model.apply(weights, out_tokens, hw, method=_V.decode_tokens)
+        return new_carry, recon
+
+    carry0 = jnp.zeros((batch, ctx_tokens, d), model.dtype)
+    chunk0 = jnp.zeros(
+        (batch, chunk_len, image_size, image_size, 3), jnp.uint8
+    )
+    jitted = jax.jit(fn)
+    specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        (variables, carry0, chunk0),
+    )
+    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jax_export.export(jitted, **kw)(*specs)
+    return exported, variables
+
+
+def streaming_meta(
+    *, chunk_len: int, ctx_frames: int, image_size: int,
+    batch: int, tokens_per_frame: int, carry_dtype: str = "float32",
+) -> Dict[str, Any]:
+    """The ``meta`` dict a streaming artifact must carry (consumed by
+    :class:`StreamingServingModel` and the serving daemon's /stream
+    endpoints)."""
+    return {
+        "streaming": True,
+        "chunk_len": chunk_len,
+        "ctx_frames": ctx_frames,
+        "image_size": image_size,
+        "batch": batch,
+        "carry_shape": [
+            batch, ctx_frames * tokens_per_frame, (image_size // 4) ** 2
+        ],
+        "carry_dtype": carry_dtype,
+    }
+
+
+class StreamingServingModel(ServingModel):
+    """A loaded STREAMING artifact: ``step(carry, chunk)`` advances one
+    chunk; ``init_carry()`` is the fresh-session state."""
+
+    @property
+    def stream_meta(self) -> Dict[str, Any]:
+        return self.meta["meta"]
+
+    def init_carry(self):
+        import numpy as np
+
+        return np.zeros(
+            tuple(self.stream_meta["carry_shape"]),
+            np.dtype(self.stream_meta.get("carry_dtype", "float32")),
+        )
+
+    def step(self, carry, chunk):
+        if not self._on_device:
+            self._weights = jax.tree.map(jnp.asarray, self._weights)
+            self._on_device = True
+        return self._exported.call(self._weights, carry, chunk)
+
+    def __call__(self, batch):  # pragma: no cover - guidance error
+        raise TypeError(
+            "streaming artifact: use step(carry, chunk) / the /stream "
+            "endpoints, not whole-batch __call__"
+        )
 
 
 def export_int8_video_model(

@@ -249,10 +249,69 @@ class _MicroBatcher:
                 r.event.set()
 
 
+class _Sessions:
+    """Per-session carry state for STREAMING artifacts.
+
+    A session is one live video: ``open()`` mints an id with a fresh
+    zero carry, each chunk step swaps the carry in place, ``close()``
+    frees it. Idle sessions are pruned after ``ttl_s`` (checked on
+    open) so abandoned clients can't pin device memory forever.
+    """
+
+    def __init__(self, model, max_sessions: int = 64, ttl_s: float = 3600.0):
+        self._model = model
+        self._lock = threading.Lock()
+        self._carry: dict = {}
+        self._last_used: dict = {}
+        self._max = max_sessions
+        self._ttl = ttl_s
+
+    def open(self) -> str:
+        import secrets
+
+        with self._lock:
+            now = time.monotonic()
+            for sid in [s for s, t in self._last_used.items()
+                        if now - t > self._ttl]:
+                self._carry.pop(sid, None)
+                self._last_used.pop(sid, None)
+            if len(self._carry) >= self._max:
+                raise RuntimeError(
+                    f"too many live streams ({self._max}); close some"
+                )
+            sid = secrets.token_hex(8)
+            self._carry[sid] = self._model.init_carry()
+            self._last_used[sid] = now
+            return sid
+
+    def step(self, sid: str, chunk: np.ndarray) -> np.ndarray:
+        with self._lock:
+            if sid not in self._carry:
+                raise KeyError(f"unknown or expired stream {sid!r}")
+            carry = self._carry[sid]
+        new_carry, recon = self._model.step(carry, chunk)
+        with self._lock:
+            # Re-check: a concurrent close() must win over a late step.
+            if sid in self._carry:
+                self._carry[sid] = new_carry
+                self._last_used[sid] = time.monotonic()
+        return np.asarray(recon)
+
+    def close(self, sid: str) -> bool:
+        with self._lock:
+            self._last_used.pop(sid, None)
+            return self._carry.pop(sid, None) is not None
+
+    def count(self) -> int:
+        with self._lock:
+            return len(self._carry)
+
+
 def _make_handler(model: ServingModel, stats: _Stats,
                   infer_lock: threading.Lock,
                   buckets: Optional[Tuple[int, ...]],
-                  batcher: Optional[_MicroBatcher] = None):
+                  batcher: Optional[_MicroBatcher] = None,
+                  sessions: Optional[_Sessions] = None):
     class Handler(BaseHTTPRequestHandler):
         # Quiet by default; the CLI prints its own line per request.
         def log_message(self, fmt, *args):  # noqa: D102
@@ -276,12 +335,79 @@ def _make_handler(model: ServingModel, stats: _Stats,
                 "status": "ok",
                 "platforms": list(model.platforms),
                 "meta": model.meta,
+                **({"streams": sessions.count()} if sessions else {}),
                 **stats.snapshot(),
             })
 
+        def _read_npy(self) -> Optional[np.ndarray]:
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                return np.load(io.BytesIO(self.rfile.read(n)),
+                               allow_pickle=False)
+            except Exception as e:  # malformed body -> client error
+                stats.record_error()
+                self._reply_json(400, {"error": f"bad .npy body: {e}"})
+                return None
+
+        def _do_stream(self) -> None:
+            if self.path == "/stream/open":
+                try:
+                    sid = sessions.open()
+                except RuntimeError as e:
+                    self._reply_json(429, {"error": str(e)})
+                    return
+                self._reply_json(200, {
+                    "session": sid, **model.stream_meta
+                })
+                return
+            rest = self.path[len("/stream/"):]
+            if rest.endswith("/close"):
+                sid = rest[: -len("/close")]
+                ok = sessions.close(sid)
+                self._reply_json(200 if ok else 404, {"closed": ok})
+                return
+            chunk = self._read_npy()
+            if chunk is None:
+                return
+            stats.enter()
+            try:
+                t0 = time.perf_counter()
+                with infer_lock:
+                    t1 = time.perf_counter()
+                    out = sessions.step(rest, chunk)
+                t2 = time.perf_counter()
+            except KeyError as e:
+                stats.record_error(inflight=True)
+                self._reply_json(404, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001
+                stats.record_error(inflight=True)
+                code = 400 if isinstance(e, (ValueError, TypeError)) else 500
+                self._reply_json(code, {"error": str(e)})
+                return
+            stats.record(
+                int(chunk.shape[0] * chunk.shape[1]),
+                (t1 - t0) * 1e3, (t2 - t1) * 1e3,
+            )
+            if out.dtype.kind not in "biufc":
+                out = out.astype(np.float32)
+            buf = io.BytesIO()
+            np.save(buf, out, allow_pickle=False)
+            self._reply(200, buf.getvalue(), _NPY_CONTENT_TYPE)
+
         def do_POST(self) -> None:  # noqa: N802
+            if sessions is not None and self.path.startswith("/stream"):
+                self._do_stream()
+                return
             if self.path != "/infer":
                 self._reply_json(404, {"error": f"unknown path {self.path}"})
+                return
+            if sessions is not None:
+                self._reply_json(400, {
+                    "error": "streaming artifact: open a session at "
+                             "/stream/open and POST chunks to "
+                             "/stream/<session>"
+                })
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
@@ -353,15 +479,17 @@ class ArtifactServer:
         self.stats = _Stats()
         self.buckets = _normalize_buckets(buckets)
         self._infer_lock = threading.Lock()
+        streaming = bool(getattr(model, "stream_meta", None))
+        self.sessions = _Sessions(model) if streaming else None
         self.batcher = (
             _MicroBatcher(model, self.stats, self._infer_lock,
                           self.buckets, batch_window_ms)
-            if batch_window_ms > 0 else None
+            if batch_window_ms > 0 and not streaming else None
         )
         self._httpd = ThreadingHTTPServer(
             (host, port),
             _make_handler(model, self.stats, self._infer_lock, self.buckets,
-                          self.batcher),
+                          self.batcher, self.sessions),
         )
         self._thread: Optional[threading.Thread] = None
 
@@ -420,6 +548,20 @@ def serve_artifact(path: str, host: str = "127.0.0.1", port: int = 0,
     size; the ``(1,)`` default auto-scales to one row per device.
     """
     model = load_artifact(path)
+    if getattr(model, "stream_meta", None):
+        # Streaming artifact: stateful /stream endpoints, no buckets/dp
+        # (a session has one fixed geometry; its batch is baked in).
+        if data_parallel:
+            raise ValueError("streaming artifacts don't support "
+                             "data-parallel serving (stateful carry)")
+        if warmup:
+            sm = model.stream_meta
+            chunk = np.zeros(
+                (sm["batch"], sm["chunk_len"], sm["image_size"],
+                 sm["image_size"], 3), np.uint8,
+            )
+            model.step(model.init_carry(), chunk)
+        return ArtifactServer(model, host, port, buckets=None)
     norm = _normalize_buckets(buckets)  # validate BEFORE any warmup work
     if data_parallel:
         model = model.over_mesh(mesh)

@@ -279,3 +279,52 @@ def test_cli_export_ema_weights(tmp_path, capsys):
             "--image-size", str(SIZE), "--clip-len", str(CLIP_LEN),
             "--checkpoint", path2, "--ema",
         ])
+
+
+def test_streaming_artifact_matches_stream_clip(tmp_path):
+    """export_streaming_step is EXACTLY stream_clip's scan body: driving
+    the loaded artifact chunk by chunk (carry threaded through step())
+    reproduces stream_clip over the whole clip."""
+    import numpy as np
+
+    from tchvp_tpu.config import flagship_video_config
+    from tchvp_tpu.data.pipeline import preprocess_clip
+    from tchvp_tpu.infer import export as export_lib
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.models.streaming import stream_clip
+
+    size, chunk_len, ctx = 32, 2, 1
+    model = VideoHybridNet(config=flagship_video_config(image_size=size))
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros((1, chunk_len, size, size, 3)))
+
+    exported, w = export_lib.export_streaming_step(
+        model, vs, chunk_len=chunk_len, ctx_frames=ctx, image_size=size
+    )
+    path = str(tmp_path / "stream.tchvp")
+    export_lib.save_artifact(
+        path, exported, w,
+        meta=export_lib.streaming_meta(
+            chunk_len=chunk_len, ctx_frames=ctx, image_size=size,
+            batch=1, tokens_per_frame=model.config.tokens_per_frame,
+        ),
+    )
+    m = export_lib.load_artifact(path)
+    assert isinstance(m, export_lib.StreamingServingModel)
+
+    clip = np.random.default_rng(0).integers(
+        0, 255, (1, 4, size, size, 3), dtype=np.uint8
+    )
+    want = stream_clip(
+        model, vs, preprocess_clip(jnp.asarray(clip), size),
+        chunk_len, ctx_frames=ctx,
+    )
+    carry = m.init_carry()
+    outs = []
+    for start in range(0, 4, chunk_len):
+        carry, recon = m.step(carry, clip[:, start:start + chunk_len])
+        outs.append(np.asarray(recon))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    with pytest.raises(TypeError, match="streaming artifact"):
+        m(clip)

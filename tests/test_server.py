@@ -332,3 +332,75 @@ def test_microbatcher_isolates_bad_shapes(artifact_path):
         )
     finally:
         srv.shutdown()
+
+
+def test_streaming_sessions_end_to_end(tmp_path):
+    """Streaming artifact behind the daemon: open a session, POST chunks
+    (carry threaded server-side), results match direct step() calls;
+    close frees it; /infer redirects; health counts live streams."""
+    from tchvp_tpu.infer.export import (
+        export_streaming_step,
+        load_artifact,
+        save_artifact,
+        streaming_meta,
+    )
+
+    chunk_len, ctx = 2, 1
+    cfg = flagship_video_config(image_size=SIZE)
+    model = VideoHybridNet(config=cfg)
+    vs = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, chunk_len, SIZE, SIZE, 3))
+    )
+    exported, w = export_streaming_step(
+        model, vs, chunk_len=chunk_len, ctx_frames=ctx, image_size=SIZE
+    )
+    path = str(tmp_path / "s.tchvp")
+    save_artifact(path, exported, w, meta=streaming_meta(
+        chunk_len=chunk_len, ctx_frames=ctx, image_size=SIZE, batch=1,
+        tokens_per_frame=cfg.tokens_per_frame,
+    ))
+
+    srv = serve_artifact(path, port=0)
+    srv.start()
+    try:
+        url = f"http://{srv.address[0]}:{srv.port}"
+        opened = json.loads(urllib.request.urlopen(
+            urllib.request.Request(f"{url}/stream/open", method="POST"),
+        ).read())
+        sid = opened["session"]
+        assert opened["chunk_len"] == chunk_len
+
+        clip = np.random.default_rng(1).integers(
+            0, 255, (1, 4, SIZE, SIZE, 3), dtype=np.uint8
+        )
+        ref = load_artifact(path)
+        carry = ref.init_carry()
+        outs = []
+        for start in range(0, 4, chunk_len):
+            chunk = clip[:, start:start + chunk_len]
+            got = post_npy(f"{url}/stream/{sid}", chunk)
+            carry, want = ref.step(carry, chunk)
+            np.testing.assert_allclose(
+                got, np.asarray(want).astype(np.float32),
+                rtol=1e-5, atol=1e-5,
+            )
+            outs.append(got)
+
+        health = json.loads(urllib.request.urlopen(f"{url}/health").read())
+        assert health["streams"] == 1
+        assert health["requests"] == 2
+
+        # /infer on a streaming server redirects the client.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post_npy(f"{url}/infer", clip)
+        assert e.value.code == 400
+
+        closed = json.loads(urllib.request.urlopen(
+            urllib.request.Request(f"{url}/stream/{sid}/close", method="POST"),
+        ).read())
+        assert closed["closed"] is True
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post_npy(f"{url}/stream/{sid}", clip[:, :chunk_len])
+        assert e.value.code == 404
+    finally:
+        srv.shutdown()
