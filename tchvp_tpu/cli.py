@@ -412,6 +412,52 @@ def cmd_transfer(args) -> None:
     flow.train(train, epochs=args.epochs)
 
 
+def _stream_remote(url: str, data) -> None:
+    """Client side of the /stream session protocol: open a session on a
+    `tchvp serve`d STREAMING artifact, post each clip chunk by chunk
+    (the carry lives server-side), report throughput, close."""
+    import json as _json
+    import time
+    import urllib.request
+
+    import numpy as np
+
+    from tchvp_tpu.infer.server import post_npy
+
+    base = url.rstrip("/")
+    opened = _json.loads(urllib.request.urlopen(
+        urllib.request.Request(f"{base}/stream/open", method="POST")
+    ).read())
+    sid, chunk_len = opened["session"], int(opened["chunk_len"])
+    size, sb = int(opened["image_size"]), int(opened["batch"])
+    print(f"stream session {sid}: chunk {chunk_len}f @ {size}px batch {sb}")
+    frames = 0
+    t0 = time.monotonic()
+    try:
+        for clip in data:
+            clip = np.asarray(clip, np.uint8)
+            if clip.shape[0] != sb or clip.shape[2:4] != (size, size):
+                raise SystemExit(
+                    f"stream --url: artifact session wants batch {sb} @ "
+                    f"{size}x{size}, data is {clip.shape} — re-export "
+                    "with matching --stream-batch/--image-size"
+                )
+            t = clip.shape[1] - clip.shape[1] % chunk_len
+            for start in range(0, t, chunk_len):
+                out = post_npy(
+                    f"{base}/stream/{sid}",
+                    clip[:, start:start + chunk_len],
+                )
+                frames += int(out.shape[0] * out.shape[1])
+    finally:
+        urllib.request.urlopen(
+            urllib.request.Request(f"{base}/stream/{sid}/close", method="POST")
+        )
+    dt = time.monotonic() - t0
+    print(f"streamed {frames} frames in {dt:.2f}s "
+          f"({frames / max(dt, 1e-9):.1f} frames/s incl. HTTP)")
+
+
 def cmd_stream(args) -> None:
     """Streaming long-video inference: tile -> chunked scan -> untile.
 
@@ -428,16 +474,6 @@ def cmd_stream(args) -> None:
     from tchvp_tpu.models import StreamingConfig, VideoHybridNet, make_streamer
     from tchvp_tpu.train import checkpoint as ckpt
 
-    scfg = StreamingConfig(
-        tile=args.tile, chunk_len=args.chunk_len, ctx_frames=args.ctx_frames
-    )
-    model = VideoHybridNet(
-        config=flagship_video_config(
-            image_size=args.tile,
-            num_experts=getattr(args, "num_experts", 0),
-        ),
-        dtype=jnp.bfloat16,
-    )
     if args.clippack:
         from tchvp_tpu.data.clippack import ClipPackDataset
 
@@ -453,6 +489,20 @@ def cmd_stream(args) -> None:
             for _ in range(n)
         ]
 
+    if getattr(args, "url", None):
+        _stream_remote(args.url, data)
+        return
+
+    scfg = StreamingConfig(
+        tile=args.tile, chunk_len=args.chunk_len, ctx_frames=args.ctx_frames
+    )
+    model = VideoHybridNet(
+        config=flagship_video_config(
+            image_size=args.tile,
+            num_experts=getattr(args, "num_experts", 0),
+        ),
+        dtype=jnp.bfloat16,
+    )
     example = jnp.zeros((1, 2, args.tile, args.tile, 3))
     variables = model.init(jax.random.PRNGKey(0), example)
     if args.checkpoint:
@@ -1610,6 +1660,11 @@ def main(argv=None) -> None:
         if name == "stream":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--url", default=None,
+                           help="stream through a remote `tchvp serve`d "
+                                "STREAMING artifact instead of locally: "
+                                "opens a /stream session, posts chunks, "
+                                "closes (carry lives server-side)")
             p.add_argument("--ema", action="store_true",
                            help="serve the EMA parameter average the "
                                 "optimizer carried (--ema-decay training) "

@@ -404,3 +404,45 @@ def test_streaming_sessions_end_to_end(tmp_path):
         assert e.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_cli_stream_url_client(tmp_path, capsys):
+    """`tchvp stream --url` drives a remote streaming session end to end
+    (open -> chunked posts -> close) and reports throughput."""
+    from tchvp_tpu.cli import main
+    from tchvp_tpu.infer.export import (
+        export_streaming_step,
+        save_artifact,
+        streaming_meta,
+    )
+
+    chunk_len, ctx = 2, 1
+    cfg = flagship_video_config(image_size=SIZE)
+    model = VideoHybridNet(config=cfg)
+    vs = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, chunk_len, SIZE, SIZE, 3))
+    )
+    exported, w = export_streaming_step(
+        model, vs, chunk_len=chunk_len, ctx_frames=ctx, image_size=SIZE
+    )
+    path = str(tmp_path / "c.tchvp")
+    save_artifact(path, exported, w, meta=streaming_meta(
+        chunk_len=chunk_len, ctx_frames=ctx, image_size=SIZE, batch=1,
+        tokens_per_frame=cfg.tokens_per_frame,
+    ))
+    srv = serve_artifact(path, port=0)
+    srv.start()
+    try:
+        url = f"http://{srv.address[0]}:{srv.port}"
+        main([
+            "stream", "--url", url, "--synthetic", "1", "--batch-size", "1",
+            "--clip-len", "4", "--height", str(SIZE), "--width", str(SIZE),
+        ])
+        out = capsys.readouterr().out
+        assert "stream session" in out
+        assert "streamed 4 frames" in out
+        # The session was closed by the client.
+        health = json.loads(urllib.request.urlopen(f"{url}/health").read())
+        assert health["streams"] == 0 and health["requests"] == 2
+    finally:
+        srv.shutdown()
