@@ -73,6 +73,30 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="host:port of process 0 for jax.distributed")
     p.add_argument("--num-processes", type=int, default=1)
     p.add_argument("--process-id", type=int, default=0)
+    # Beyond-reference augmentation suite (pipeline.py::augment_geometric,
+    # denoise/video training); all off by default = reference math.
+    p.add_argument("--rot90-prob", type=float, default=0.0,
+                   help="per-sample k*90-degree rotation probability")
+    p.add_argument("--crop-prob", type=float, default=0.0,
+                   help="per-sample random-crop-resize probability")
+    p.add_argument("--crop-frac", type=float, default=0.875,
+                   help="crop fraction for --crop-prob")
+    p.add_argument("--jitter-prob", type=float, default=0.0,
+                   help="per-sample color-jitter probability")
+    p.add_argument("--jitter-strength", type=float, default=0.2)
+
+
+def _aug_cfg(args):
+    """AugmentConfig with the beyond-reference knobs from the CLI."""
+    from tchvp_tpu.config import AugmentConfig
+
+    return AugmentConfig(
+        rot90_prob=args.rot90_prob,
+        crop_prob=args.crop_prob,
+        crop_frac=args.crop_frac,
+        jitter_prob=args.jitter_prob,
+        jitter_strength=args.jitter_strength,
+    )
 
 
 def _train_cfg_kwargs(args):
@@ -213,7 +237,8 @@ def cmd_denoise(args) -> None:
         **_train_cfg_kwargs(args),
     )
     train, val, test = _image_data(args, supervised=False)
-    flow = DenoisingFlow(cfg=cfg, image_size=args.image_size, mesh=_mesh(args))
+    flow = DenoisingFlow(cfg=cfg, image_size=args.image_size,
+                         aug=_aug_cfg(args), mesh=_mesh(args))
     _record_run(args)
     flow.fit(train, val or train, test, epochs=args.epochs, lr=args.lr)
 
@@ -382,6 +407,7 @@ def cmd_video(args) -> None:
         qat=args.qat, qat_dense=args.qat_dense,
         seq_axis=args.seq_axis,
         sp_axis=args.sp_axis,
+        aug=_aug_cfg(args),
     )
     start = flow.resume(args.clip_len, data=data) if args.resume else 0
     _record_run(args)

@@ -302,6 +302,14 @@ class AugmentConfig:
     max_blackout_patches: int = 3
     blackout_size: int = 16
     test_blackout_size: int = 32
+    # Beyond-reference suite (data/pipeline.py::augment_geometric),
+    # applied to the CLEAN image before corruption so targets stay
+    # consistent. All OFF by default = exact reference augmentation.
+    rot90_prob: float = 0.0  # per-sample k*90-degree rotation
+    crop_prob: float = 0.0  # per-sample fixed-fraction crop, resized back
+    crop_frac: float = 0.875
+    jitter_prob: float = 0.0  # brightness/contrast/saturation
+    jitter_strength: float = 0.2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,6 +91,108 @@ def random_blackout(
     return x * mask[..., None]
 
 
+def random_rot90(key: jax.Array, x: jnp.ndarray, prob: float) -> jnp.ndarray:
+    """Per-sample rotation by a random multiple of 90 degrees (square
+    images). Static shapes: all four rotations are materialized and a
+    per-sample k in {0,1,2,3} selects — 3 extra elementwise copies on
+    the augmentation path, zero dynamic shapes for XLA."""
+    if x.shape[-3] != x.shape[-2]:
+        raise ValueError("random_rot90 needs square spatial dims")
+    b = x.shape[0]
+    k_gate, k_k = jax.random.split(key)
+    ks = jax.random.randint(k_k, (b,), 0, 4)
+    ks = jnp.where(jax.random.bernoulli(k_gate, prob, (b,)), ks, 0)
+    sel = ks.reshape((b,) + (1,) * (x.ndim - 1))
+    out = x
+    for k in (1, 2, 3):
+        out = jnp.where(sel == k, jnp.rot90(x, k, axes=(-3, -2)), out)
+    return out
+
+
+def random_crop_resize(
+    key: jax.Array, x: jnp.ndarray, prob: float, frac: float
+) -> jnp.ndarray:
+    """Per-sample random crop of a FIXED fraction, resized back.
+
+    The crop size is static (``frac`` of H/W); only the offsets are
+    random, so shapes stay compile-time constant. For clips the crop is
+    shared across the sample's frames (one geometry per video)."""
+    h, w = x.shape[-3], x.shape[-2]
+    ch, cw = max(int(round(h * frac)), 1), max(int(round(w * frac)), 1)
+    if (ch, cw) == (h, w):
+        return x
+    b = x.shape[0]
+    k_gate, k_off = jax.random.split(key)
+    offs = jnp.stack(
+        [
+            jax.random.randint(k_off, (b,), 0, h - ch + 1),
+            jax.random.randint(jax.random.fold_in(k_off, 1), (b,), 0, w - cw + 1),
+        ],
+        axis=-1,
+    )
+
+    def crop_one(img: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
+        starts = (0,) * (img.ndim - 3) + (off[0], off[1], 0)
+        sizes = img.shape[:-3] + (ch, cw, img.shape[-1])
+        return jax.lax.dynamic_slice(img, starts, sizes)
+
+    cropped = jax.vmap(crop_one)(x, offs)
+    resized = resize_bilinear(cropped, (h, w))
+    gate = jax.random.bernoulli(k_gate, prob, (b,)).reshape(
+        (b,) + (1,) * (x.ndim - 1)
+    )
+    return jnp.where(gate, resized.astype(x.dtype), x)
+
+
+def color_jitter(
+    key: jax.Array, x: jnp.ndarray, prob: float, strength: float
+) -> jnp.ndarray:
+    """Per-sample brightness / contrast / saturation jitter on [0,1]
+    images (torchvision ColorJitter semantics, elementwise — XLA fuses
+    the whole chain into one pass)."""
+    b = x.shape[0]
+    k_gate, kb, kc, ks = jax.random.split(key, 4)
+    shape = (b,) + (1,) * (x.ndim - 1)
+    bright = jax.random.uniform(
+        kb, shape, x.dtype, -strength, strength
+    )
+    contrast = jax.random.uniform(
+        kc, shape, x.dtype, 1.0 - strength, 1.0 + strength
+    )
+    sat = jax.random.uniform(
+        ks, shape, x.dtype, 1.0 - strength, 1.0 + strength
+    )
+    gray = x.mean(axis=-1, keepdims=True)
+    y = (x - gray) * sat + gray
+    mean = y.mean(axis=tuple(range(1, x.ndim)), keepdims=True)
+    y = (y - mean) * contrast + mean + bright
+    y = jnp.clip(y, 0.0, 1.0)
+    gate = jax.random.bernoulli(k_gate, prob, (b,)).reshape(shape)
+    return jnp.where(gate, y, x)
+
+
+def augment_geometric(
+    key: jax.Array,
+    clean: jnp.ndarray,
+    cfg: AugmentConfig = AugmentConfig(),
+) -> jnp.ndarray:
+    """Beyond-reference augmentation suite (all OFF by default — the
+    reference's chain is exactly :func:`augment_denoising`): per-sample
+    rot90 / fixed-fraction crop-resize / color jitter, applied to the
+    CLEAN image BEFORE corruption so reconstruction targets stay
+    consistent with inputs."""
+    if cfg.rot90_prob > 0.0:
+        key, k = jax.random.split(key)
+        clean = random_rot90(k, clean, cfg.rot90_prob)
+    if cfg.crop_prob > 0.0:
+        key, k = jax.random.split(key)
+        clean = random_crop_resize(k, clean, cfg.crop_prob, cfg.crop_frac)
+    if cfg.jitter_prob > 0.0:
+        key, k = jax.random.split(key)
+        clean = color_jitter(k, clean, cfg.jitter_prob, cfg.jitter_strength)
+    return clean
+
+
 def augment_denoising(
     key: jax.Array,
     image: jnp.ndarray,

@@ -594,6 +594,7 @@ class VideoFlow(_FlowBase):
         qat_dense: bool = False,
         seq_axis: Optional[str] = None,
         sp_axis: Optional[str] = None,
+        aug: AugmentConfig = AugmentConfig(),
     ):
         super().__init__(cfg, mesh)
         self.model = model
@@ -611,7 +612,7 @@ class VideoFlow(_FlowBase):
         # model config's ResNetAEConfig.sp_axis).
         self.sp_axis = sp_axis
         self._train_step = self._under_mesh(steps_lib.make_video_train_step(
-            image_size, cfg.loss, loss_alpha, loss_beta, remat=remat,
+            image_size, cfg.loss, loss_alpha, loss_beta, aug=aug, remat=remat,
             remat_policy=remat_policy,
             data_range=cfg.mixed_data_range,
             moe_aux_weight=cfg.moe_aux_weight,

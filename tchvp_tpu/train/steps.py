@@ -109,7 +109,10 @@ def make_denoising_train_step(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
         clean = pipeline.preprocess_images(batch, image_size)
-        rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+        rng, k_geo, k_aug, k_drop = jax.random.split(state.rng, 4)
+        # Beyond-reference geometric/photometric augs hit the CLEAN image
+        # (input AND target move together); all off by default.
+        clean = pipeline.augment_geometric(k_geo, clean, aug)
         corrupted = pipeline.augment_denoising(k_aug, clean, aug)
 
         def loss_of(params):
@@ -234,6 +237,7 @@ def make_video_train_step(
     alpha: float = 0.3,
     beta: float = 0.7,
     noise_std: float = 0.05,
+    aug: AugmentConfig = AugmentConfig(),
     remat: bool = False,
     remat_policy: str = "none",
     data_range: float = 1.0,
@@ -365,7 +369,10 @@ def make_video_train_step(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
         clean = pipeline.preprocess_clip(batch, image_size)
-        rng, k_noise, k_drop = jax.random.split(state.rng, 3)
+        rng, k_geo, k_noise, k_drop = jax.random.split(state.rng, 4)
+        # Beyond-reference geometric/photometric augs on the CLEAN clip
+        # (one geometry per video, shared across frames); off by default.
+        clean = pipeline.augment_geometric(k_geo, clean, aug)
         noisy = pipeline.gaussian_noise(k_noise, clean, noise_std)
 
         if accum_steps <= 1:
