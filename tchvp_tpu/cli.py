@@ -1155,16 +1155,42 @@ def cmd_export(args) -> None:
         if args.model != "hybrid":
             raise SystemExit("export --streaming applies to --model hybrid")
         if args.int8:
-            raise SystemExit("export --streaming + --int8 not supported yet")
-        exported, weights = export_lib.export_streaming_step(
-            model, variables,
-            chunk_len=args.chunk_len, ctx_frames=args.ctx_frames,
-            image_size=size, batch=args.stream_batch, platforms=platforms,
-        )
+            import numpy as np
+
+            from tchvp_tpu.data.pipeline import preprocess_clip
+            from tchvp_tpu.infer import Int8Engine
+
+            data = _clip_data(args, size)
+            try:
+                first = next(iter(data))
+            except StopIteration:
+                raise SystemExit("export --int8: no batches to calibrate on")
+            calib = preprocess_clip(
+                jnp.asarray(np.asarray(first, dtype=np.uint8)), size,
+                dtype=jnp.bfloat16,
+            )
+            engine = Int8Engine(
+                model, variables, quantize_dense=args.int8_dense
+            ).calibrate([calib])
+            print(f"int8: {len(engine.scales)} layers quantized, "
+                  f"{engine.psnr_vs(calib):.1f} dB vs bf16")
+            exported, weights = export_lib.export_int8_streaming_step(
+                engine,
+                chunk_len=args.chunk_len, ctx_frames=args.ctx_frames,
+                image_size=size, batch=args.stream_batch,
+                platforms=platforms,
+            )
+        else:
+            exported, weights = export_lib.export_streaming_step(
+                model, variables,
+                chunk_len=args.chunk_len, ctx_frames=args.ctx_frames,
+                image_size=size, batch=args.stream_batch, platforms=platforms,
+            )
         export_lib.save_artifact(
             args.out, exported, weights,
             meta={
                 "model": args.model, "checkpoint": args.checkpoint or "",
+                "int8": bool(args.int8),
                 **export_lib.streaming_meta(
                     chunk_len=args.chunk_len, ctx_frames=args.ctx_frames,
                     image_size=size, batch=args.stream_batch,
@@ -1175,7 +1201,8 @@ def cmd_export(args) -> None:
         import os as _os
 
         print(
-            f"exported STREAMING {args.model} {size}px "
+            f"exported STREAMING{' int8' if args.int8 else ''} "
+            f"{args.model} {size}px "
             f"chunk {args.chunk_len}f ctx {args.ctx_frames}f -> {args.out} "
             f"({_os.path.getsize(args.out) / 1e6:.1f} MB, "
             f"platforms {list(exported.platforms)}) — serve it and POST "

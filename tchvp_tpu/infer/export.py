@@ -355,23 +355,26 @@ def export_streaming_step(
     ctx_tokens = ctx_frames * tpf
     d = (image_size // 4) ** 2
 
+    # Wire dtype for the carry is ALWAYS float32 (lossless from bf16):
+    # clients/servers hold it in plain numpy between chunks.
     def fn(weights, carry, chunk):
         x = pipeline.preprocess_clip(chunk, image_size)
         tokens, hw = model.apply(weights, x, method=_V.encode_clip)
         if ctx_tokens:
             mixed = model.apply(
-                weights, jnp.concatenate([carry, tokens], axis=1),
+                weights,
+                jnp.concatenate([carry.astype(tokens.dtype), tokens], axis=1),
                 method=_V.temporal_mix,
             )
             out_tokens = mixed[:, ctx_tokens:]
-            new_carry = tokens[:, -ctx_tokens:]
+            new_carry = tokens[:, -ctx_tokens:].astype(jnp.float32)
         else:
             out_tokens = model.apply(weights, tokens, method=_V.temporal_mix)
             new_carry = carry
         recon = model.apply(weights, out_tokens, hw, method=_V.decode_tokens)
         return new_carry, recon
 
-    carry0 = jnp.zeros((batch, ctx_tokens, d), model.dtype)
+    carry0 = jnp.zeros((batch, ctx_tokens, d), jnp.float32)
     chunk0 = jnp.zeros(
         (batch, chunk_len, image_size, image_size, 3), jnp.uint8
     )
@@ -383,6 +386,73 @@ def export_streaming_step(
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
     exported = jax_export.export(jitted, **kw)(*specs)
     return exported, variables
+
+
+def export_int8_streaming_step(
+    engine,
+    *,
+    chunk_len: int,
+    ctx_frames: int,
+    image_size: int,
+    batch: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> Tuple[jax_export.Exported, Any]:
+    """int8 PTQ version of :func:`export_streaming_step`: the carry step
+    runs through the calibrated :class:`Int8Engine`'s interceptor (int8
+    conv/dense math, activation scales frozen into the HLO), weights ride
+    as ``{"qparams", "variables"}`` like :func:`export_int8_video_model`.
+    """
+    from tchvp_tpu.data import pipeline
+    from tchvp_tpu.models.streaming import VideoHybridNet as _V
+
+    if engine.qparams is None:
+        raise ValueError("engine is not calibrated (call calibrate() first)")
+    model = engine.model
+    if ctx_frames > chunk_len:
+        raise ValueError("ctx_frames must be <= chunk_len")
+    tpf = model.config.tokens_per_frame
+    ctx_tokens = ctx_frames * tpf
+    d = (image_size // 4) ** 2
+
+    def fn(weights, carry, chunk):
+        x = pipeline.preprocess_clip(chunk, image_size, dtype=compute_dtype)
+        with engine.intercepting(weights["qparams"]):
+            variables = weights["variables"]
+            tokens, hw = model.apply(variables, x, method=_V.encode_clip)
+            if ctx_tokens:
+                mixed = model.apply(
+                    variables,
+                    jnp.concatenate(
+                        [carry.astype(tokens.dtype), tokens], axis=1
+                    ),
+                    method=_V.temporal_mix,
+                )
+                out_tokens = mixed[:, ctx_tokens:]
+                new_carry = tokens[:, -ctx_tokens:].astype(jnp.float32)
+            else:
+                out_tokens = model.apply(
+                    variables, tokens, method=_V.temporal_mix
+                )
+                new_carry = carry
+            recon = model.apply(
+                variables, out_tokens, hw, method=_V.decode_tokens
+            )
+        return new_carry, recon
+
+    weights = {"qparams": engine.qparams, "variables": engine.variables}
+    carry0 = jnp.zeros((batch, ctx_tokens, d), jnp.float32)
+    chunk0 = jnp.zeros(
+        (batch, chunk_len, image_size, image_size, 3), jnp.uint8
+    )
+    jitted = jax.jit(fn)
+    specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        (weights, carry0, chunk0),
+    )
+    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jax_export.export(jitted, **kw)(*specs)
+    return exported, weights
 
 
 def streaming_meta(

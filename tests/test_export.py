@@ -328,3 +328,61 @@ def test_streaming_artifact_matches_stream_clip(tmp_path):
 
     with pytest.raises(TypeError, match="streaming artifact"):
         m(clip)
+
+
+def test_int8_streaming_artifact(tmp_path):
+    """export --streaming --int8: the carry step runs through the
+    calibrated Int8Engine; chunked int8 serving stays faithful to the fp
+    streaming path (>= 25 dB on random data) and threads its carry."""
+    import numpy as np
+
+    from tchvp_tpu.config import flagship_video_config
+    from tchvp_tpu.data.pipeline import preprocess_clip
+    from tchvp_tpu.infer import Int8Engine
+    from tchvp_tpu.infer import export as export_lib
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.models.streaming import stream_clip
+
+    size, chunk_len, ctx = 32, 2, 1
+    model = VideoHybridNet(
+        config=flagship_video_config(image_size=size), dtype=jnp.bfloat16
+    )
+    vs = model.init(jax.random.PRNGKey(0), jnp.zeros((1, chunk_len, size, size, 3)))
+    clip = np.random.default_rng(0).integers(
+        0, 255, (1, 4, size, size, 3), dtype=np.uint8
+    )
+    calib = preprocess_clip(jnp.asarray(clip[:, :chunk_len]), size,
+                            dtype=jnp.bfloat16)
+    engine = Int8Engine(model, vs).calibrate([calib])
+
+    exported, w = export_lib.export_int8_streaming_step(
+        engine, chunk_len=chunk_len, ctx_frames=ctx, image_size=size
+    )
+    path = str(tmp_path / "sq.tchvp")
+    export_lib.save_artifact(path, exported, w, meta={
+        "int8": True,
+        **export_lib.streaming_meta(
+            chunk_len=chunk_len, ctx_frames=ctx, image_size=size,
+            batch=1, tokens_per_frame=model.config.tokens_per_frame,
+        ),
+    })
+    m = export_lib.load_artifact(path)
+    assert isinstance(m, export_lib.StreamingServingModel)
+
+    carry = m.init_carry()
+    outs = []
+    for start in range(0, 4, chunk_len):
+        new_carry, recon = m.step(carry, clip[:, start:start + chunk_len])
+        assert not np.array_equal(np.asarray(new_carry), np.asarray(carry))
+        carry = new_carry
+        outs.append(np.asarray(recon, np.float32))
+    got = np.concatenate(outs, axis=1)
+
+    want = np.asarray(stream_clip(
+        model, vs, preprocess_clip(jnp.asarray(clip), size, dtype=jnp.bfloat16),
+        chunk_len, ctx_frames=ctx,
+    ), np.float32)
+    mse = float(np.mean((got - want) ** 2))
+    rng_ = float(want.max() - want.min())
+    psnr = 20 * np.log10(max(rng_, 1e-9)) - 10 * np.log10(max(mse, 1e-12))
+    assert psnr >= 25.0, f"int8 streaming fidelity too low: {psnr:.1f} dB"
