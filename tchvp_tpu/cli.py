@@ -711,6 +711,27 @@ def cmd_infer(args) -> None:
     )
     data = _clip_data(args, size)
 
+    # Serving meshes: "data" splits the batch over devices (plain GSPMD
+    # dp), "pipe" runs the temporal transformer as a GPipe pipeline
+    # (parallel/pipeline.py::pipelined_video_infer) — the model-bigger-
+    # than-one-chip serving shape. They compose: --mesh data=2,pipe=2.
+    mesh = _mesh(args)
+    mesh_axes = dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else {}
+    bad = {k for k, v in mesh_axes.items()
+           if k not in ("data", "pipe") and v > 1}
+    if bad:
+        raise SystemExit(f"infer: unsupported mesh axes {sorted(bad)} "
+                         f"(infer supports data= and pipe=)")
+    pipe_axis = "pipe" if mesh_axes.get("pipe", 1) > 1 else None
+    batch_axis = "data" if mesh_axes.get("data", 1) > 1 else None
+    if pipe_axis and args.microbatch:
+        raise SystemExit("infer: --microbatch and --mesh pipe=N don't "
+                         "compose (the pipeline already microbatches)")
+    if pipe_axis and args.int8:
+        raise SystemExit("infer: --int8 and --mesh pipe=N don't compose "
+                         "(the pipelined transformer bypasses the module "
+                         "interceptor); use --mesh data=N for int8 dp")
+
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 2, size, size, 3))
     )
@@ -761,6 +782,13 @@ def cmd_infer(args) -> None:
             # inside the lax.map body too.
             if args.microbatch:
                 recon = microbatched_infer(model, v, clip, args.microbatch)
+            elif pipe_axis:
+                from tchvp_tpu.parallel import pipelined_video_infer
+
+                _, recon = pipelined_video_infer(
+                    model, v, clip, mesh=mesh, axis=pipe_axis,
+                    batch_axis=batch_axis,
+                )
             else:
                 _, recon = model.apply(v, clip, deterministic=True)
         clip32 = clip.astype(jnp.float32)
@@ -770,9 +798,18 @@ def cmd_infer(args) -> None:
         return recon, psnr
 
     qp = engine.qparams if engine is not None else 0
+    raw_sharding = None
+    if batch_axis:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        raw_sharding = NamedSharding(
+            mesh, PartitionSpec(batch_axis, None, None, None, None)
+        )
     frames, psnrs, t0 = 0, [], None
     for bi, batch in enumerate(data_iter):
         raw = jnp.asarray(np.asarray(batch, dtype=np.uint8))
+        if raw_sharding is not None:
+            raw = jax.device_put(raw, raw_sharding)
         recon, psnr = run(variables, qp, raw)
         psnrs.append(float(psnr))  # sync
         if t0 is None:
@@ -1573,6 +1610,13 @@ def main(argv=None) -> None:
         if name == "infer":
             p.add_argument("--clippack", default=None)
             p.add_argument("--checkpoint", default=None)
+            p.add_argument("--mesh", default=None,
+                           help="serving mesh as axis=size pairs; data= "
+                                "splits each batch over devices (GSPMD "
+                                "dp), pipe= runs the temporal transformer "
+                                "as a GPipe pipeline over stage devices "
+                                "(model bigger than one chip). Compose: "
+                                "--mesh data=2,pipe=2")
             p.add_argument("--ema", action="store_true",
                            help="serve the EMA parameter average the "
                                 "optimizer carried (--ema-decay training) "

@@ -8,8 +8,11 @@ from tchvp_tpu.parallel.fsdp import (
 )
 from tchvp_tpu.parallel.input import GlobalBatchLoader, sharded_clippack_loader
 from tchvp_tpu.parallel.pipeline import (
+    chain_stage_fn,
     extract_transformer_layers,
+    group_stages,
     pipeline_apply,
+    pipelined_video_infer,
     shard_stages,
     stack_layer_params,
     transformer_layer_fn,
@@ -48,8 +51,11 @@ __all__ = [
     "fsdp_leaf_spec",
     "shard_train_state",
     "state_shardings",
+    "chain_stage_fn",
     "extract_transformer_layers",
+    "group_stages",
     "pipeline_apply",
+    "pipelined_video_infer",
     "shard_stages",
     "stack_layer_params",
     "transformer_layer_fn",

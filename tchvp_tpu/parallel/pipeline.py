@@ -183,24 +183,39 @@ def extract_transformer_layers(variables: Any, num_layers: int) -> Any:
     return stack_layer_params(layers)
 
 
-def transformer_layer_fn(config) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
+def transformer_layer_fn(
+    config, dtype: Any = jnp.float32
+) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
     """One TransformerEncoder layer as a ``stage_fn`` for
     :func:`pipeline_apply` — the same math as
     ``models/transformer.py::TransformerEncoder`` body (deterministic
-    mode), reconstructed functionally so one stage = one layer."""
+    mode), reconstructed functionally so one stage = one layer.
+
+    ``dtype`` mirrors the flax modules' compute dtype: matmul operands
+    promote to it (fp32 params cast per-use, bf16 on the serving path)
+    while LayerNorm statistics stay fp32 — flax's ``promote_dtype`` /
+    ``_compute_stats`` behavior, so a pipelined bf16 flagship matches
+    ``model.apply(dtype=bf16)`` (pinned in tests/test_parallel.py)."""
     import math
 
     from tchvp_tpu.ops.attention import multi_head_attention
 
     def dense(p, x):
-        return x @ p["kernel"] + p["bias"]
+        return (
+            x.astype(dtype) @ p["kernel"].astype(dtype)
+            + p["bias"].astype(dtype)
+        )
 
     from tchvp_tpu.models.transformer import LN_EPS
 
     def layer_norm(p, x, eps=LN_EPS):
-        mu = x.mean(axis=-1, keepdims=True)
-        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
-        return (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
+        # Stats in fp32 regardless of compute dtype (flax _compute_stats).
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(axis=-1, keepdims=True)
+        var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        return y.astype(dtype)
 
     if config.seq_axis is not None:
         # A seq-sharded attention opens a second shard_map inside the
@@ -236,3 +251,123 @@ def transformer_layer_fn(config) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
         return x
 
     return fn
+
+
+def group_stages(stacked: Any, n_stages: int) -> Any:
+    """Regroup ``L`` stacked layers into ``n_stages`` stages of ``L/n``
+    consecutive layers each: leading dim ``(L, ...) -> (n_stages, L/n, ...)``.
+    Lets a deep layer stack pipeline over fewer devices than layers
+    (stage ``i`` owns layers ``[i*L/n, (i+1)*L/n)``, applied in order by
+    :func:`chain_stage_fn`)."""
+    leaves = jax.tree.leaves(stacked)
+    n_layers = leaves[0].shape[0]
+    if n_layers % n_stages:
+        raise ValueError(
+            f"{n_layers} layers not divisible into {n_stages} stages"
+        )
+    k = n_layers // n_stages
+    return jax.tree.map(
+        lambda t: t.reshape((n_stages, k) + t.shape[1:]), stacked
+    )
+
+
+def chain_stage_fn(
+    layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray], layers_per_stage: int
+) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
+    """Stage function applying ``layers_per_stage`` stacked layers in
+    sequence (params carry a leading layer dim of that size — the layout
+    :func:`group_stages` produces per stage)."""
+
+    def fn(p, x):
+        for i in range(layers_per_stage):
+            x = layer_fn(jax.tree.map(lambda t, _i=i: t[_i], p), x)
+        return x
+
+    return fn
+
+
+def pipelined_video_infer(
+    model: Any,
+    variables: Any,
+    clip: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    microbatches: Optional[int] = None,
+    batch_axis: Optional[str] = None,
+):
+    """Flagship ``VideoHybridNet`` forward with the temporal transformer
+    run as a GPipe pipeline over the ``axis`` mesh axis.
+
+    The CNN encoder/decoder run as ordinary (GSPMD-partitioned) batched
+    convs — they are per-frame and have no inter-stage structure to
+    pipeline; the depth lives in the temporal layer stack, whose
+    ``num_layers`` must divide into ``mesh.shape[axis]`` stages
+    (consecutive layers group when there are more layers than devices).
+    Deterministic (serving) mode: exactly ``model.apply``'s math — the
+    schedule is an execution strategy, not a math change (pinned in
+    tests/test_parallel.py). ``batch_axis`` keeps microbatch batch dims
+    sharded over a data axis (dp x pp).
+
+    Returns ``(tokens, recon)`` like ``model.apply(variables, clip)``.
+    """
+    from tchvp_tpu.models.video import VideoHybridNet, sinusoidal_posenc
+
+    cfg = model.config
+    tcfg = cfg.temporal
+    n = mesh.shape[axis]
+    if tcfg.num_layers % n:
+        raise ValueError(
+            f"{tcfg.num_layers} temporal layers over a {n}-device "
+            f"'{axis}' axis: num_layers must be a multiple of the stage "
+            f"count"
+        )
+
+    if microbatches is None:
+        # Largest feasible microbatch count <= the stage count: m must
+        # divide the batch, and each microbatch's batch dim must still
+        # split over the data axis when composing dp x pp.
+        d_size = mesh.shape[batch_axis] if batch_axis else 1
+        b = clip.shape[0]
+        feasible = [
+            m
+            for m in range(min(n, b), 0, -1)
+            if b % m == 0 and (b // m) % d_size == 0
+        ]
+        if not feasible:
+            raise ValueError(
+                f"batch {b} cannot split into microbatches over "
+                f"data axis size {d_size}"
+            )
+        microbatches = feasible[0]
+
+    tokens, hw = model.apply(
+        variables, clip, method=VideoHybridNet.encode_clip
+    )
+    if cfg.use_posenc:
+        s, d = tokens.shape[-2], tokens.shape[-1]
+        tokens = tokens + sinusoidal_posenc(s, d, dtype=tokens.dtype)[None]
+
+    stacked = extract_transformer_layers(
+        {"params": variables["params"]["temporal"]}, tcfg.num_layers
+    )
+    layer_fn = transformer_layer_fn(tcfg, dtype=model.dtype)
+    k = tcfg.num_layers // n
+    if k > 1:
+        stacked = group_stages(stacked, n)
+        stage_fn = chain_stage_fn(layer_fn, k)
+    else:
+        stage_fn = layer_fn
+    tokens = pipeline_apply(
+        stage_fn,
+        stacked,
+        tokens,
+        mesh=mesh,
+        axis=axis,
+        microbatches=microbatches,
+        batch_axis=batch_axis,
+    )
+    recon = model.apply(
+        variables, tokens, hw, method=VideoHybridNet.decode_tokens
+    )
+    return tokens, recon

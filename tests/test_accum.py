@@ -70,7 +70,10 @@ def test_accum_matches_manual_two_microbatch():
 
     def manual(params, bstats, rng, raw):
         clean = pipeline.preprocess_clip(raw, IMAGE)
-        rng, k_noise, k_drop = jax.random.split(rng, 3)
+        # Mirror the step's split exactly: it draws a geometry key even
+        # though default AugmentConfig applies no aug (identity).
+        rng, k_geo, k_noise, k_drop = jax.random.split(rng, 4)
+        del k_geo
         noisy = pipeline.gaussian_noise(k_noise, clean, 0.05)
         mb = clean.shape[0] // ACCUM
         ks = jax.random.split(k_drop, ACCUM)

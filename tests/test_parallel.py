@@ -727,6 +727,123 @@ def test_pipelined_transformer_matches_model(variant):
     )
 
 
+def _tiny_flagship(num_layers=2, image=32, dtype=jnp.float32):
+    from tchvp_tpu.config import (
+        ResNetAEConfig,
+        TransformerConfig,
+        VideoModelConfig,
+    )
+    from tchvp_tpu.models import VideoHybridNet
+
+    cfg = VideoModelConfig(
+        encoder=ResNetAEConfig(token_latent=True, dropout_rate=0.0),
+        temporal=TransformerConfig(
+            input_dim=(image // 4) ** 2,
+            hidden_dim=32,
+            num_layers=num_layers,
+            num_heads=4,
+            dropout_rate=0.0,
+        ),
+    )
+    return VideoHybridNet(config=cfg, dtype=dtype)
+
+
+@pytest.mark.parametrize("layers,pipe", [(2, 2), (4, 2)])
+def test_pipelined_video_infer_matches_apply(layers, pipe):
+    """The FLAGSHIP forward with the temporal stage pipelined (pp reaches
+    the production model, not just the bare transformer): ==
+    ``model.apply`` in deterministic mode, incl. posenc and the CNN
+    encoder/decoder around the pipeline. (4, 2) exercises layer grouping
+    (2 consecutive layers per stage)."""
+    from tchvp_tpu.parallel import pipelined_video_infer
+
+    model = _tiny_flagship(num_layers=layers)
+    rng = np.random.default_rng(7)
+    clip = jnp.asarray(rng.normal(size=(4, 2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    want_tokens, want_recon = model.apply(variables, clip, deterministic=True)
+
+    mesh = make_mesh(("pipe",), (pipe,), jax.devices()[:pipe])
+    with activate_mesh(mesh):
+        with dispatch_trace.capture() as seen:
+            got_tokens, got_recon = jax.jit(
+                lambda v, c: pipelined_video_infer(model, v, c, mesh=mesh)
+            )(variables, clip)
+    assert "pipeline_shard_map" in seen
+    np.testing.assert_allclose(
+        np.asarray(got_tokens), np.asarray(want_tokens), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_recon), np.asarray(want_recon), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pipelined_video_infer_bf16_matches_apply():
+    """The CLI serving configuration: dtype=bf16 model through the
+    pipeline must track ``model.apply`` in bf16 (transformer_layer_fn
+    mirrors flax's promote-to-dtype matmuls + fp32 LayerNorm stats;
+    caught live — fp32-param stages made the activation dtype drift
+    mid-pipeline and the hop buffer dtype-mismatched)."""
+    from tchvp_tpu.parallel import pipelined_video_infer
+
+    model = _tiny_flagship(num_layers=2, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    clip = jnp.asarray(rng.normal(size=(4, 2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    _, want_recon = model.apply(variables, clip, deterministic=True)
+
+    mesh = make_mesh(("pipe",), (2,), jax.devices()[:2])
+    with activate_mesh(mesh):
+        got_tokens, got_recon = jax.jit(
+            lambda v, c: pipelined_video_infer(model, v, c, mesh=mesh)
+        )(variables, clip)
+    assert got_tokens.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_recon, np.float32),
+        np.asarray(want_recon, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
+def test_pipelined_video_infer_dp_pp():
+    """dp x pp through the flagship: clip batch sharded over "data",
+    temporal activations hopping over "pipe", auto microbatch pick."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tchvp_tpu.parallel import pipelined_video_infer
+
+    model = _tiny_flagship(num_layers=2)
+    rng = np.random.default_rng(11)
+    clip = jnp.asarray(rng.normal(size=(4, 2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    _, want_recon = model.apply(variables, clip, deterministic=True)
+
+    mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
+    clip_sh = jax.device_put(
+        clip, NamedSharding(mesh, P("data", None, None, None, None))
+    )
+    with activate_mesh(mesh):
+        _, got_recon = jax.jit(
+            lambda v, c: pipelined_video_infer(
+                model, v, c, mesh=mesh, batch_axis="data"
+            )
+        )(variables, clip_sh)
+    np.testing.assert_allclose(
+        np.asarray(got_recon), np.asarray(want_recon), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pipelined_video_infer_rejects_indivisible_layers():
+    from tchvp_tpu.parallel import pipelined_video_infer
+
+    model = _tiny_flagship(num_layers=3)
+    clip = jnp.zeros((2, 2, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    mesh = make_mesh(("pipe",), (2,), jax.devices()[:2])
+    with pytest.raises(ValueError, match="multiple of the stage count"):
+        pipelined_video_infer(model, variables, clip, mesh=mesh)
+
+
 def test_pipeline_rejects_bad_stage_configs():
     """Guards: stage count must equal the pipe axis size (a mismatch
     would silently drop layers), and a seq-parallel stage config is an
