@@ -622,6 +622,8 @@ def test_pipeline_apply_matches_sequential():
         return t
 
     want, want_g = jax.value_and_grad(lambda t: (seq(layers, t) ** 2).sum())(x)
+    # Per-stage PARAM grads — what a pipelined training step consumes.
+    want_pg = jax.grad(lambda ps: (seq(ps, x) ** 2).sum())(layers)
 
     mesh = make_mesh(("pipe",), (4,), jax.devices()[:4])
 
@@ -635,13 +637,25 @@ def test_pipeline_apply_matches_sequential():
 
     with activate_mesh(mesh):
         with dispatch_trace.capture() as seen:
-            got, got_g = jax.jit(jax.value_and_grad(loss, argnums=1))(
-                stacked, x
-            )
+            got, (got_pg, got_g) = jax.jit(
+                jax.value_and_grad(loss, argnums=(0, 1))
+            )(stacked, x)
     assert "pipeline_shard_map" in seen
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(got_g), np.asarray(want_g), atol=1e-4
+    )
+    # Stacked param grads == per-layer sequential grads, stage by stage:
+    # the backward schedule loses nothing through the masked collect /
+    # psum replication (grads of stages a device doesn't own are zero
+    # locally and the stacked layout sums them back).
+    want_pg_stacked = stack_layer_params(want_pg)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4
+        ),
+        got_pg,
+        want_pg_stacked,
     )
 
 
