@@ -37,6 +37,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def schedule_ticks(microbatches: int, n_stages: int) -> int:
+    """GPipe tick count for ``M`` microbatches over ``P`` stages:
+    ``M + P - 1``. The bubble (idle) fraction is ``(P-1)/(M+P-1)`` —
+    the schedule's whole cost model, pinned by tests."""
+    return microbatches + n_stages - 1
+
+
+def pick_microbatches(
+    batch: int,
+    n_stages: int,
+    data_size: int = 1,
+    target_mult: int = 4,
+) -> int:
+    """Default microbatch count for a GPipe schedule.
+
+    Aims for ``target_mult * n_stages`` microbatches — at M = 4P the
+    bubble fraction ``(P-1)/(M+P-1)`` drops below 20 % (vs ~43-50 % at
+    the minimal M = P) — subject to feasibility: ``M`` must divide the
+    batch, and each microbatch's batch dim must still split over a
+    composed data axis of size ``data_size``. Returns the largest
+    feasible M <= min(batch, target_mult * n_stages); raises when the
+    batch cannot split over the data axis at all.
+    """
+    cap = min(batch, max(1, target_mult) * n_stages)
+    feasible = [
+        m
+        for m in range(cap, 0, -1)
+        if batch % m == 0 and (batch // m) % data_size == 0
+    ]
+    if not feasible:
+        raise ValueError(
+            f"batch {batch} cannot split into microbatches over "
+            f"data axis size {data_size}"
+        )
+    return feasible[0]
+
+
 def stack_layer_params(layer_params: Sequence[Any]) -> Any:
     """Stack per-layer param pytrees into one tree with a leading layer
     dim (layers must be structurally identical — true for repeated
@@ -65,16 +102,22 @@ def pipeline_apply(
     axis: str = "pipe",
     microbatches: Optional[int] = None,
     batch_axis: Optional[str] = None,
+    rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Run ``stage_fn`` P times over ``x`` as a P-stage GPipe pipeline.
 
     ``stage_fn(params_i, mb) -> mb``: ONE stage's computation on one
     microbatch (e.g. one transformer layer; activations must keep their
-    shape so they can hop between stages).
+    shape so they can hop between stages). With ``rng`` given, the stage
+    function is instead called as ``stage_fn(params_i, mb, key)`` with a
+    key folded from ``(tick, stage)`` — distinct per microbatch AND per
+    stage, the hook for dropout inside a pipelined TRAINING step.
     ``stacked_params``: pytree with leading dim P (see
     :func:`stack_layer_params`), sharded or shardable over ``axis``.
     ``x``: (B, ...) global batch; B must divide into ``microbatches``
-    (default: the pipe axis size, the minimum sensible choice).
+    (default: :func:`pick_microbatches` — the largest feasible count up
+    to ``4 * P``, keeping the GPipe bubble ``(P-1)/(M+P-1)`` under
+    ~20 % instead of the ~43-50 % a minimal ``M = P`` schedule idles).
     ``batch_axis``: optional data-parallel mesh axis — each microbatch's
     batch dim stays sharded over it (dp x pp composition).
 
@@ -92,18 +135,21 @@ def pipeline_apply(
             f"one stage per device required (group layers into {n} stage "
             f"functions, or use a {stages}-device axis)"
         )
-    m = microbatches or n
     b = x.shape[0]
+    if microbatches is None:
+        d_size = mesh.shape[batch_axis] if batch_axis else 1
+        microbatches = pick_microbatches(b, n, d_size)
+    m = microbatches
     if b % m:
         raise ValueError(f"batch {b} not divisible into {m} microbatches")
     mb = b // m
-    ticks = m + n - 1
+    ticks = schedule_ticks(m, n)
     # (M, mb, ...) microbatch-major layout.
     xs = x.reshape((m, mb) + x.shape[1:])
 
     fwd_perm = [(i, i + 1) for i in range(n - 1)]
 
-    def body(params_local, xs_local):
+    def body(params_local, xs_local, *rng_local):
         # params_local: this stage's params (leading dim 1).
         # xs_local: (M, mb, ...) microbatches, replicated over pipe.
         from tchvp_tpu.ops import dispatch_trace
@@ -125,7 +171,15 @@ def pipeline_apply(
             # whose results are never collected).
             feed = xs_local[jnp.minimum(t, m - 1)]
             inp = jnp.where(idx == 0, feed, recv)
-            act = stage_fn(params_i, inp)
+            if rng_local:
+                # (tick, stage)-unique key: one microbatch sees a fresh
+                # key at every stage, and no two microbatches share one.
+                key = jax.random.fold_in(
+                    jax.random.fold_in(rng_local[0], t), idx
+                )
+                act = stage_fn(params_i, inp, key)
+            else:
+                act = stage_fn(params_i, inp)
             # The last stage finished microbatch t-(n-1) this tick; write
             # unconditionally, keep the old buffer unless collecting.
             done = t - (n - 1)
@@ -148,12 +202,17 @@ def pipeline_apply(
     # Microbatches replicate over the pipe axis; their batch dim can stay
     # sharded over a data axis (dp x pp).
     x_spec = P(None, batch_axis, *([None] * (x.ndim - 1)))
+    in_specs = [p_spec, x_spec]
+    args = [stacked_params, xs]
+    if rng is not None:
+        in_specs.append(P(*([None] * rng.ndim)))  # replicated key
+        args.append(rng)
     out = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(p_spec, x_spec),
+        in_specs=tuple(in_specs),
         out_specs=x_spec,
-    )(stacked_params, xs)
+    )(*args)
     return out.reshape((b,) + x.shape[1:])
 
 
@@ -184,18 +243,26 @@ def extract_transformer_layers(variables: Any, num_layers: int) -> Any:
 
 
 def transformer_layer_fn(
-    config, dtype: Any = jnp.float32
-) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
+    config, dtype: Any = jnp.float32, dropout: bool = False
+) -> Callable[..., jnp.ndarray]:
     """One TransformerEncoder layer as a ``stage_fn`` for
     :func:`pipeline_apply` — the same math as
-    ``models/transformer.py::TransformerEncoder`` body (deterministic
-    mode), reconstructed functionally so one stage = one layer.
+    ``models/transformer.py::TransformerEncoder`` body, reconstructed
+    functionally so one stage = one layer.
 
     ``dtype`` mirrors the flax modules' compute dtype: matmul operands
     promote to it (fp32 params cast per-use, bf16 on the serving path)
     while LayerNorm statistics stay fp32 — flax's ``promote_dtype`` /
     ``_compute_stats`` behavior, so a pipelined bf16 flagship matches
-    ``model.apply(dtype=bf16)`` (pinned in tests/test_parallel.py)."""
+    ``model.apply(dtype=bf16)`` (pinned in tests/test_parallel.py).
+
+    ``dropout=True`` (with ``config.dropout_rate > 0``) returns a
+    TRAINING stage ``fn(p, x, key)``: attention-weight dropout plus the
+    per-layer output dropout of the flax module, keys split from the
+    per-(tick, stage) key :func:`pipeline_apply` folds. Same rates and
+    inverted-dropout math as the module; the draws themselves differ
+    (different key stream), which is the usual dropout contract —
+    parity against the monolithic step is pinned at rate 0."""
     import math
 
     from tchvp_tpu.ops.attention import multi_head_attention
@@ -227,7 +294,10 @@ def transformer_layer_fn(
             "layer fn from a config with seq_axis=None"
         )
 
-    def fn(p, x):
+    rate = config.dropout_rate
+    drop_active = dropout and rate > 0.0
+
+    def fn(p, x, key=None):
         d = x.shape[-1]
         a = p["attention"]
         q, k, v = (
@@ -235,12 +305,18 @@ def transformer_layer_fn(
         )
         if config.relu_qkv:
             q, k, v = jax.nn.relu(q), jax.nn.relu(k), jax.nn.relu(v)
+        k_attn = k_out = None
+        if drop_active:
+            k_attn, k_out = jax.random.split(key)
         attn = multi_head_attention(
             q, k, v, config.num_heads,
             impl=config.attn_impl,
             window_size=config.window_size,
             scale=1.0 / math.sqrt(d),
             seq_axis=config.seq_axis,
+            dropout_rate=rate if drop_active else 0.0,
+            dropout_rng=k_attn,
+            deterministic=not drop_active,
         )
         attn = dense(a["out_linear"], attn)
         x = x + layer_norm(p["norm"], attn)
@@ -248,6 +324,10 @@ def transformer_layer_fn(
         x = x + layer_norm(p["norm"], dense(p["ffn2"], h))
         if config.scale_out:
             x = x * jnp.asarray(np.sqrt(0.5), x.dtype)
+        if drop_active:
+            # flax nn.Dropout: inverted dropout on the layer output.
+            keep = jax.random.bernoulli(k_out, 1.0 - rate, x.shape)
+            x = jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
         return x
 
     return fn
@@ -272,18 +352,182 @@ def group_stages(stacked: Any, n_stages: int) -> Any:
 
 
 def chain_stage_fn(
-    layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray], layers_per_stage: int
-) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
+    layer_fn: Callable[..., jnp.ndarray],
+    layers_per_stage: int,
+    with_rng: bool = False,
+) -> Callable[..., jnp.ndarray]:
     """Stage function applying ``layers_per_stage`` stacked layers in
     sequence (params carry a leading layer dim of that size — the layout
-    :func:`group_stages` produces per stage)."""
+    :func:`group_stages` produces per stage). ``with_rng=True`` chains a
+    dropout-mode ``layer_fn(p, x, key)``, folding the stage key per
+    layer."""
 
-    def fn(p, x):
-        for i in range(layers_per_stage):
-            x = layer_fn(jax.tree.map(lambda t, _i=i: t[_i], p), x)
-        return x
+    if with_rng:
+
+        def fn(p, x, key):
+            for i in range(layers_per_stage):
+                x = layer_fn(
+                    jax.tree.map(lambda t, _i=i: t[_i], p),
+                    x,
+                    jax.random.fold_in(key, i),
+                )
+            return x
+
+    else:
+
+        def fn(p, x):
+            for i in range(layers_per_stage):
+                x = layer_fn(jax.tree.map(lambda t, _i=i: t[_i], p), x)
+            return x
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel TRAINING support: the flagship's parameters live in a
+# "pipelined layout" {"rest": <encoder/decoder flax subtrees>, "stages":
+# <stacked temporal layers, leading dim sharded over the pipe axis>} so the
+# stage weights AND their optimizer moments are stage-sharded; the train
+# step (train/steps.py::make_pipelined_video_train_step) differentiates
+# straight through pipeline_apply (grads pinned in tests/test_parallel.py).
+# The reference trains everything on one device (FCT.py:276, Model.py:17)
+# — this whole layer is build-new ⊕C.
+# ---------------------------------------------------------------------------
+
+
+def split_video_params(params: Any, num_layers: int) -> tuple:
+    """Split a ``VideoHybridNet`` flax param tree into
+    ``(rest, stacked_stages)``: ``rest`` keeps every non-temporal subtree
+    (encoder/decoder), ``stacked_stages`` is the temporal layer stack in
+    :func:`stack_layer_params` layout. Inverse: :func:`merge_video_params`."""
+    rest = {k: v for k, v in params.items() if k != "temporal"}
+    stacked = extract_transformer_layers(
+        {"params": params["temporal"]}, num_layers
+    )
+    return rest, stacked
+
+
+def merge_video_params(rest: Any, stacked: Any, num_layers: int) -> Any:
+    """Rebuild the flax param tree from the pipelined layout (``stacked``
+    may be stage-grouped ``(n_stages, layers_per_stage, ...)`` — see
+    :func:`group_stages`). Used for checkpoint interop, export, and the
+    parity tests that compare pipelined training to the monolithic step."""
+    lead = jax.tree.leaves(stacked)[0].shape[0]
+    if lead != num_layers:
+        stacked = jax.tree.map(
+            lambda t: t.reshape((num_layers,) + t.shape[2:]), stacked
+        )
+    temporal = {}
+    for i in range(num_layers):
+        layer = jax.tree.map(lambda t, _i=i: t[_i], stacked)
+        for part in ("norm", "attention", "ffn1", "ffn2"):
+            temporal[f"{part}_{i}"] = layer[part]
+    return {**rest, "temporal": temporal}
+
+
+def _stage_leaf_spec(x: Any, axis: str) -> P:
+    ndim = getattr(x, "ndim", 0)
+    return P(axis, *([None] * (ndim - 1))) if ndim else P()
+
+
+def pipeline_state_shardings(state: Any, mesh: Mesh, axis: str = "pipe") -> Any:
+    """NamedShardings for a pipelined-layout TrainState: every leaf whose
+    tree path passes through a ``"stages"`` key (the stacked stage params
+    AND their optimizer moments, which mirror the param structure) shards
+    its leading (stage) dim over ``axis``; everything else replicates."""
+
+    def is_stage_path(path) -> bool:
+        for p in path:
+            if getattr(p, "key", None) == "stages":
+                return True
+        return False
+
+    def one(path, x):
+        if is_stage_path(path):
+            return NamedSharding(mesh, _stage_leaf_spec(x, axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(one, state)
+
+
+def shard_pipeline_train_state(state: Any, mesh: Mesh, axis: str = "pipe") -> Any:
+    """Place a pipelined-layout TrainState: stage params + moments sharded
+    over ``axis``, the rest replicated (the pp counterpart of
+    :func:`tchvp_tpu.parallel.fsdp.shard_train_state`)."""
+    return jax.device_put(state, pipeline_state_shardings(state, mesh, axis))
+
+
+def constrain_stage_grads(grads: Any, mesh: Mesh, axis: str = "pipe") -> Any:
+    """Constrain the ``"stages"`` gradient subtree to the stage shardings
+    inside the jitted step, so GSPMD keeps the backward's stage grads and
+    the optimizer update stage-local (no all-gather of stage weights).
+    Records the ``pp_constrain`` dispatch marker (attestable gate)."""
+    from tchvp_tpu.ops import dispatch_trace
+
+    dispatch_trace.record("pp_constrain")
+    stages = jax.tree.map(
+        lambda g: jax.lax.with_sharding_constraint(
+            g, NamedSharding(mesh, _stage_leaf_spec(g, axis))
+        ),
+        grads["stages"],
+    )
+    return {**grads, "stages": stages}
+
+
+def create_pipelined_train_state(
+    model: Any,
+    example: jnp.ndarray,
+    tx: Any,
+    rng: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+):
+    """Init the flagship model and build a TrainState in the PIPELINED
+    param layout, stage leaves placed sharded over ``axis`` BEFORE
+    ``tx.init`` runs so the optimizer moments inherit the stage sharding.
+
+    The resulting state trains only through
+    :func:`tchvp_tpu.train.steps.make_pipelined_video_train_step`; use
+    :func:`merge_video_params` to convert back to the flax layout for
+    export/serving."""
+    from tchvp_tpu.train.state import TrainState, _dealias_opt_state
+
+    tcfg = model.config.temporal
+    n = mesh.shape[axis]
+    if tcfg.num_layers % n:
+        raise ValueError(
+            f"{tcfg.num_layers} temporal layers over a {n}-device "
+            f"'{axis}' axis: num_layers must be a multiple of the stage "
+            f"count"
+        )
+    if tcfg.num_experts >= 2:
+        raise ValueError(
+            "pipelined training supports the dense-FFN temporal form "
+            "only; use expert parallelism for MoE models"
+        )
+    if tcfg.seq_axis is not None:
+        raise ValueError(
+            "pp x sp inside a stage is unsupported: use seq_axis=None "
+            "for pipelined training"
+        )
+    variables = model.init(rng, example)
+    rest, stacked = split_video_params(variables["params"], tcfg.num_layers)
+    if tcfg.num_layers // n > 1:
+        stacked = group_stages(stacked, n)
+    stacked = shard_stages(stacked, mesh, axis)
+    params = {"rest": rest, "stages": stacked}
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=params,
+        tx=tx,
+        batch_stats=variables.get("batch_stats"),
+        rng=rng,
+    )
+    state = state.replace(
+        opt_state=_dealias_opt_state(state.params, state.opt_state)
+    )
+    return shard_pipeline_train_state(state, mesh, axis)
 
 
 def pipelined_video_infer(
@@ -324,22 +568,11 @@ def pipelined_video_infer(
         )
 
     if microbatches is None:
-        # Largest feasible microbatch count <= the stage count: m must
-        # divide the batch, and each microbatch's batch dim must still
-        # split over the data axis when composing dp x pp.
+        # Bubble-aware default: aim for 4x the stage count (see
+        # pick_microbatches) subject to divisibility over the batch and
+        # any composed data axis.
         d_size = mesh.shape[batch_axis] if batch_axis else 1
-        b = clip.shape[0]
-        feasible = [
-            m
-            for m in range(min(n, b), 0, -1)
-            if b % m == 0 and (b // m) % d_size == 0
-        ]
-        if not feasible:
-            raise ValueError(
-                f"batch {b} cannot split into microbatches over "
-                f"data axis size {d_size}"
-            )
-        microbatches = feasible[0]
+        microbatches = pick_microbatches(clip.shape[0], n, d_size)
 
     tokens, hw = model.apply(
         variables, clip, method=VideoHybridNet.encode_clip

@@ -659,6 +659,62 @@ def test_pipeline_apply_matches_sequential():
     )
 
 
+def test_pick_microbatches_kills_default_bubble():
+    """The default schedule must aim for M = 4P (bubble < 20 %), not the
+    minimal M = P (bubble 43 % at P=4) — the round-3 verdict's measured
+    idle fraction on the production infer path."""
+    from tchvp_tpu.parallel import pick_microbatches, schedule_ticks
+
+    # Plenty of batch: picks exactly 4P.
+    n = 4
+    m = pick_microbatches(32, n)
+    assert m == 16
+    bubble = (n - 1) / schedule_ticks(m, n)
+    assert bubble < 0.2
+    # Small batch: the whole batch becomes microbatches (m > n already
+    # beats the old default of min(n, b)).
+    assert pick_microbatches(8, 4) == 8
+    # dp x pp: each microbatch's batch dim must still split over data.
+    assert pick_microbatches(8, 4, data_size=2) == 4
+    # Indivisible batch falls to the largest divisor under the cap.
+    assert pick_microbatches(6, 4) == 6
+    assert pick_microbatches(5, 4) == 5
+    # Bubble fraction formula itself.
+    assert schedule_ticks(16, 4) == 19
+    with pytest.raises(ValueError, match="cannot split"):
+        pick_microbatches(3, 4, data_size=2)
+
+
+def test_pipeline_default_microbatches_parity():
+    """pipeline_apply with NO explicit microbatch count now runs the
+    bubble-aware M = 4P schedule — same math as the sequential
+    composition (the schedule is an execution strategy)."""
+    from tchvp_tpu.parallel import pipeline_apply, stack_layer_params
+
+    n_stages, b, d = 4, 32, 8
+    rng = np.random.default_rng(5)
+    layers = [
+        {"w": jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) / 3.0)}
+        for _ in range(n_stages)
+    ]
+    stacked = stack_layer_params(layers)
+    x = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+
+    def stage_fn(p, t):
+        return jnp.tanh(t @ p["w"])
+
+    want = x
+    for p in layers:
+        want = stage_fn(p, want)
+
+    mesh = make_mesh(("pipe",), (4,), jax.devices()[:4])
+    with activate_mesh(mesh):
+        got = jax.jit(
+            lambda s, t: pipeline_apply(stage_fn, s, t, mesh=mesh)
+        )(stacked, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_pipeline_composes_with_data_parallel():
     """dp x pp on a ("data", "pipe") mesh: microbatch batch dims stay
     sharded over "data" while activations hop over "pipe"."""
