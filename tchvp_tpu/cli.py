@@ -299,7 +299,9 @@ def _video_model(args):
     if args.model == "hybrid":
         return VideoHybridNet(config=flagship_video_config(
             args.image_size,
+            num_layers=getattr(args, "layers", 2),
             num_experts=getattr(args, "num_experts", 0),
+            router_top_k=getattr(args, "router_top_k", 1),
             attn_impl=getattr(args, "attn_impl", None) or "xla",
             window_size=getattr(args, "window", 0),
             ep_axis=getattr(args, "ep_axis", None),
@@ -386,6 +388,29 @@ def cmd_video(args) -> None:
     args.tp_axis = "model" if mesh_axes.get("model", 1) > 1 else None
     args.ep_axis = "expert" if mesh_axes.get("expert", 1) > 1 else None
     args.sp_axis = "spatial" if mesh_axes.get("spatial", 1) > 1 else None
+    # "pipe" -> pipeline-parallel TRAINING: the temporal transformer runs
+    # as a GPipe pipeline, stage params + optimizer moments stage-sharded
+    # (train/steps.py::make_pipelined_video_train_step). Composes with
+    # data=; the other model-side axes shard the very layers the pipeline
+    # stages own, so they are rejected up front.
+    pipe_axis = "pipe" if mesh_axes.get("pipe", 1) > 1 else None
+    if pipe_axis:
+        if args.model != "hybrid":
+            raise SystemExit("video: --mesh pipe=N needs --model hybrid "
+                             "(the temporal transformer is what pipelines)")
+        others = [a for a in ("seq", "model", "expert", "spatial")
+                  if mesh_axes.get(a, 1) > 1]
+        if others:
+            raise SystemExit(f"video: --mesh pipe=N composes with data= "
+                             f"only (got {others})")
+        if args.fsdp or args.qat or args.accum_steps > 1 or \
+                args.remat_policy != "none" or args.num_experts:
+            raise SystemExit("video: --mesh pipe=N does not compose with "
+                             "--fsdp/--qat/--accum-steps/--remat-policy/"
+                             "--num-experts")
+        if args.layers % mesh_axes["pipe"]:
+            raise SystemExit(f"video: --layers {args.layers} must be a "
+                             f"multiple of pipe={mesh_axes['pipe']}")
     if args.seq_axis and not args.window and args.attn_impl != "ring":
         raise SystemExit(
             "--mesh seq=N needs --window W (windowed/flash sequence "
@@ -407,6 +432,7 @@ def cmd_video(args) -> None:
         qat=args.qat, qat_dense=args.qat_dense,
         seq_axis=args.seq_axis,
         sp_axis=args.sp_axis,
+        pipe_axis=pipe_axis,
         aug=_aug_cfg(args),
     )
     start = flow.resume(args.clip_len, data=data) if args.resume else 0
@@ -1547,8 +1573,15 @@ def main(argv=None) -> None:
                                 "expert (MoE), spatial (conv stacks "
                                 "partitioned over frame rows — GSPMD "
                                 "halo exchanges, for resolutions one "
-                                "chip can't hold). Supersedes "
-                                "--data-parallel")
+                                "chip can't hold), pipe (GPipe pipeline-"
+                                "parallel TRAINING of the temporal "
+                                "transformer: stage params + optimizer "
+                                "moments stage-sharded; composes with "
+                                "data=). Supersedes --data-parallel")
+            p.add_argument("--layers", type=int, default=2,
+                           help="temporal transformer depth (hybrid "
+                                "model); must be a multiple of any "
+                                "--mesh pipe= stage count")
             p.add_argument("--attn-impl", default="xla",
                            choices=("xla", "flash", "windowed", "auto",
                                     "ring"),
@@ -1565,6 +1598,11 @@ def main(argv=None) -> None:
             p.add_argument("--moe-aux-weight", type=float, default=0.01,
                            help="load-balance aux-loss weight (with "
                                 "--num-experts)")
+            p.add_argument("--router-top-k", type=int, default=1,
+                           help="MoE routing fan-out: 1 = Switch top-1, "
+                                "2 = GShard top-2 (renormalized gates); "
+                                "training logs moe_drop_frac capacity "
+                                "telemetry either way")
             p.add_argument("--fsdp", action="store_true",
                            help="ZeRO-3: shard params + Adam moments over "
                                 "the data axis (parallel/fsdp.py); needs "

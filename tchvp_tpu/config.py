@@ -184,8 +184,12 @@ class TransformerConfig:
     # (ops/moe.py). 0 (default) keeps the reference math everywhere.
     num_experts: int = 0
     # Static per-expert slot headroom over the perfectly-balanced share;
-    # tokens past capacity fall through to the residual connection.
+    # tokens past capacity fall through to the residual connection (the
+    # per-layer dropped fraction is sown as MoE telemetry — ops/moe.py).
     expert_capacity_factor: float = 1.25
+    # Routing fan-out: 1 = Switch top-1 (default); 2 = GShard-style top-2
+    # with renormalized gates (ops/moe.py::MoEFFN.top_k).
+    router_top_k: int = 1
     # Mesh axis for TRUE expert parallelism: expert weights shard over
     # this axis (shard_map; one psum combines the disjoint partial
     # outputs). No-op without an ambient mesh carrying the axis.
@@ -200,6 +204,7 @@ def flagship_video_config(
     attn_impl: str = "xla",
     window_size: int = 0,
     num_experts: int = 0,
+    router_top_k: int = 1,
     ep_axis: Optional[str] = None,
     seq_axis: Optional[str] = None,
     tp_axis: Optional[str] = None,
@@ -228,6 +233,7 @@ def flagship_video_config(
             attn_impl=attn_impl,
             window_size=window_size,
             num_experts=num_experts,
+            router_top_k=router_top_k,
             ep_axis=ep_axis,
             seq_axis=seq_axis,
             tp_axis=tp_axis,

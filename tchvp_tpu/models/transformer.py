@@ -175,6 +175,7 @@ class TransformerEncoder(nn.Module):
                     num_experts=cfg.num_experts,
                     hidden_dim=cfg.hidden_dim,
                     capacity_factor=cfg.expert_capacity_factor,
+                    top_k=cfg.router_top_k,
                     ep_axis=cfg.ep_axis,
                     name=f"moe_{layer}",
                     dtype=dt,

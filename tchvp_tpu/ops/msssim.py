@@ -128,11 +128,21 @@ def nn_relu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/2 average pool with edge-padding for odd dims (pytorch_msssim pads
-    with zeros via F.avg_pool2d padding; even-size inputs are unaffected)."""
+    """2x2/2 average pool matching ``F.avg_pool2d(kernel_size=2,
+    padding=[H%2, W%2])`` — what pytorch_msssim downsamples with.
+
+    torch's ``padding`` pads BOTH sides with zeros and counts them in the
+    average (``count_include_pad=True``); with stride 2 the bottom/right
+    pad row never enters a window, so this equals a zero-pad at the TOP/
+    LEFT only. The first window of an odd dim is ``(0 + x0) / 4`` — NOT
+    an edge-replicated or cropped pool (round-4 fidelity fix: the old
+    bottom/right padding silently diverged from the reference library on
+    odd intermediate sizes, e.g. any 250px input at scale 2). Even-size
+    inputs are unaffected.
+    """
     b, h, w, c = x.shape
     if h % 2 or w % 2:
-        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (h % 2, 0), (w % 2, 0), (0, 0)))
     import flax.linen as nn_mod
 
     return nn_mod.avg_pool(x, window_shape=(2, 2), strides=(2, 2))

@@ -594,6 +594,8 @@ class VideoFlow(_FlowBase):
         qat_dense: bool = False,
         seq_axis: Optional[str] = None,
         sp_axis: Optional[str] = None,
+        pipe_axis: Optional[str] = None,
+        pipe_microbatches: Optional[int] = None,
         aug: AugmentConfig = AugmentConfig(),
     ):
         super().__init__(cfg, mesh)
@@ -611,6 +613,51 @@ class VideoFlow(_FlowBase):
         # conv_constrain'd stacks start from local rows (must match the
         # model config's ResNetAEConfig.sp_axis).
         self.sp_axis = sp_axis
+        # Pipeline-parallel training: the temporal transformer runs as a
+        # GPipe pipeline over this mesh axis, with stage params AND
+        # optimizer moments stage-sharded
+        # (parallel/pipeline.py::create_pipelined_train_state). The
+        # params live in the pipelined layout for the whole run, so the
+        # step factories and checkpoints switch together.
+        self.pipe_axis = pipe_axis
+        if pipe_axis:
+            if mesh is None or pipe_axis not in mesh.shape:
+                raise ValueError(
+                    f"pipe_axis={pipe_axis!r} needs a mesh carrying that axis"
+                )
+            incompatible = {
+                "fsdp_axis": fsdp_axis, "qat": qat, "seq_axis": seq_axis,
+                "sp_axis": sp_axis,
+                "accum_steps>1": accum_steps > 1,
+                "remat": remat or remat_policy != "none",
+                "moe_aux_weight": cfg.moe_aux_weight,
+            }
+            on = [k for k, v in incompatible.items() if v]
+            if on:
+                raise ValueError(
+                    f"pipe_axis does not compose with {on} (pipelined "
+                    "training supports the dense flagship + optional "
+                    "data axis)"
+                )
+            batch_axis = (
+                "data" if dict(zip(mesh.axis_names, mesh.devices.shape))
+                .get("data", 1) > 1 else None
+            )
+            self._train_step = self._under_mesh(
+                steps_lib.make_pipelined_video_train_step(
+                    image_size, model, mesh, axis=pipe_axis,
+                    batch_axis=batch_axis,
+                    microbatches=pipe_microbatches,
+                    loss=cfg.loss, alpha=loss_alpha, beta=loss_beta,
+                    data_range=cfg.mixed_data_range, aug=aug,
+                ))
+            self._eval_step = self._under_mesh(
+                steps_lib.make_pipelined_video_eval_step(
+                    image_size, model, mesh, axis=pipe_axis,
+                    batch_axis=batch_axis,
+                    microbatches=pipe_microbatches,
+                ))
+            return
         self._train_step = self._under_mesh(steps_lib.make_video_train_step(
             image_size, cfg.loss, loss_alpha, loss_beta, aug=aug, remat=remat,
             remat_policy=remat_policy,
@@ -624,6 +671,13 @@ class VideoFlow(_FlowBase):
             image_size, qat=qat, qat_dense=qat_dense
         ))
 
+    def _replicate(self, state):
+        if self.pipe_axis and self.mesh is not None:
+            from tchvp_tpu.parallel import shard_pipeline_train_state
+
+            return shard_pipeline_train_state(state, self.mesh, self.pipe_axis)
+        return super()._replicate(state)
+
     def init_state(self, clip_len: int, lr: Optional[float] = None) -> TrainState:
         cfg = self.cfg
         tx = make_optimizer(lr or cfg.lr, cfg.weight_decay, grad_clip_norm=1.0,
@@ -632,6 +686,14 @@ class VideoFlow(_FlowBase):
                             ema_decay=cfg.ema_decay,
                             optimizer=cfg.optimizer)
         example = jnp.zeros((1, clip_len, self.image_size, self.image_size, 3))
+        if self.pipe_axis:
+            from tchvp_tpu.parallel import create_pipelined_train_state
+
+            self.state = create_pipelined_train_state(
+                self.model, example, tx, jax.random.PRNGKey(cfg.seed),
+                mesh=self.mesh, axis=self.pipe_axis,
+            )
+            return self.state
         self.state = self._replicate(
             create_train_state(self.model, example, tx, jax.random.PRNGKey(cfg.seed))
         )
@@ -731,7 +793,9 @@ class VideoFlow(_FlowBase):
         if self.state is None:
             self.init_state(clip_len)
         for epoch in range(start_epoch + 1, epochs + 1):
-            sums, n = {"loss": 0.0, "psnr": 0.0}, 0
+            # Accumulate EVERY metric the step reports (loss/psnr always;
+            # moe_aux + moe_drop_frac when the model is MoE-configured).
+            sums, n = None, 0
             # Epoch-start offset into the data epoch: nonzero after a
             # mid-epoch resume (the iterator serves only the remainder,
             # so n alone under-counts the absolute batch index).
@@ -742,6 +806,8 @@ class VideoFlow(_FlowBase):
             )
             for batch in train_data:
                 self.state, m = self._train_step(self.state, self._shard(batch))
+                if sums is None:
+                    sums = {k: 0.0 for k in m}
                 if health is not None:
                     status = health.check(float(m["loss"]))
                     if status == "spike":
@@ -784,12 +850,21 @@ class VideoFlow(_FlowBase):
                         ckpt.prune_step_dirs(
                             self.cfg.checkpoint_dir, self.cfg.keep_checkpoints
                         )
-            train_m = _mean_of(sums, n)
+            train_m = _mean_of(sums or {"loss": 0.0, "psnr": 0.0}, n)
             self._log("Loss/Train", train_m["loss"], epoch)
             self._log("PSNR/Train", train_m["psnr"], epoch)
+            extra = ""
+            for k in sorted(train_m):
+                if k in ("loss", "psnr"):
+                    continue
+                # e.g. MoEAux/Train, MoEDropFrac/Train — the capacity
+                # telemetry the round-3 verdict asked to surface.
+                tag = "".join(p.capitalize() for p in k.split("_"))
+                self._log(f"{tag}/Train", train_m[k], epoch)
+                extra += f" {k} {train_m[k]:.4f}"
             print(
                 f"Video epoch {epoch}: loss {train_m['loss']:.4f} "
-                f"PSNR {train_m['psnr']:.2f}"
+                f"PSNR {train_m['psnr']:.2f}" + extra
             )
             # Skip the epoch-end save when the step cadence just wrote
             # the identical state under the identical tag (epoch*spe).

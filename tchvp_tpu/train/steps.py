@@ -354,17 +354,24 @@ def make_video_train_step(
             flat_c = y.reshape((b * t,) + y.shape[2:])
             total = loss_fn_inner(flat_r, flat_c)
             if want_aux:
-                from tchvp_tpu.ops.moe import total_load_balance_loss
+                from tchvp_tpu.ops.moe import (
+                    mean_dropped_fraction,
+                    total_load_balance_loss,
+                )
 
                 aux = total_load_balance_loss(mut)
+                drop = mean_dropped_fraction(mut)
                 new_stats = mut.get("batch_stats") if mut else None
-                return total + moe_aux_weight * aux, (recon, new_stats, aux)
-            return total, (recon, mut, jnp.float32(0.0))
+                return (
+                    total + moe_aux_weight * aux,
+                    (recon, new_stats, aux, drop),
+                )
+            return total, (recon, mut, jnp.float32(0.0), jnp.float32(0.0))
 
-        (loss_val, (recon, new_stats, aux)), grads = jax.value_and_grad(
+        (loss_val, (recon, new_stats, aux, drop)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(params)
-        return grads, loss_val, losses.mse(recon, y), new_stats, aux
+        return grads, loss_val, losses.mse(recon, y), new_stats, aux, drop
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
@@ -376,7 +383,7 @@ def make_video_train_step(
         noisy = pipeline.gaussian_noise(k_noise, clean, noise_std)
 
         if accum_steps <= 1:
-            grads, loss_val, mse_val, new_stats, aux = grads_of(
+            grads, loss_val, mse_val, new_stats, aux, drop = grads_of(
                 state, state.params, state.batch_stats, noisy, clean, k_drop
             )
         else:
@@ -391,28 +398,34 @@ def make_video_train_step(
             ks = jax.random.split(k_drop, accum_steps)
 
             def body(carry, inp):
-                g_acc, bstats, loss_acc, mse_acc, aux_acc = carry
+                g_acc, bstats, loss_acc, mse_acc, aux_acc, drop_acc = carry
                 x, y, k = inp
-                g, l, m, ns, a = grads_of(state, state.params, bstats, x, y, k)
+                g, l, m, ns, a, dr = grads_of(
+                    state, state.params, bstats, x, y, k
+                )
                 carry = (
                     jax.tree.map(jnp.add, g_acc, g),
                     ns if ns is not None else bstats,
                     loss_acc + l,
                     mse_acc + m,
                     aux_acc + a,
+                    drop_acc + dr,
                 )
                 return carry, None
 
             zero_g = jax.tree.map(jnp.zeros_like, state.params)
-            (g_sum, new_stats, loss_sum, mse_sum, aux_sum), _ = jax.lax.scan(
+            (
+                g_sum, new_stats, loss_sum, mse_sum, aux_sum, drop_sum
+            ), _ = jax.lax.scan(
                 body,
                 (zero_g, state.batch_stats, jnp.float32(0.0),
-                 jnp.float32(0.0), jnp.float32(0.0)),
+                 jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)),
                 (xs, ys, ks),
             )
             inv = 1.0 / accum_steps
             grads = jax.tree.map(lambda g: g * inv, g_sum)
             loss_val, mse_val, aux = loss_sum * inv, mse_sum * inv, aux_sum * inv
+            drop = drop_sum * inv
 
         if fsdp_axis is not None:
             from tchvp_tpu.parallel import fsdp
@@ -426,7 +439,205 @@ def make_video_train_step(
         metrics = {"loss": loss_val, "psnr": psnr_val}
         if want_aux:
             metrics["moe_aux"] = aux
+            # Capacity telemetry: fraction of routed assignments dropped
+            # by the static expert capacity (mean over MoE layers) — the
+            # silent-degradation signal for an undersized
+            # expert_capacity_factor (ops/moe.py).
+            metrics["moe_drop_frac"] = drop
         return state, metrics
+
+    return step
+
+
+def _pipelined_video_forward(
+    model,
+    params,
+    batch_stats,
+    clip: jnp.ndarray,
+    *,
+    mesh,
+    axis: str,
+    batch_axis: Optional[str],
+    microbatches: Optional[int],
+    train: bool,
+    k_drop: Optional[jax.Array] = None,
+):
+    """Flagship forward with the temporal transformer as a GPipe pipeline,
+    from PIPELINED-layout params ``{"rest": ..., "stages": ...}``
+    (``parallel/pipeline.py::create_pipelined_train_state``).
+
+    The CNN encoder/decoder run as ordinary GSPMD-batched convs via
+    ``model.apply`` on the ``rest`` subtree (flax materializes params
+    lazily, so the missing ``temporal`` subtree is never requested); the
+    stacked stage params stream through ``pipeline_apply``. Train mode
+    threads dropout keys into the stages ((tick, stage)-folded) and
+    mutates BatchNorm stats; returns ``(tokens, recon, new_stats)``.
+    Mirrors ``pipelined_video_infer`` (serving) — kept separate because
+    training needs grads, dropout, and BN mutation, none of which the
+    serving path carries."""
+    from tchvp_tpu.models.video import VideoHybridNet, sinusoidal_posenc
+    from tchvp_tpu.parallel import pipeline as ppl
+
+    cfg = model.config
+    tcfg = cfg.temporal
+    n = mesh.shape[axis]
+    rest, stacked = params["rest"], params["stages"]
+    has_bn = batch_stats is not None
+    variables = {"params": rest}
+    if has_bn:
+        variables["batch_stats"] = batch_stats
+
+    if train:
+        # The SAME base key feeds both applies: flax folds it by module
+        # path (encoder/... vs decoder/... are disjoint), so the CNN
+        # dropout draws are IDENTICAL to a monolithic
+        # ``model.apply(rngs={"dropout": k_drop})`` — pipelined training
+        # matches the monolithic step exactly whenever the temporal
+        # stack's own dropout is off (pinned in tests/test_parallel.py).
+        # The stages get a distinct folded stream.
+        k_pipe = jax.random.fold_in(k_drop, 1)
+        enc_kw = dict(
+            train=True, deterministic=False, rngs={"dropout": k_drop}
+        )
+        dec_kw = dict(train=True, rngs={"dropout": k_drop})
+    else:
+        k_pipe = None
+        enc_kw, dec_kw = {}, {}
+
+    mut_e = mut_d = None
+    if train and has_bn:
+        (tokens, hw), mut_e = model.apply(
+            variables, clip, method=VideoHybridNet.encode_clip,
+            mutable=["batch_stats"], **enc_kw,
+        )
+    else:
+        tokens, hw = model.apply(
+            variables, clip, method=VideoHybridNet.encode_clip, **enc_kw
+        )
+
+    if cfg.use_posenc:
+        s, d = tokens.shape[-2], tokens.shape[-1]
+        tokens = tokens + sinusoidal_posenc(s, d, dtype=tokens.dtype)[None]
+
+    drop = train and tcfg.dropout_rate > 0.0
+    layer_fn = ppl.transformer_layer_fn(tcfg, dtype=model.dtype, dropout=drop)
+    k_layers = tcfg.num_layers // n
+    stage_fn = (
+        ppl.chain_stage_fn(layer_fn, k_layers, with_rng=drop)
+        if k_layers > 1
+        else layer_fn
+    )
+    tokens = ppl.pipeline_apply(
+        stage_fn, stacked, tokens,
+        mesh=mesh, axis=axis,
+        microbatches=microbatches, batch_axis=batch_axis,
+        rng=k_pipe if drop else None,
+    )
+
+    if train and has_bn:
+        recon, mut_d = model.apply(
+            variables, tokens, hw, method=VideoHybridNet.decode_tokens,
+            mutable=["batch_stats"], **dec_kw,
+        )
+    else:
+        recon = model.apply(
+            variables, tokens, hw, method=VideoHybridNet.decode_tokens,
+            **dec_kw,
+        )
+
+    new_stats = None
+    if train and has_bn:
+        # Each apply returns the full batch_stats collection with only
+        # its own stage's stats advanced; merge encoder's from the
+        # encode pass into the decode pass's tree.
+        new_stats = dict(mut_d["batch_stats"])
+        if "encoder" in mut_e["batch_stats"]:
+            new_stats["encoder"] = mut_e["batch_stats"]["encoder"]
+    return tokens, recon, new_stats
+
+
+def make_pipelined_video_train_step(
+    image_size: int,
+    model,
+    mesh,
+    axis: str = "pipe",
+    batch_axis: Optional[str] = None,
+    microbatches: Optional[int] = None,
+    loss: str = "mixed",
+    alpha: float = 0.3,
+    beta: float = 0.7,
+    noise_std: float = 0.05,
+    data_range: float = 1.0,
+    aug: AugmentConfig = AugmentConfig(),
+) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
+    """Pipeline-parallel video train step: same objective/augmentation as
+    :func:`make_video_train_step` (recovered AE_256_32K semantics), with
+    the temporal transformer executed as a GPipe pipeline over the
+    ``axis`` mesh axis — the fwd AND bwd stream microbatches through the
+    stages, stage params and optimizer moments stay stage-sharded
+    (ZeRO-for-pp), and grads flow through the schedule's reverse
+    ppermutes automatically.
+
+    The state must come from
+    :func:`tchvp_tpu.parallel.create_pipelined_train_state`
+    (pipelined param layout). Composes with a data axis via
+    ``batch_axis`` (dp x pp). At ``dropout_rate == 0`` one step is
+    numerically identical to the monolithic step (pinned in
+    tests/test_parallel.py); with dropout active the rates/math match
+    but the draw stream differs (per-(tick, stage) keys)."""
+    from tchvp_tpu.parallel import pipeline as ppl
+
+    loss_fn_inner = _loss_fn_by_name(loss, alpha, beta, data_range)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
+        clean = pipeline.preprocess_clip(batch, image_size)
+        rng, k_geo, k_noise, k_drop = jax.random.split(state.rng, 4)
+        clean = pipeline.augment_geometric(k_geo, clean, aug)
+        noisy = pipeline.gaussian_noise(k_noise, clean, noise_std)
+        b, t = noisy.shape[0], noisy.shape[1]
+
+        def loss_of(params):
+            tokens, recon, new_stats = _pipelined_video_forward(
+                model, params, state.batch_stats, noisy,
+                mesh=mesh, axis=axis, batch_axis=batch_axis,
+                microbatches=microbatches, train=True, k_drop=k_drop,
+            )
+            flat_r = recon.reshape((b * t,) + recon.shape[2:])
+            flat_c = clean.reshape((b * t,) + clean.shape[2:])
+            return loss_fn_inner(flat_r, flat_c), (recon, new_stats)
+
+        (loss_val, (recon, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        grads = ppl.constrain_stage_grads(grads, mesh, axis)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(rng=rng, batch_stats=new_stats or state.batch_stats)
+        return state, {"loss": loss_val, "psnr": losses.psnr(recon, clean)}
+
+    return step
+
+
+def make_pipelined_video_eval_step(
+    image_size: int,
+    model,
+    mesh,
+    axis: str = "pipe",
+    batch_axis: Optional[str] = None,
+    microbatches: Optional[int] = None,
+) -> Callable:
+    """No-grad PSNR validation through the pipelined forward (state in
+    the pipelined param layout)."""
+
+    @jax.jit
+    def step(state: TrainState, batch: jnp.ndarray) -> Metrics:
+        clean = pipeline.preprocess_clip(batch, image_size)
+        _, recon, _ = _pipelined_video_forward(
+            model, state.params, state.batch_stats, clean,
+            mesh=mesh, axis=axis, batch_axis=batch_axis,
+            microbatches=microbatches, train=False,
+        )
+        return {"psnr": losses.psnr(recon, clean)}
 
     return step
 

@@ -72,9 +72,13 @@ def test_capacity_overflow_tokens_get_zero_output():
     out, _ = _apply(m, vs, x)
     cap = expert_capacity(64, 2, 0.01)
     assert cap == 8
-    dispatch, _, _ = _route(x, vs["params"]["router"], cap)
+    dispatch, _, _, dropped = _route(x, vs["params"]["router"], cap)
     kept = jnp.sum(dispatch, axis=(2, 3))  # (B, S) in {0,1}
     assert float(jnp.sum(kept)) < 64  # overflow actually happened
+    # The telemetry agrees with the dispatch tensor exactly.
+    np.testing.assert_allclose(
+        float(dropped), 1.0 - float(jnp.sum(kept)) / 64.0, atol=1e-6
+    )
     dropped_rows = np.asarray(out)[np.asarray(kept) == 0.0]
     assert dropped_rows.size > 0
     np.testing.assert_array_equal(dropped_rows, 0.0)
@@ -256,6 +260,130 @@ def test_video_train_step_with_moe_aux():
     # The router actually trained (aux loss grads reached it).
     p_after = np.asarray(state.params["temporal"]["moe_0"]["router"])
     assert np.abs(p_after - p_before).max() > 0.0
+
+
+def test_dropped_fraction_sown_and_visible():
+    """An undersized capacity_factor must be VISIBLE: the module sows a
+    nonzero dropped_fraction (round-3 verdict weak #4 — before this, a
+    mis-set capacity silently zeroed token updates with no signal)."""
+    from tchvp_tpu.ops.moe import mean_dropped_fraction
+
+    x = _data(b=1, s=64, d=16, seed=3)
+    tight = MoEFFN(num_experts=2, hidden_dim=8, capacity_factor=0.01)
+    vs = tight.init(jax.random.PRNGKey(1), x)
+    _, mut = tight.apply(vs, x, mutable=["intermediates"])
+    assert float(mean_dropped_fraction(mut)) > 0.0
+    # A roomy capacity drops nothing.
+    roomy = MoEFFN(num_experts=2, hidden_dim=8, capacity_factor=4.0)
+    vs2 = roomy.init(jax.random.PRNGKey(1), x)
+    _, mut2 = roomy.apply(vs2, x, mutable=["intermediates"])
+    assert float(mean_dropped_fraction(mut2)) == 0.0
+    assert float(mean_dropped_fraction({})) == 0.0
+
+
+def test_video_train_step_reports_drop_frac():
+    """The flagship train step surfaces the capacity telemetry as the
+    moe_drop_frac metric, and a starved capacity_factor shows up > 0."""
+    from tchvp_tpu.config import (
+        TransformerConfig as TC,
+        VideoModelConfig as VMC,
+    )
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.train import create_train_state, make_optimizer
+    from tchvp_tpu.train.steps import make_video_train_step
+
+    size = 32
+    cfg = VMC(
+        temporal=TC(
+            input_dim=(size // 4) ** 2, hidden_dim=32, num_layers=1,
+            num_heads=4, num_experts=2, expert_capacity_factor=0.01,
+        )
+    )
+    model = VideoHybridNet(config=cfg)
+    clip = jnp.zeros((2, 4, size, size, 3), jnp.float32)
+    state = create_train_state(
+        model, clip, make_optimizer(1e-3), jax.random.PRNGKey(0)
+    )
+    step = make_video_train_step(size, loss="mse", moe_aux_weight=0.01)
+    batch = np.random.default_rng(0).integers(
+        0, 255, (2, 4, size, size, 3), dtype=np.uint8
+    )
+    _, metrics = step(state, jnp.asarray(batch))
+    assert "moe_drop_frac" in metrics
+    # 32 tokens/row, 2 experts, capacity floor 8: >= 16 of 32 slots
+    # overflow whenever routing is imbalanced; with cf=0.01 the capacity
+    # is the 8-slot floor, so at most 16/32 assignments fit.
+    assert 0.0 < float(metrics["moe_drop_frac"]) <= 1.0
+
+
+@pytest.mark.parametrize("mesh_on", [False, True])
+def test_top2_routing_matches_dense_and_ep(mesh_on):
+    """GShard-style top-2: gates renormalize over the chosen pair, output
+    = gate1 * FFN_e1(x) + gate2 * FFN_e2(x) under no capacity pressure
+    (checked against an explicit per-token reference), and the ep
+    shard_map reproduces the dense branch exactly."""
+    x = _data(b=2, s=12, d=32, seed=13)
+    m = MoEFFN(
+        num_experts=4, hidden_dim=48, top_k=2, capacity_factor=8.0,
+        ep_axis="expert" if mesh_on else None,
+    )
+    vs = m.init(jax.random.PRNGKey(5), x)
+    if mesh_on:
+        dense = MoEFFN(num_experts=4, hidden_dim=48, top_k=2,
+                       capacity_factor=8.0)
+        want, _ = _apply(dense, vs, x)
+        mesh = make_mesh(("expert",), (4,), jax.devices()[:4])
+        with activate_mesh(mesh):
+            with dispatch_trace.capture() as seen:
+                got, _ = jax.jit(lambda v, t: _apply(m, v, t))(vs, x)
+                jax.block_until_ready(got)
+        assert "moe_ep_shard_map" in seen
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+        return
+
+    got, _ = _apply(m, vs, x)
+    # Explicit reference: per-token top-2 expert FFNs, renormalized gates.
+    p = vs["params"]
+    logits = np.asarray(x, np.float64) @ np.asarray(p["router"], np.float64)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    want = np.zeros_like(np.asarray(x))
+    for b in range(x.shape[0]):
+        for s in range(x.shape[1]):
+            order = np.argsort(-probs[b, s])
+            e1, e2 = order[0], order[1]
+            g = probs[b, s, [e1, e2]]
+            g = g / g.sum()
+            acc = np.zeros(x.shape[-1])
+            for gi, e in zip(g, (e1, e2)):
+                h = np.maximum(
+                    np.asarray(x[b, s]) @ np.asarray(p["w1"][e])
+                    + np.asarray(p["b1"][e]), 0.0,
+                )
+                acc += gi * (h @ np.asarray(p["w2"][e]) + np.asarray(p["b2"][e]))
+            want[b, s] = acc
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_top2_second_choice_queues_behind_first():
+    """Under capacity pressure first choices win slots: a token's second
+    choice lands BEHIND every first-choice assignment of that expert in
+    the queue, so top-1 dispatch is a subset of top-2's round-1."""
+    x = _data(b=1, s=64, d=16, seed=17)
+    m1 = MoEFFN(num_experts=2, hidden_dim=8, capacity_factor=0.01)
+    v1 = m1.init(jax.random.PRNGKey(1), x)
+    cap = expert_capacity(64, 2, 0.01)  # 8-slot floor
+    d1, _, _, _ = _route(x, v1["params"]["router"], cap, top_k=1)
+    d2, _, _, dropped2 = _route(x, v1["params"]["router"], cap, top_k=2)
+    # Every slot the top-1 router filled is filled identically in top-2.
+    np.testing.assert_array_equal(
+        np.asarray(d1), np.asarray(jnp.minimum(d2, 1.0) * (d1 > 0))
+    )
+    # And with 2 experts + top-2, every token claims both experts: the
+    # 2*64 assignments cannot fit 2*8 slots -> big dropped fraction.
+    assert float(dropped2) > 0.5
 
 
 def test_total_load_balance_loss_without_moe_is_zero():

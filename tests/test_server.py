@@ -294,6 +294,38 @@ def test_dynamic_microbatching_coalesces_and_matches(artifact_path):
         srv.shutdown()
 
 
+def test_microbatcher_lone_request_not_starved(artifact_path):
+    """Starvation regression (round-3 verdict item 7): a LONE request
+    under an open micro-batch window must flush at window expiry — it
+    cannot wait for peers that never arrive. Bound: window + a modest
+    scheduling/compute allowance, far below any multi-window stall."""
+    import time
+
+    window_ms = 200.0
+    srv = serve_artifact(
+        artifact_path, port=0, buckets=(1, 2), batch_window_ms=window_ms
+    )
+    srv.start()
+    try:
+        url = f"http://{srv.address[0]}:{srv.port}"
+        batch = _batch(1, seed=42)
+        post_npy(f"{url}/infer", batch)  # warm (compile outside timing)
+        t0 = time.perf_counter()
+        out = post_npy(f"{url}/infer", batch)
+        dt_ms = 1000 * (time.perf_counter() - t0)
+        assert out.shape[0] == 1
+        # One window of coalescing wait is the price of admission; two
+        # windows would mean the flush timer lost the lone request.
+        infer_ms = json.loads(
+            urllib.request.urlopen(f"{url}/health").read()
+        )["last_infer_ms"]
+        assert dt_ms < 2 * window_ms + max(10 * infer_ms, 500.0), (
+            f"lone request took {dt_ms:.0f}ms under a {window_ms}ms window"
+        )
+    finally:
+        srv.shutdown()
+
+
 def test_microbatcher_isolates_bad_shapes(artifact_path):
     """A client whose clip shape mismatches fails alone — requests with
     the right shape in the same window still succeed (group-by-shape)."""
