@@ -404,10 +404,12 @@ def cmd_video(args) -> None:
             raise SystemExit(f"video: --mesh pipe=N composes with data= "
                              f"only (got {others})")
         if args.fsdp or args.qat or args.accum_steps > 1 or \
-                args.remat_policy != "none" or args.num_experts:
+                args.remat_policy not in ("none", "full") or \
+                args.num_experts:
             raise SystemExit("video: --mesh pipe=N does not compose with "
-                             "--fsdp/--qat/--accum-steps/--remat-policy/"
-                             "--num-experts")
+                             "--fsdp/--qat/--accum-steps/--num-experts, "
+                             "and only --remat-policy full (checkpointed "
+                             "stage bodies) of the remat policies")
         if args.layers % mesh_axes["pipe"]:
             raise SystemExit(f"video: --layers {args.layers} must be a "
                              f"multiple of pipe={mesh_axes['pipe']}")

@@ -629,7 +629,10 @@ class VideoFlow(_FlowBase):
                 "fsdp_axis": fsdp_axis, "qat": qat, "seq_axis": seq_axis,
                 "sp_axis": sp_axis,
                 "accum_steps>1": accum_steps > 1,
-                "remat": remat or remat_policy != "none",
+                # Full remat maps onto the pipelined step (checkpointed
+                # stage bodies); the name-based policies target the
+                # monolithic forward's checkpoint_name tags and don't.
+                "remat_policy": remat_policy not in ("none", "full"),
                 "moe_aux_weight": cfg.moe_aux_weight,
             }
             on = [k for k, v in incompatible.items() if v]
@@ -650,6 +653,7 @@ class VideoFlow(_FlowBase):
                     microbatches=pipe_microbatches,
                     loss=cfg.loss, alpha=loss_alpha, beta=loss_beta,
                     data_range=cfg.mixed_data_range, aug=aug,
+                    remat=remat or remat_policy == "full",
                 ))
             self._eval_step = self._under_mesh(
                 steps_lib.make_pipelined_video_eval_step(

@@ -461,6 +461,7 @@ def _pipelined_video_forward(
     microbatches: Optional[int],
     train: bool,
     k_drop: Optional[jax.Array] = None,
+    remat: bool = False,
 ):
     """Flagship forward with the temporal transformer as a GPipe pipeline,
     from PIPELINED-layout params ``{"rest": ..., "stages": ...}``
@@ -532,6 +533,7 @@ def _pipelined_video_forward(
         mesh=mesh, axis=axis,
         microbatches=microbatches, batch_axis=batch_axis,
         rng=k_pipe if drop else None,
+        remat=remat,
     )
 
     if train and has_bn:
@@ -569,6 +571,7 @@ def make_pipelined_video_train_step(
     noise_std: float = 0.05,
     data_range: float = 1.0,
     aug: AugmentConfig = AugmentConfig(),
+    remat: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
     """Pipeline-parallel video train step: same objective/augmentation as
     :func:`make_video_train_step` (recovered AE_256_32K semantics), with
@@ -584,7 +587,11 @@ def make_pipelined_video_train_step(
     ``batch_axis`` (dp x pp). At ``dropout_rate == 0`` one step is
     numerically identical to the monolithic step (pinned in
     tests/test_parallel.py); with dropout active the rates/math match
-    but the draw stream differs (per-(tick, stage) keys)."""
+    but the draw stream differs (per-(tick, stage) keys). ``remat=True``
+    checkpoints the stage body (see :func:`pipeline_apply`) — the
+    pipelined analogue of the monolithic step's ``remat_policy="full"``,
+    restricted to the pipelined stack (the CNN applies keep XLA's
+    default schedule)."""
     from tchvp_tpu.parallel import pipeline as ppl
 
     loss_fn_inner = _loss_fn_by_name(loss, alpha, beta, data_range)
@@ -602,6 +609,7 @@ def make_pipelined_video_train_step(
                 model, params, state.batch_stats, noisy,
                 mesh=mesh, axis=axis, batch_axis=batch_axis,
                 microbatches=microbatches, train=True, k_drop=k_drop,
+                remat=remat,
             )
             flat_r = recon.reshape((b * t,) + recon.shape[2:])
             flat_c = clean.reshape((b * t,) + clean.shape[2:])

@@ -997,6 +997,67 @@ def test_pipelined_train_step_matches_monolithic():
     assert np.isfinite(float(em["psnr"]))
 
 
+def test_pipelined_train_step_remat_parity():
+    """pp x remat (round 4): remat=True checkpoints the stage body so the
+    backward sweep recomputes within-stage activations — the math must be
+    IDENTICAL (loss and updated params bit-comparable at fp32 tolerance)
+    to remat=False from the same init, and the pipeline marker must still
+    trace. VideoFlow maps remat_policy="full" onto this; the name-based
+    policies stay rejected."""
+    from tchvp_tpu.parallel import create_pipelined_train_state
+    from tchvp_tpu.train import steps as steps_lib
+    from tchvp_tpu.train.state import make_optimizer
+
+    model = _tiny_flagship(num_layers=2)
+    tx = make_optimizer(1e-4, grad_clip_norm=1.0, optimizer="sgd")
+    example = jnp.zeros((1, 2, 32, 32, 3))
+    mesh = make_mesh(("pipe",), (2,), jax.devices()[:2])
+    batch = jnp.asarray(
+        np.random.default_rng(3)
+        .integers(0, 255, (4, 2, 32, 32, 3))
+        .astype(np.uint8)
+    )
+
+    results = {}
+    for remat in (False, True):
+        state = create_pipelined_train_state(
+            model, example, tx, jax.random.PRNGKey(0), mesh=mesh,
+            axis="pipe",
+        )
+        step = steps_lib.make_pipelined_video_train_step(
+            32, model, mesh, axis="pipe", loss="mse", remat=remat
+        )
+        with activate_mesh(mesh):
+            with dispatch_trace.capture() as seen:
+                state2, metrics = step(state, batch)
+        assert "pipeline_shard_map" in seen, seen
+        results[remat] = (float(metrics["loss"]), state2.params)
+
+    np.testing.assert_allclose(results[False][0], results[True][0], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        results[False][1], results[True][1],
+    )
+
+    # Flow wiring: remat_policy="full" is accepted with pipe_axis,
+    # name-based policies are not.
+    from tchvp_tpu.config import TrainConfig
+    from tchvp_tpu.train.loops import VideoFlow
+
+    flow = VideoFlow(
+        model, cfg=TrainConfig(), image_size=32, mesh=mesh,
+        pipe_axis="pipe", remat_policy="full",
+    )
+    assert flow.pipe_axis == "pipe"
+    with pytest.raises(ValueError, match="remat_policy"):
+        VideoFlow(
+            model, cfg=TrainConfig(), image_size=32, mesh=mesh,
+            pipe_axis="pipe", remat_policy="dots",
+        )
+
+
 def test_pipelined_train_step_dropout_active():
     """With dropout_rate > 0 the pipelined step threads (tick, stage)
     keys into the stages — the step must run and stay finite (draw
