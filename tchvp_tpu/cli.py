@@ -991,15 +991,24 @@ def _find_ema_payload(node):
 def _restored_params(restored: dict, ema: bool):
     """params — or, with ``--ema``, the EMA parameter average the training
     optimizer carried (train/state.py::param_ema) — from a
-    ``restore_state`` payload."""
+    ``restore_state`` payload. Checkpoints from `tchvp video --mesh
+    pipe=N` runs store params (and their EMA mirror) in the pipelined
+    ``{"rest", "stages"}`` layout; those merge back to the flax layout
+    here, so every serving/eval consumer accepts pp-trained checkpoints
+    transparently."""
     if not ema:
-        return restored["params"]
-    found = _find_ema_payload(restored.get("opt_state"))
-    if found is None:
-        raise SystemExit(
-            "--ema: checkpoint carries no EMA state (train with --ema-decay)"
-        )
-    return found
+        payload = restored["params"]
+    else:
+        payload = _find_ema_payload(restored.get("opt_state"))
+        if payload is None:
+            raise SystemExit(
+                "--ema: checkpoint carries no EMA state (train with --ema-decay)"
+            )
+    from tchvp_tpu.parallel import is_pipelined_params, merge_pipelined_params
+
+    if is_pipelined_params(payload):
+        payload = merge_pipelined_params(payload)
+    return payload
 
 
 def cmd_eval(args) -> None:
@@ -1053,6 +1062,10 @@ def cmd_eval(args) -> None:
             return state
         if args.ema:
             raise SystemExit("--ema needs a full-state checkpoint, got weights-only")
+        from tchvp_tpu.parallel import is_pipelined_params, merge_pipelined_params
+
+        if is_pipelined_params(raw):  # weights-only save from a pp run
+            raw = merge_pipelined_params(raw)
         return state.replace(params=_retype(state.params, raw))
 
     # The shared loaders' CSV slot is train_csv; an eval run naturally

@@ -443,6 +443,27 @@ def split_video_params(params: Any, num_layers: int) -> tuple:
     return rest, stacked
 
 
+def is_pipelined_params(params: Any) -> bool:
+    """True iff ``params`` is the pipelined training layout
+    ``{"rest": ..., "stages": ...}`` (see
+    :func:`create_pipelined_train_state`) rather than a flax module tree
+    — the discriminator serving/eval loaders use to accept checkpoints
+    from ``tchvp video --mesh pipe=N`` runs transparently."""
+    return isinstance(params, dict) and set(params.keys()) == {"rest", "stages"}
+
+
+def merge_pipelined_params(params: Any) -> Any:
+    """Pipelined ``{"rest", "stages"}`` layout -> ordinary flax layout,
+    inferring the layer count from the stacked leading dim(s): a
+    per-layer LayerNorm scale is 1-D, so its stacked leaf is 2-D when
+    one-layer-per-stage and 3-D ``(n_stages, layers_per_stage, d)`` when
+    stage-grouped."""
+    stacked = params["stages"]
+    ref = jax.tree.leaves(stacked["norm"])[0]
+    num_layers = ref.shape[0] * (ref.shape[1] if ref.ndim == 3 else 1)
+    return merge_video_params(params["rest"], stacked, num_layers)
+
+
 def merge_video_params(rest: Any, stacked: Any, num_layers: int) -> Any:
     """Rebuild the flax param tree from the pipelined layout (``stacked``
     may be stage-grouped ``(n_stages, layers_per_stage, ...)`` — see

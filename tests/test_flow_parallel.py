@@ -191,6 +191,64 @@ def test_videoflow_pipeline_parallel_engages(tmp_path):
     assert np.isclose(loss, l_ref, rtol=1e-5, atol=1e-6), (loss, l_ref)
 
 
+def test_pp_checkpoint_serves_through_cli_loaders(tmp_path):
+    """The pp-training -> serving journey (round 4): a checkpoint written
+    by a `tchvp video --mesh pipe=N` run stores params in the pipelined
+    {"rest","stages"} layout — every serving/eval consumer must accept it
+    transparently. cli._restored_params merges it back to the flax
+    layout (grouped stages included), and the merged tree drives
+    model.apply to the exact same output as the live pipelined state."""
+    from tchvp_tpu import cli
+    from tchvp_tpu.parallel import is_pipelined_params, merge_pipelined_params
+    from tchvp_tpu.train import checkpoint as ckpt
+
+    mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
+    model = _model(num_layers=4)  # 2 layers/stage: grouped stacking
+    flow = _flow(model, mesh, tmp_path, "ppserve", pipe_axis="pipe")
+    _one_step(flow)
+    path = ckpt.save_state(
+        str(tmp_path / "ppck"), 1, flow.state.params,
+        batch_stats=flow.state.batch_stats,
+    )
+
+    restored = ckpt.restore_state(path)
+    assert is_pipelined_params(restored["params"])
+    merged = cli._restored_params(restored, ema=False)
+    assert not is_pipelined_params(merged) and "temporal" in merged
+
+    # Exactness: serving from the checkpoint == the live pipelined state.
+    want = merge_pipelined_params(flow.state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        merged, want,
+    )
+    variables = {"params": merged}
+    if restored.get("batch_stats") is not None:
+        variables["batch_stats"] = restored["batch_stats"]
+    clip = jnp.asarray(_clip_batch(7)[:2], jnp.float32) / 255.0
+    _, recon = model.apply(variables, clip, deterministic=True)
+    assert np.isfinite(np.asarray(recon)).all()
+
+    # CLI end-to-end: `tchvp video --mesh pipe=` writes a pp checkpoint,
+    # plain (no-mesh) `tchvp infer --checkpoint` serves it.
+    ckdir = str(tmp_path / "cli_pp")
+    cli.main([
+        "video", "--synthetic", "4", "--epochs", "1", "--batch-size", "4",
+        "--image-size", str(IMAGE), "--clip-len", str(CLIP),
+        "--layers", "2", "--mesh", "data=4,pipe=2",
+        "--checkpoint-dir", ckdir,
+    ])
+    step_dir = ckpt.latest_step_dir(ckdir)
+    assert step_dir is not None
+    # (infer has no --layers flag; its default hybrid depth of 2 matches
+    # the training run above.)
+    cli.main([
+        "infer", "--synthetic", "1", "--batch-size", "2",
+        "--image-size", str(IMAGE), "--clip-len", str(CLIP),
+        "--checkpoint", step_dir,
+    ])
+
+
 def test_videoflow_pipe_rejects_bad_compositions(tmp_path):
     mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
     with pytest.raises(ValueError, match="does not compose"):
