@@ -30,3 +30,34 @@ def pytest_sessionstart(session):
     import jax
 
     print(f"\n[tchvp tests] jax backend: {jax.default_backend()}, devices: {len(jax.devices())}")
+
+
+# Modules dominated by multi-device mesh compiles, flow-level training
+# loops, or subprocess drivers — the heaviest per-module call-time sums
+# from the round-4 full `--durations=0` run (values in parentheses,
+# seconds, measured on the 1-core host). Marking these makes
+# `-m "not slow"` a ~9-minute inner-loop subset; the full suite stays
+# the merge gate. Per-test opt-in via @pytest.mark.slow also works.
+SLOW_MODULES = {
+    "test_parallel",        # 840 — every mesh/shard_map parity matrix
+    "test_flow_parallel",   # 598 — flow-level multi-axis training
+    "test_multihost",       # 560 — 2-process jax.distributed subprocess
+    "test_flows",           # 478 — full training-loop journeys
+    "test_export",          # 348 — AOT export/serve roundtrips
+    "test_moe",             # 267 — routed-FFN + ep parity
+    "test_kernels",         # 169 — Pallas interpret-mode kernels
+    "test_model_shapes",    # 130 — whole-zoo golden shape sweep
+    "test_fsdp",            # 120 — ZeRO-3 step parity
+    "test_device_prefetch", # 100 — overlapped-transfer timing loops
+    "test_quant",           #  97 — int8 engine + pipelined serving
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        mod = getattr(item, "module", None)
+        name = getattr(mod, "__name__", "").rsplit(".", 1)[-1]
+        if name in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
