@@ -728,7 +728,15 @@ class VideoFlow(_FlowBase):
             return 0
         if self.state is None:
             self.init_state(clip_len)
-        self.state, raw = ckpt.restore_state_into(self.state, path)
+        try:
+            self.state, raw = ckpt.restore_state_into(self.state, path)
+        except Exception as err:
+            # Layout-elastic resume: the checkpoint may come from a run
+            # with a DIFFERENT parallel layout (monolithic <-> pipelined,
+            # or a pipelined run with another stage count). Convert
+            # params/batch_stats into the live layout; if the layouts
+            # actually match, this was a real restore failure — re-raise.
+            raw = self._resume_convert_layout(path, err)
         # Restored leaves land unplaced; put them back on the mesh
         # (replicated, or FSDP-sharded when fsdp_axis is set) — a no-op
         # for the sharded-restore path, which placed them already.
@@ -750,6 +758,68 @@ class VideoFlow(_FlowBase):
                 )
             return epoch - 1  # re-enter the partial epoch
         return epoch
+
+    def _resume_convert_layout(self, path: str, err: Exception) -> dict:
+        """Fallback for :meth:`resume` when the template restore failed:
+        if the checkpoint's param layout differs from the live flow's
+        (monolithic flax tree vs pipelined ``{"rest", "stages"}``, or a
+        pipelined run with a different stage grouping), convert params
+        and batch stats into the live layout — re-parallelizing an
+        existing run without retraining. Optimizer moments cannot
+        survive a layout change (their pytree mirrors the params
+        layout), so they restart fresh, loudly. If the layouts actually
+        match, the original restore error re-raises untouched."""
+        from tchvp_tpu.parallel import (
+            group_stages,
+            is_pipelined_params,
+            merge_pipelined_params,
+            split_video_params,
+        )
+
+        raw = ckpt.restore_state(path)
+        disk_params = raw.get("params")
+        disk_pp = is_pipelined_params(disk_params)
+        live_pp = bool(self.pipe_axis)
+        same_grouping = True
+        if disk_pp and live_pp:
+            live_leaf = jax.tree.leaves(self.state.params["stages"]["norm"])[0]
+            disk_leaf = jax.tree.leaves(disk_params["stages"]["norm"])[0]
+            same_grouping = tuple(live_leaf.shape) == tuple(np.shape(disk_leaf))
+        if disk_pp == live_pp and same_grouping:
+            raise err  # not a layout mismatch — a genuine restore failure
+
+        merged = (
+            merge_pipelined_params(disk_params) if disk_pp else disk_params
+        )
+        if live_pp:
+            num_layers = self.model.config.temporal.num_layers
+            n = self.mesh.shape[self.pipe_axis]
+            rest, stacked = split_video_params(merged, num_layers)
+            if num_layers // n > 1:
+                stacked = group_stages(stacked, n)
+            new_params = {"rest": rest, "stages": stacked}
+        else:
+            new_params = merged
+        # _retype validates every leaf's shape/dtype against the live
+        # state (a --layers mismatch between the runs fails here, not
+        # silently); _replicate in resume() re-places the result on the
+        # mesh (stage-sharded for pp).
+        self.state = self.state.replace(
+            params=ckpt._retype(self.state.params, new_params)
+        )
+        if raw.get("batch_stats") is not None and self.state.batch_stats is not None:
+            self.state = self.state.replace(
+                batch_stats=ckpt._retype(
+                    self.state.batch_stats, raw["batch_stats"]
+                )
+            )
+        layout = lambda pp: "pipelined" if pp else "monolithic"  # noqa: E731
+        print(
+            f"[resume] checkpoint layout {layout(disk_pp)} -> live "
+            f"{layout(live_pp)}: params/batch_stats converted, optimizer "
+            f"moments reset (their structure mirrors the param layout)"
+        )
+        return raw
 
     def _ckpt_extra(self, epoch: int, data: Any) -> dict:
         extra = {"train_epoch": epoch}

@@ -249,6 +249,54 @@ def test_pp_checkpoint_serves_through_cli_loaders(tmp_path):
     ])
 
 
+def test_layout_elastic_resume(tmp_path):
+    """Re-parallelize an existing run (round 4): VideoFlow.resume accepts
+    a checkpoint whose param layout differs from the live flow — a
+    monolithic run continues as `--mesh pipe=N` training and vice versa.
+    Params/batch_stats convert exactly; optimizer moments reset (their
+    pytree mirrors the layout); a step trains after the switch."""
+    from tchvp_tpu.parallel import merge_pipelined_params
+    from tchvp_tpu.train import checkpoint as ckpt
+
+    mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
+
+    # monolithic run -> checkpoint -> pipelined flow resumes it
+    mono = _flow(_model(num_layers=2), None, tmp_path, "ler")
+    _one_step(mono)
+    ckpt.save_state(
+        mono.cfg.checkpoint_dir, 1, mono.state.params,
+        opt_state=mono.state.opt_state, batch_stats=mono.state.batch_stats,
+        extra={"train_epoch": 1},
+    )
+    pp = _flow(_model(num_layers=2), mesh, tmp_path, "ler", pipe_axis="pipe")
+    start = pp.resume(CLIP)
+    assert start == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        merge_pipelined_params(pp.state.params), mono.state.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        pp.state.batch_stats, mono.state.batch_stats,
+    )
+    assert np.isfinite(_one_step(pp))  # trains after the layout switch
+
+    # pipelined run -> checkpoint -> monolithic flow resumes it
+    ckpt.save_state(
+        str(tmp_path / "ckpt_ler2"), 3, pp.state.params,
+        opt_state=pp.state.opt_state, batch_stats=pp.state.batch_stats,
+        extra={"train_epoch": 3},
+    )
+    mono2 = _flow(_model(num_layers=2), None, tmp_path, "ler2")
+    start = mono2.resume(CLIP)
+    assert start == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        mono2.state.params, merge_pipelined_params(pp.state.params),
+    )
+    assert np.isfinite(_one_step(mono2))
+
+
 def test_videoflow_pipe_rejects_bad_compositions(tmp_path):
     mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
     with pytest.raises(ValueError, match="does not compose"):
