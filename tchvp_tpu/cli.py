@@ -553,7 +553,9 @@ def cmd_stream(args) -> None:
     model = VideoHybridNet(
         config=flagship_video_config(
             image_size=args.tile,
+            num_layers=getattr(args, "layers", 2),
             num_experts=getattr(args, "num_experts", 0),
+            router_top_k=getattr(args, "router_top_k", 1),
         ),
         dtype=jnp.bfloat16,
     )
@@ -561,7 +563,7 @@ def cmd_stream(args) -> None:
     variables = model.init(jax.random.PRNGKey(0), example)
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
-        variables = {"params": _restored_params(restored, args.ema), **(
+        variables = {"params": _restored_params(restored, args.ema, args), **(
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
@@ -733,7 +735,9 @@ def cmd_infer(args) -> None:
     model = VideoHybridNet(
         config=flagship_video_config(
             image_size=size,
+            num_layers=getattr(args, "layers", 2),
             num_experts=getattr(args, "num_experts", 0),
+            router_top_k=getattr(args, "router_top_k", 1),
         ),
         dtype=jnp.bfloat16,
     )
@@ -772,7 +776,7 @@ def cmd_infer(args) -> None:
     )
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
-        variables = {"params": _restored_params(restored, args.ema), **(
+        variables = {"params": _restored_params(restored, args.ema, args), **(
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
@@ -988,14 +992,40 @@ def _find_ema_payload(node):
     return None
 
 
-def _restored_params(restored: dict, ema: bool):
+def _validate_restored_depth(params, args) -> None:
+    """Reject a temporal-depth mismatch between a restored hybrid
+    checkpoint and the ``--layers`` model LOUDLY: flax's apply silently
+    ignores extra layer params, so a 4-layer checkpoint served by the
+    default 2-layer model would reconstruct from half the trained
+    network with no error (round-4 review finding)."""
+    t = params.get("temporal") if isinstance(params, dict) else None
+    if not isinstance(t, dict):
+        return
+    suffixes = [
+        int(k.rsplit("_", 1)[1])
+        for k in t
+        if "_" in k and k.rsplit("_", 1)[1].isdigit()
+    ]
+    if not suffixes:
+        return
+    depth = 1 + max(suffixes)
+    want = getattr(args, "layers", None) if args is not None else None
+    if want is not None and depth != want:
+        raise SystemExit(
+            f"checkpoint temporal depth is {depth} layers but the model "
+            f"was built with --layers {want}; pass --layers {depth}"
+        )
+
+
+def _restored_params(restored: dict, ema: bool, args=None):
     """params — or, with ``--ema``, the EMA parameter average the training
     optimizer carried (train/state.py::param_ema) — from a
     ``restore_state`` payload. Checkpoints from `tchvp video --mesh
     pipe=N` runs store params (and their EMA mirror) in the pipelined
     ``{"rest", "stages"}`` layout; those merge back to the flax layout
     here, so every serving/eval consumer accepts pp-trained checkpoints
-    transparently."""
+    transparently. With ``args``, the restored temporal depth is
+    validated against the ``--layers`` model (mismatches fail loudly)."""
     if not ema:
         payload = restored["params"]
     else:
@@ -1008,6 +1038,7 @@ def _restored_params(restored: dict, ema: bool):
 
     if is_pipelined_params(payload):
         payload = merge_pipelined_params(payload)
+    _validate_restored_depth(payload, args)
     return payload
 
 
@@ -1053,7 +1084,7 @@ def cmd_eval(args) -> None:
         """
         raw = ckpt.restore_state(path)
         if isinstance(raw, dict) and "params" in raw:
-            payload = _restored_params(raw, args.ema)
+            payload = _restored_params(raw, args.ema, args)
             state = state.replace(params=_retype(state.params, payload))
             if state.batch_stats is not None and raw.get("batch_stats") is not None:
                 state = state.replace(
@@ -1066,6 +1097,7 @@ def cmd_eval(args) -> None:
 
         if is_pipelined_params(raw):  # weights-only save from a pp run
             raw = merge_pipelined_params(raw)
+        _validate_restored_depth(raw, args)
         return state.replace(params=_retype(state.params, raw))
 
     # The shared loaders' CSV slot is train_csv; an eval run naturally
@@ -1228,7 +1260,7 @@ def cmd_export(args) -> None:
     variables = model.init(jax.random.PRNGKey(0), example)
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
-        variables = {"params": _restored_params(restored, args.ema), **(
+        variables = {"params": _restored_params(restored, args.ema, args), **(
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
@@ -1684,6 +1716,15 @@ def main(argv=None) -> None:
             p.add_argument("--num-experts", type=int, default=0,
                            help="match the --num-experts the checkpoint "
                                 "was trained with (MoE param tree)")
+            p.add_argument("--layers", type=int, default=2,
+                           help="match the --layers the checkpoint was "
+                                "trained with (temporal depth; a "
+                                "mismatch is rejected at load — flax "
+                                "would otherwise silently drop layers)")
+            p.add_argument("--router-top-k", type=int, default=1,
+                           help="match the training --router-top-k (the "
+                                "param tree is identical, so a mismatch "
+                                "would silently serve different routing)")
             p.add_argument("--exported", default=None,
                            help="serve a .tchvp AOT artifact "
                                 "(`tchvp export`) instead of a checkpoint")
@@ -1710,6 +1751,15 @@ def main(argv=None) -> None:
             p.add_argument("--num-experts", type=int, default=0,
                            help="match the --num-experts the checkpoint "
                                 "was trained with (MoE param tree)")
+            p.add_argument("--layers", type=int, default=2,
+                           help="match the --layers the checkpoint was "
+                                "trained with (temporal depth; a "
+                                "mismatch is rejected at load — flax "
+                                "would otherwise silently drop layers)")
+            p.add_argument("--router-top-k", type=int, default=1,
+                           help="match the training --router-top-k (the "
+                                "param tree is identical, so a mismatch "
+                                "would silently serve different routing)")
             p.add_argument("--ema", action="store_true",
                            help="evaluate the EMA parameter average the "
                                 "optimizer carried (--ema-decay training) "
@@ -1728,6 +1778,8 @@ def main(argv=None) -> None:
                            choices=_EXPORT_CLIP_MODELS + _EXPORT_IMAGE_MODELS)
             p.add_argument("--clip-len", type=int, default=8)
             p.add_argument("--num-experts", type=int, default=0)
+            p.add_argument("--layers", type=int, default=2)
+            p.add_argument("--router-top-k", type=int, default=1)
             p.add_argument("--depth", type=int, default=None,
                            help="module nesting depth to show "
                                 "(default: all submodules)")
@@ -1736,6 +1788,8 @@ def main(argv=None) -> None:
                            choices=_EXPORT_CLIP_MODELS + _EXPORT_IMAGE_MODELS)
             p.add_argument("--clip-len", type=int, default=8)
             p.add_argument("--num-experts", type=int, default=0)
+            p.add_argument("--layers", type=int, default=2)
+            p.add_argument("--router-top-k", type=int, default=1)
             p.add_argument("--mesh", default="data=1",
                            help="axis=size pairs, e.g. data=16,expert=4 "
                                 "— no devices needed, planning is "
@@ -1759,6 +1813,15 @@ def main(argv=None) -> None:
             p.add_argument("--num-experts", type=int, default=0,
                            help="match the --num-experts the checkpoint "
                                 "was trained with (MoE param tree)")
+            p.add_argument("--layers", type=int, default=2,
+                           help="match the --layers the checkpoint was "
+                                "trained with (temporal depth; a "
+                                "mismatch is rejected at load — flax "
+                                "would otherwise silently drop layers)")
+            p.add_argument("--router-top-k", type=int, default=1,
+                           help="match the training --router-top-k (the "
+                                "param tree is identical, so a mismatch "
+                                "would silently serve different routing)")
             p.add_argument("--clippack", default=None,
                            help="calibration source for --int8")
             p.add_argument("--ema", action="store_true",
@@ -1829,6 +1892,15 @@ def main(argv=None) -> None:
             p.add_argument("--num-experts", type=int, default=0,
                            help="match the --num-experts the checkpoint "
                                 "was trained with (MoE param tree)")
+            p.add_argument("--layers", type=int, default=2,
+                           help="match the --layers the checkpoint was "
+                                "trained with (temporal depth; a "
+                                "mismatch is rejected at load — flax "
+                                "would otherwise silently drop layers)")
+            p.add_argument("--router-top-k", type=int, default=1,
+                           help="match the training --router-top-k (the "
+                                "param tree is identical, so a mismatch "
+                                "would silently serve different routing)")
             p.add_argument("--int8", action="store_true",
                            help="int8 PTQ serving mode (infer/quant.py)")
             p.add_argument("--int8-dense", action="store_true",

@@ -187,6 +187,16 @@ def pipeline_apply(
                 key = jax.random.fold_in(
                     jax.random.fold_in(rng_local[0], t), idx
                 )
+                if batch_axis is not None:
+                    # The shard_map manualizes the data axis too, so each
+                    # shard holds different batch ROWS of the same
+                    # microbatch — without this fold every shard would
+                    # draw IDENTICAL dropout masks for its local rows
+                    # (correlated regularization noise across the global
+                    # batch; round-4 review finding).
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(batch_axis)
+                    )
                 act = stage_fn(params_i, inp, key)
             else:
                 act = stage_fn(params_i, inp)

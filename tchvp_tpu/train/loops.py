@@ -804,9 +804,18 @@ class VideoFlow(_FlowBase):
         # state (a --layers mismatch between the runs fails here, not
         # silently); _replicate in resume() re-places the result on the
         # mesh (stage-sharded for pp).
-        self.state = self.state.replace(
-            params=ckpt._retype(self.state.params, new_params)
-        )
+        converted = ckpt._retype(self.state.params, new_params)
+        # Re-init the optimizer FROM THE CONVERTED PARAMS, not from the
+        # discarded random init: Adam moments restart at zero either
+        # way, but param-snapshot states (param_ema's average,
+        # apply_if_finite's last_finite) must seed from the restored
+        # weights — an EMA seeded from random init would dominate
+        # `--ema` serving for ~1/(1-decay) steps (round-4 review
+        # finding).
+        from tchvp_tpu.train.state import _dealias_opt_state
+
+        new_opt = _dealias_opt_state(converted, self.state.tx.init(converted))
+        self.state = self.state.replace(params=converted, opt_state=new_opt)
         if raw.get("batch_stats") is not None and self.state.batch_stats is not None:
             self.state = self.state.replace(
                 batch_stats=ckpt._retype(

@@ -240,13 +240,22 @@ def test_pp_checkpoint_serves_through_cli_loaders(tmp_path):
     ])
     step_dir = ckpt.latest_step_dir(ckdir)
     assert step_dir is not None
-    # (infer has no --layers flag; its default hybrid depth of 2 matches
-    # the training run above.)
     cli.main([
         "infer", "--synthetic", "1", "--batch-size", "2",
         "--image-size", str(IMAGE), "--clip-len", str(CLIP),
-        "--checkpoint", step_dir,
+        "--layers", "2", "--checkpoint", step_dir,
     ])
+
+    # A temporal-depth mismatch must fail LOUDLY: flax's apply silently
+    # ignores extra layer params, so without the check the 4-layer
+    # checkpoint above would serve through the default 2-layer model
+    # with half the trained network (round-4 review finding).
+    with pytest.raises(SystemExit, match="temporal depth"):
+        cli.main([
+            "infer", "--synthetic", "1", "--batch-size", "2",
+            "--image-size", str(IMAGE), "--clip-len", str(CLIP),
+            "--checkpoint", path,  # the 4-layer flow checkpoint
+        ])
 
 
 def test_layout_elastic_resume(tmp_path):
@@ -295,6 +304,31 @@ def test_layout_elastic_resume(tmp_path):
         mono2.state.params, merge_pipelined_params(pp.state.params),
     )
     assert np.isfinite(_one_step(mono2))
+
+    # EMA optimizer across the layout switch: the fresh opt_state must
+    # seed its param snapshot from the CONVERTED weights, not the
+    # discarded random init (round-4 review finding) — otherwise
+    # `--ema` serving is dominated by random weights for ~1/(1-decay)
+    # steps after a re-parallelization.
+    from tchvp_tpu.train.state import ema_params
+
+    tc = TrainConfig(
+        model_name="video", loss="mse", lr=1e-4, ema_decay=0.999,
+        checkpoint_dir=mono.cfg.checkpoint_dir,
+        log_dir=str(tmp_path / "runs_ler3"),
+        sample_dir=str(tmp_path / "samples_ler3"),
+    )
+    ppe = VideoFlow(
+        _model(num_layers=2), cfg=tc, image_size=IMAGE, mesh=mesh,
+        pipe_axis="pipe",
+    )
+    ppe.resume(CLIP)
+    ema = ema_params(ppe.state.opt_state)
+    assert ema is not None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        merge_pipelined_params(ema), mono.state.params,
+    )
 
 
 def test_videoflow_pipe_rejects_bad_compositions(tmp_path):

@@ -997,6 +997,48 @@ def test_pipelined_train_step_matches_monolithic():
     assert np.isfinite(float(em["psnr"]))
 
 
+def test_pipeline_dropout_decorrelated_across_data_shards():
+    """dp x pp dropout: the shard_map manualizes the data axis too, so
+    rows of one microbatch live on different data shards. With IDENTICAL
+    batch rows, those rows must still draw DIFFERENT dropout masks —
+    before the axis_index(batch_axis) fold they drew the same mask per
+    (tick, stage), correlating regularization noise across the global
+    batch (round-4 review finding)."""
+    from tchvp_tpu.config import TransformerConfig
+    from tchvp_tpu.models import TransformerEncoder
+    from tchvp_tpu.parallel import (
+        extract_transformer_layers,
+        pipeline_apply,
+        transformer_layer_fn,
+    )
+
+    cfg = TransformerConfig(
+        input_dim=32, hidden_dim=64, num_layers=2, num_heads=4,
+        dropout_rate=0.5,
+    )
+    model = TransformerEncoder(config=cfg)
+    row = np.random.default_rng(0).normal(size=(1, 8, 32)).astype(np.float32)
+    x = jnp.asarray(np.repeat(row, 4, axis=0))  # 4 identical rows
+    vs = model.init(jax.random.PRNGKey(0), x)
+    stacked = extract_transformer_layers(vs, 2)
+    fn = transformer_layer_fn(cfg, dropout=True)
+    mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
+    with activate_mesh(mesh):
+        out = np.asarray(
+            jax.jit(
+                lambda st, t: pipeline_apply(
+                    fn, st, t, mesh=mesh, batch_axis="data",
+                    rng=jax.random.PRNGKey(7),
+                )
+            )(stacked, x)
+        )
+    # pick_microbatches(4, 2, 2) = 2: microbatch 0 = rows {0, 1} with the
+    # mb dim sharded over "data" — row 0 on shard 0, row 1 on shard 1.
+    # Identical inputs, so any difference comes from the dropout draw.
+    assert np.abs(out[0] - out[1]).max() > 1e-4
+    assert np.abs(out[2] - out[3]).max() > 1e-4
+
+
 def test_pipelined_train_step_remat_parity():
     """pp x remat (round 4): remat=True checkpoints the stage body so the
     backward sweep recomputes within-stage activations — the math must be
