@@ -86,6 +86,25 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--jitter-strength", type=float, default=0.2)
 
 
+def _add_checkpoint_model_flags(p: argparse.ArgumentParser) -> None:
+    """The training-config flags a checkpoint CONSUMER must mirror to
+    rebuild the matching hybrid param tree (``_video_model`` /
+    ``_export_model`` read them). One registration site so the serving
+    parsers cannot drift from each other (round-4 review)."""
+    p.add_argument("--num-experts", type=int, default=0,
+                   help="match the --num-experts the checkpoint "
+                        "was trained with (MoE param tree)")
+    p.add_argument("--layers", type=int, default=2,
+                   help="match the --layers the checkpoint was "
+                        "trained with (temporal depth; a "
+                        "mismatch is rejected at load — flax "
+                        "would otherwise silently drop layers)")
+    p.add_argument("--router-top-k", type=int, default=1,
+                   help="match the training --router-top-k (the "
+                        "param tree is identical, so a mismatch "
+                        "would silently serve different routing)")
+
+
 def _aug_cfg(args):
     """AugmentConfig with the beyond-reference knobs from the CLI."""
     from tchvp_tpu.config import AugmentConfig
@@ -553,9 +572,9 @@ def cmd_stream(args) -> None:
     model = VideoHybridNet(
         config=flagship_video_config(
             image_size=args.tile,
-            num_layers=getattr(args, "layers", 2),
-            num_experts=getattr(args, "num_experts", 0),
-            router_top_k=getattr(args, "router_top_k", 1),
+            num_layers=args.layers,
+            num_experts=args.num_experts,
+            router_top_k=args.router_top_k,
         ),
         dtype=jnp.bfloat16,
     )
@@ -563,7 +582,7 @@ def cmd_stream(args) -> None:
     variables = model.init(jax.random.PRNGKey(0), example)
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
-        variables = {"params": _restored_params(restored, args.ema, args), **(
+        variables = {"params": _restored_params(restored, args.ema, args.layers), **(
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
@@ -735,9 +754,9 @@ def cmd_infer(args) -> None:
     model = VideoHybridNet(
         config=flagship_video_config(
             image_size=size,
-            num_layers=getattr(args, "layers", 2),
-            num_experts=getattr(args, "num_experts", 0),
-            router_top_k=getattr(args, "router_top_k", 1),
+            num_layers=args.layers,
+            num_experts=args.num_experts,
+            router_top_k=args.router_top_k,
         ),
         dtype=jnp.bfloat16,
     )
@@ -776,7 +795,7 @@ def cmd_infer(args) -> None:
     )
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
-        variables = {"params": _restored_params(restored, args.ema, args), **(
+        variables = {"params": _restored_params(restored, args.ema, args.layers), **(
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
@@ -992,15 +1011,17 @@ def _find_ema_payload(node):
     return None
 
 
-def _validate_restored_depth(params, args) -> None:
+def _validate_restored_depth(params, expect_layers: int) -> None:
     """Reject a temporal-depth mismatch between a restored hybrid
     checkpoint and the ``--layers`` model LOUDLY: flax's apply silently
     ignores extra layer params, so a 4-layer checkpoint served by the
     default 2-layer model would reconstruct from half the trained
-    network with no error (round-4 review finding)."""
+    network with no error (round-4 review finding). ``expect_layers``
+    is required — callers that cannot know the model depth should not
+    restore hybrid checkpoints through this path."""
     t = params.get("temporal") if isinstance(params, dict) else None
     if not isinstance(t, dict):
-        return
+        return  # not a hybrid tree (frame AEs, FCT, ...)
     suffixes = [
         int(k.rsplit("_", 1)[1])
         for k in t
@@ -1009,23 +1030,24 @@ def _validate_restored_depth(params, args) -> None:
     if not suffixes:
         return
     depth = 1 + max(suffixes)
-    want = getattr(args, "layers", None) if args is not None else None
-    if want is not None and depth != want:
+    if depth != expect_layers:
         raise SystemExit(
             f"checkpoint temporal depth is {depth} layers but the model "
-            f"was built with --layers {want}; pass --layers {depth}"
+            f"was built with --layers {expect_layers}; pass --layers {depth}"
         )
 
 
-def _restored_params(restored: dict, ema: bool, args=None):
+def _restored_params(restored: dict, ema: bool, expect_layers=None):
     """params — or, with ``--ema``, the EMA parameter average the training
     optimizer carried (train/state.py::param_ema) — from a
     ``restore_state`` payload. Checkpoints from `tchvp video --mesh
     pipe=N` runs store params (and their EMA mirror) in the pipelined
     ``{"rest", "stages"}`` layout; those merge back to the flax layout
     here, so every serving/eval consumer accepts pp-trained checkpoints
-    transparently. With ``args``, the restored temporal depth is
-    validated against the ``--layers`` model (mismatches fail loudly)."""
+    transparently. With ``expect_layers``, the restored temporal depth is
+    validated against the ``--layers`` model (mismatches fail loudly);
+    ``None`` skips validation and is for callers that handle depth
+    themselves (the CLI always passes ``args.layers``)."""
     if not ema:
         payload = restored["params"]
     else:
@@ -1038,7 +1060,8 @@ def _restored_params(restored: dict, ema: bool, args=None):
 
     if is_pipelined_params(payload):
         payload = merge_pipelined_params(payload)
-    _validate_restored_depth(payload, args)
+    if expect_layers is not None:
+        _validate_restored_depth(payload, expect_layers)
     return payload
 
 
@@ -1084,7 +1107,7 @@ def cmd_eval(args) -> None:
         """
         raw = ckpt.restore_state(path)
         if isinstance(raw, dict) and "params" in raw:
-            payload = _restored_params(raw, args.ema, args)
+            payload = _restored_params(raw, args.ema, args.layers)
             state = state.replace(params=_retype(state.params, payload))
             if state.batch_stats is not None and raw.get("batch_stats") is not None:
                 state = state.replace(
@@ -1097,7 +1120,7 @@ def cmd_eval(args) -> None:
 
         if is_pipelined_params(raw):  # weights-only save from a pp run
             raw = merge_pipelined_params(raw)
-        _validate_restored_depth(raw, args)
+        _validate_restored_depth(raw, args.layers)
         return state.replace(params=_retype(state.params, raw))
 
     # The shared loaders' CSV slot is train_csv; an eval run naturally
@@ -1260,7 +1283,7 @@ def cmd_export(args) -> None:
     variables = model.init(jax.random.PRNGKey(0), example)
     if args.checkpoint:
         restored = ckpt.restore_state(args.checkpoint)
-        variables = {"params": _restored_params(restored, args.ema, args), **(
+        variables = {"params": _restored_params(restored, args.ema, args.layers), **(
             {"batch_stats": restored["batch_stats"]}
             if restored.get("batch_stats") is not None else {}
         )}
@@ -1713,18 +1736,7 @@ def main(argv=None) -> None:
                            help="serve the EMA parameter average the "
                                 "optimizer carried (--ema-decay training) "
                                 "instead of the live params")
-            p.add_argument("--num-experts", type=int, default=0,
-                           help="match the --num-experts the checkpoint "
-                                "was trained with (MoE param tree)")
-            p.add_argument("--layers", type=int, default=2,
-                           help="match the --layers the checkpoint was "
-                                "trained with (temporal depth; a "
-                                "mismatch is rejected at load — flax "
-                                "would otherwise silently drop layers)")
-            p.add_argument("--router-top-k", type=int, default=1,
-                           help="match the training --router-top-k (the "
-                                "param tree is identical, so a mismatch "
-                                "would silently serve different routing)")
+            _add_checkpoint_model_flags(p)
             p.add_argument("--exported", default=None,
                            help="serve a .tchvp AOT artifact "
                                 "(`tchvp export`) instead of a checkpoint")
@@ -1748,18 +1760,7 @@ def main(argv=None) -> None:
                            help="step_* dir (save_state) or weights-only "
                                 "dir (save_params); default: newest step "
                                 "dir under --checkpoint-dir")
-            p.add_argument("--num-experts", type=int, default=0,
-                           help="match the --num-experts the checkpoint "
-                                "was trained with (MoE param tree)")
-            p.add_argument("--layers", type=int, default=2,
-                           help="match the --layers the checkpoint was "
-                                "trained with (temporal depth; a "
-                                "mismatch is rejected at load — flax "
-                                "would otherwise silently drop layers)")
-            p.add_argument("--router-top-k", type=int, default=1,
-                           help="match the training --router-top-k (the "
-                                "param tree is identical, so a mismatch "
-                                "would silently serve different routing)")
+            _add_checkpoint_model_flags(p)
             p.add_argument("--ema", action="store_true",
                            help="evaluate the EMA parameter average the "
                                 "optimizer carried (--ema-decay training) "
@@ -1777,9 +1778,7 @@ def main(argv=None) -> None:
             p.add_argument("--model", default="hybrid",
                            choices=_EXPORT_CLIP_MODELS + _EXPORT_IMAGE_MODELS)
             p.add_argument("--clip-len", type=int, default=8)
-            p.add_argument("--num-experts", type=int, default=0)
-            p.add_argument("--layers", type=int, default=2)
-            p.add_argument("--router-top-k", type=int, default=1)
+            _add_checkpoint_model_flags(p)
             p.add_argument("--depth", type=int, default=None,
                            help="module nesting depth to show "
                                 "(default: all submodules)")
@@ -1787,9 +1786,7 @@ def main(argv=None) -> None:
             p.add_argument("--model", default="hybrid",
                            choices=_EXPORT_CLIP_MODELS + _EXPORT_IMAGE_MODELS)
             p.add_argument("--clip-len", type=int, default=8)
-            p.add_argument("--num-experts", type=int, default=0)
-            p.add_argument("--layers", type=int, default=2)
-            p.add_argument("--router-top-k", type=int, default=1)
+            _add_checkpoint_model_flags(p)
             p.add_argument("--mesh", default="data=1",
                            help="axis=size pairs, e.g. data=16,expert=4 "
                                 "— no devices needed, planning is "
@@ -1810,18 +1807,7 @@ def main(argv=None) -> None:
                            help="model family: clip models consume "
                                 "(B,T,H,W,3), image models (B,H,W,3)")
             p.add_argument("--checkpoint", default=None)
-            p.add_argument("--num-experts", type=int, default=0,
-                           help="match the --num-experts the checkpoint "
-                                "was trained with (MoE param tree)")
-            p.add_argument("--layers", type=int, default=2,
-                           help="match the --layers the checkpoint was "
-                                "trained with (temporal depth; a "
-                                "mismatch is rejected at load — flax "
-                                "would otherwise silently drop layers)")
-            p.add_argument("--router-top-k", type=int, default=1,
-                           help="match the training --router-top-k (the "
-                                "param tree is identical, so a mismatch "
-                                "would silently serve different routing)")
+            _add_checkpoint_model_flags(p)
             p.add_argument("--clippack", default=None,
                            help="calibration source for --int8")
             p.add_argument("--ema", action="store_true",
@@ -1889,18 +1875,7 @@ def main(argv=None) -> None:
                            help="serve the EMA parameter average the "
                                 "optimizer carried (--ema-decay training) "
                                 "instead of the live params")
-            p.add_argument("--num-experts", type=int, default=0,
-                           help="match the --num-experts the checkpoint "
-                                "was trained with (MoE param tree)")
-            p.add_argument("--layers", type=int, default=2,
-                           help="match the --layers the checkpoint was "
-                                "trained with (temporal depth; a "
-                                "mismatch is rejected at load — flax "
-                                "would otherwise silently drop layers)")
-            p.add_argument("--router-top-k", type=int, default=1,
-                           help="match the training --router-top-k (the "
-                                "param tree is identical, so a mismatch "
-                                "would silently serve different routing)")
+            _add_checkpoint_model_flags(p)
             p.add_argument("--int8", action="store_true",
                            help="int8 PTQ serving mode (infer/quant.py)")
             p.add_argument("--int8-dense", action="store_true",
