@@ -258,6 +258,36 @@ def test_pp_checkpoint_serves_through_cli_loaders(tmp_path):
         ])
 
 
+def test_pp_checkpoint_exports_to_artifact(tmp_path):
+    """The remaining consumer of the pp-train journey: `tchvp export
+    --checkpoint <pp step>` bakes the merged weights into an AOT artifact
+    and `tchvp infer --exported` serves it — checkpoint from a
+    `--mesh data=K,pipe=N` run, artifact on plain devices."""
+    from tchvp_tpu import cli
+    from tchvp_tpu.train import checkpoint as ckpt
+
+    ckdir = str(tmp_path / "ppx")
+    cli.main([
+        "video", "--synthetic", "2", "--epochs", "1", "--batch-size", "4",
+        "--image-size", str(IMAGE), "--clip-len", str(CLIP),
+        "--layers", "2", "--mesh", "data=4,pipe=2",
+        "--checkpoint-dir", ckdir,
+    ])
+    step_dir = ckpt.latest_step_dir(ckdir)
+    art = str(tmp_path / "pp.tchvp")
+    cli.main([
+        "export", "--model", "hybrid", "--out", art,
+        "--image-size", str(IMAGE), "--clip-len", str(CLIP),
+        "--layers", "2", "--checkpoint", step_dir,
+        "--platforms", "cpu",
+    ])
+    cli.main([
+        "infer", "--synthetic", "1", "--batch-size", "2",
+        "--image-size", str(IMAGE), "--clip-len", str(CLIP),
+        "--exported", art,
+    ])
+
+
 def test_layout_elastic_resume(tmp_path):
     """Re-parallelize an existing run (round 4): VideoFlow.resume accepts
     a checkpoint whose param layout differs from the live flow — a
