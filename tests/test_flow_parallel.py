@@ -258,6 +258,32 @@ def test_pp_checkpoint_serves_through_cli_loaders(tmp_path):
         ])
 
 
+def test_restored_params_merges_pipelined_ema_payload():
+    """`--ema` serving from a pp checkpoint: the EMA parameter average
+    mirrors the params, so a pipelined run's EMA payload is ALSO in the
+    {"rest","stages"} layout — _restored_params must merge it (and
+    validate its depth) exactly like the live params."""
+    from tchvp_tpu import cli
+    from tchvp_tpu.parallel import merge_pipelined_params, split_video_params
+
+    model = _model(num_layers=2)
+    clip = jnp.zeros((1, CLIP, IMAGE, IMAGE, 3))
+    params = model.init(jax.random.PRNGKey(0), clip)["params"]
+    rest, stacked = split_video_params(params, 2)
+    pipelined = {"rest": rest, "stages": stacked}
+    # Serialized optax state: namedtuples become name-keyed dicts, so
+    # EmaState shows up as {"ema": <pipelined param tree>}.
+    restored = {"params": pipelined, "opt_state": [{"ema": pipelined}]}
+
+    merged = cli._restored_params(restored, ema=True, expect_layers=2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        merged, params,
+    )
+    with pytest.raises(SystemExit, match="temporal depth"):
+        cli._restored_params(restored, ema=True, expect_layers=4)
+
+
 def test_pp_checkpoint_exports_to_artifact(tmp_path):
     """The remaining consumer of the pp-train journey: `tchvp export
     --checkpoint <pp step>` bakes the merged weights into an AOT artifact
