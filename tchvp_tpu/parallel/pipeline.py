@@ -569,6 +569,15 @@ def create_pipelined_train_state(
             f"count"
         )
     if tcfg.num_experts >= 2:
+        # MoE SERVING pipelines fine (transformer_layer_fn's routed
+        # branch), but TRAINING a routed model needs the load-balance
+        # aux loss, which is a whole-batch statistic of each layer's
+        # router probabilities: inside the GPipe body only per-
+        # microbatch slices exist (mean-of-microbatch-aux != full-batch
+        # aux — the expert fractions f_e and mean probs p_e do not
+        # commute with the batch split), and the layer inputs it needs
+        # are never materialized outside the schedule. Routed training
+        # belongs to ep (ops/moe.py), where the aux is sown exactly.
         raise ValueError(
             "pipelined training supports the dense-FFN temporal form "
             "only; use expert parallelism for MoE models"
