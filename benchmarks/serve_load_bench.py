@@ -12,6 +12,11 @@ Run (CPU works; shapes are tiny so the model call is ms-scale):
   python benchmarks/serve_load_bench.py
 Env: LOAD_CLIENTS (default 8), LOAD_REQUESTS per client (default 20),
 LOAD_WINDOW_MS (default 20), LOAD_SIZE/LOAD_CLIP (default 32/4).
+
+LOAD_PIPE=1 (round-5): drive the LIVE pipelined serving mode instead —
+`tchvp serve --mesh data=2,pipe=2` semantics (serve_live_pipelined) on
+a virtual 4-device CPU mesh; same clients, same malformed-request
+probe, streaming phase skipped (orthogonal to pp).
 """
 
 from __future__ import annotations
@@ -29,8 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+PIPE = os.environ.get("LOAD_PIPE") == "1"
 if os.environ.get("LOAD_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
+    if PIPE:
+        jax.config.update("jax_num_cpu_devices", 4)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -62,14 +70,38 @@ def _export(tmp: str) -> str:
     return path
 
 
+def _serve_pipelined():
+    """LIVE pipelined server over a data=2 x pipe=2 mesh (LOAD_PIPE=1)."""
+    from tchvp_tpu.config import flagship_video_config
+    from tchvp_tpu.infer.server import serve_live_pipelined
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.parallel import make_mesh
+
+    model = VideoHybridNet(
+        config=flagship_video_config(image_size=SIZE, num_layers=2)
+    )
+    vs = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, CLIP, SIZE, SIZE, 3))
+    )
+    mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
+    return serve_live_pipelined(
+        model, vs, mesh, axis="pipe", batch_axis="data",
+        image_size=SIZE, clip_len=CLIP,
+        port=0, buckets=(2, 4), batch_window_ms=WINDOW_MS,
+    )
+
+
 def main() -> None:
     from tchvp_tpu.infer.server import post_npy, serve_artifact
 
     tmp = tempfile.mkdtemp(prefix="tchvp_load_")
-    path = _export(tmp)
-    srv = serve_artifact(
-        path, port=0, buckets=(1, 2, 4), batch_window_ms=WINDOW_MS
-    )
+    if PIPE:
+        srv = _serve_pipelined()
+    else:
+        path = _export(tmp)
+        srv = serve_artifact(
+            path, port=0, buckets=(1, 2, 4), batch_window_ms=WINDOW_MS
+        )
     srv.start()
     base = f"http://127.0.0.1:{srv.port}"
 
@@ -110,7 +142,7 @@ def main() -> None:
             time.sleep(0.01)
 
     # Warm each bucket once so steady-state latency excludes compiles.
-    for b in (1, 2, 4):
+    for b in (2, 4) if PIPE else (1, 2, 4):
         post_npy(f"{base}/infer", np.zeros(
             (b, CLIP, SIZE, SIZE, 3), np.uint8
         ))
@@ -147,7 +179,10 @@ def main() -> None:
         "coalesced_requests": health.get("coalesced_requests", 0),
         "server_errors": health.get("errors", 0),
     }
-    out["streaming"] = _streaming_phase(tmp)
+    if PIPE:
+        out["mode"] = "live_pipelined_dp2xpp2"
+    else:
+        out["streaming"] = _streaming_phase(tmp)
     print(json.dumps(out))
     if errors:
         raise SystemExit(f"{len(errors)} client errors: {errors[:3]}")

@@ -104,6 +104,7 @@ def pipeline_apply(
     batch_axis: Optional[str] = None,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    extras: int = 0,
 ) -> jnp.ndarray:
     """Run ``stage_fn`` P times over ``x`` as a P-stage GPipe pipeline.
 
@@ -128,6 +129,16 @@ def pipeline_apply(
     GPipe's schedule memory is per-microbatch stage boundaries either
     way, so this trims the dominant within-stage term at ~1/3 extra
     stage FLOPs. Math is unchanged (remat never is).
+
+    ``extras > 0``: the stage function additionally returns a fp32
+    ``(extras,)`` vector per call — ``stage_fn(p, mb[, key]) ->
+    (mb, e)`` — and :func:`pipeline_apply` returns ``(out, extras_sum)``
+    where ``extras_sum`` is the SUM of ``e`` over every VALID
+    (stage, microbatch) pair (warmup/drain dummy computations are masked
+    out; the sum psums over the pipe axis and, when ``batch_axis`` is
+    set, pmeans over the data axis). The hook for per-microbatch scalar
+    statistics — the routed-MoE load-balance aux and drop fraction
+    (train/steps.py normalizes by microbatch/layer counts).
 
     Returns ``stage_{P-1}(...stage_0(x))`` exactly — the schedule is an
     execution strategy, not a math change (asserted in
@@ -172,9 +183,12 @@ def pipeline_apply(
         # stable (shard_map vma typing).
         act0 = jax.lax.pcast(jnp.zeros_like(xs_local[0]), (axis,), to="varying")
         out0 = jax.lax.pcast(jnp.zeros_like(xs_local), (axis,), to="varying")
+        ext0 = jax.lax.pcast(
+            jnp.zeros((max(extras, 1),), jnp.float32), (axis,), to="varying"
+        )
 
         def tick(t, carry):
-            act, outs = carry
+            act, outs, ext = carry
             # Activations hop one stage to the right.
             recv = jax.lax.ppermute(act, axis, fwd_perm)
             # Stage 0 ingests microbatch t (a dummy repeat after t >= M
@@ -197,9 +211,18 @@ def pipeline_apply(
                     key = jax.random.fold_in(
                         key, jax.lax.axis_index(batch_axis)
                     )
-                act = stage_fn(params_i, inp, key)
+                res = stage_fn(params_i, inp, key)
             else:
-                act = stage_fn(params_i, inp)
+                res = stage_fn(params_i, inp)
+            if extras:
+                act, e = res
+                # Stage idx computes microbatch (t - idx) this tick;
+                # anything else is a warmup/drain dummy whose statistics
+                # (and gradients, via the where) must not contribute.
+                valid = (t >= idx) & (t - idx < m)
+                ext = ext + jnp.where(valid, e.astype(jnp.float32), 0.0)
+            else:
+                act = res
             # The last stage finished microbatch t-(n-1) this tick; write
             # unconditionally, keep the old buffer unless collecting.
             done = t - (n - 1)
@@ -207,14 +230,25 @@ def pipeline_apply(
             slot = jnp.maximum(done, 0)
             upd = jax.lax.dynamic_update_index_in_dim(outs, act, slot, axis=0)
             outs = jnp.where(collect, upd, outs)
-            return act, outs
+            return act, outs, ext
 
-        _, outs = jax.lax.fori_loop(0, ticks, tick, (act0, out0))
+        _, outs, ext = jax.lax.fori_loop(0, ticks, tick, (act0, out0, ext0))
         # Output lives on the last stage only; psum of masked buffers
         # replicates it across the pipe axis.
-        return jax.lax.psum(
+        out = jax.lax.psum(
             jnp.where(idx == n - 1, outs, jnp.zeros_like(outs)), axis
         )
+        if not extras:
+            return out
+        # Each stage accumulated its own layers' statistics over its
+        # valid microbatches: total = psum over pipe. Across data shards
+        # the per-shard values are per-LOCAL-ROWS statistics of the same
+        # microbatches — average them (the per-device estimator, standard
+        # for Switch/GShard-style aux losses).
+        ext = jax.lax.psum(ext, axis)
+        if batch_axis is not None:
+            ext = jax.lax.pmean(ext, batch_axis)
+        return out, ext
 
     p_spec = jax.tree.map(
         lambda t: P(axis, *([None] * (t.ndim - 1))), stacked_params
@@ -227,12 +261,16 @@ def pipeline_apply(
     if rng is not None:
         in_specs.append(P(*([None] * rng.ndim)))  # replicated key
         args.append(rng)
+    out_specs = (x_spec, P(None)) if extras else x_spec
     out = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=x_spec,
+        out_specs=out_specs,
     )(*args)
+    if extras:
+        out, ext = out
+        return out.reshape((b,) + x.shape[1:]), ext
     return out.reshape((b,) + x.shape[1:])
 
 
@@ -261,7 +299,10 @@ def extract_transformer_layers(variables: Any, num_layers: int) -> Any:
 
 
 def transformer_layer_fn(
-    config, dtype: Any = jnp.float32, dropout: bool = False
+    config,
+    dtype: Any = jnp.float32,
+    dropout: bool = False,
+    with_extras: bool = False,
 ) -> Callable[..., jnp.ndarray]:
     """One TransformerEncoder layer as a ``stage_fn`` for
     :func:`pipeline_apply` — the same math as
@@ -280,7 +321,13 @@ def transformer_layer_fn(
     per-(tick, stage) key :func:`pipeline_apply` folds. Same rates and
     inverted-dropout math as the module; the draws themselves differ
     (different key stream), which is the usual dropout contract —
-    parity against the monolithic step is pinned at rate 0."""
+    parity against the monolithic step is pinned at rate 0.
+
+    ``with_extras=True`` returns ``(x, extras)`` per call, ``extras`` a
+    fp32 ``(2,)`` vector ``[load_balance_aux, dropped_fraction]`` — the
+    per-microbatch MoE statistics :func:`pipeline_apply` accumulates for
+    routed-MoE TRAINING under pp (zeros for a dense layer, so grouping
+    stays uniform)."""
     import math
 
     from tchvp_tpu.ops.attention import multi_head_attention
@@ -354,18 +401,21 @@ def transformer_layer_fn(
 
             mp = p["moe"]
             e = mp["w1"].shape[0]
-            k = getattr(config, "router_top_k", 1)
+            # NOT named ``k``: the attention key tensor above shares this
+            # scope (round-4 advisor shadowing note).
+            top_k = getattr(config, "router_top_k", 1)
             cap = expert_capacity(
-                x.shape[1], e, config.expert_capacity_factor, k
+                x.shape[1], e, config.expert_capacity_factor, top_k
             )
-            disp, comb, _aux, _drop = _route(
-                x, mp["router"], cap, top_k=k
+            disp, comb, aux, drop_frac = _route(
+                x, mp["router"], cap, top_k=top_k
             )
             h = _expert_ffn(
                 disp, comb, x, mp["w1"], mp["b1"], mp["w2"], mp["b2"],
                 dtype,
             ).astype(x.dtype)
         else:
+            aux = drop_frac = jnp.float32(0.0)
             h = dense(p["ffn2"], jax.nn.relu(dense(p["ffn1"], x)))
         x = x + layer_norm(p["norm"], h)
         if config.scale_out:
@@ -374,6 +424,10 @@ def transformer_layer_fn(
             # flax nn.Dropout: inverted dropout on the layer output.
             keep = jax.random.bernoulli(k_out, 1.0 - rate, x.shape)
             x = jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+        if with_extras:
+            return x, jnp.stack(
+                [jnp.float32(aux), jnp.float32(drop_frac)]
+            )
         return x
 
     return fn
@@ -401,32 +455,45 @@ def chain_stage_fn(
     layer_fn: Callable[..., jnp.ndarray],
     layers_per_stage: int,
     with_rng: bool = False,
+    with_extras: bool = False,
 ) -> Callable[..., jnp.ndarray]:
     """Stage function applying ``layers_per_stage`` stacked layers in
     sequence (params carry a leading layer dim of that size — the layout
     :func:`group_stages` produces per stage). ``with_rng=True`` chains a
     dropout-mode ``layer_fn(p, x, key)``, folding the stage key per
-    layer."""
+    layer. ``with_extras=True`` chains an extras-returning ``layer_fn``
+    (see :func:`transformer_layer_fn`), SUMMING the per-layer extras —
+    the stage then reports its layers' combined statistics to
+    :func:`pipeline_apply`."""
+
+    def call(p, x, key, i):
+        pi = jax.tree.map(lambda t, _i=i: t[_i], p)
+        if with_rng:
+            return layer_fn(pi, x, jax.random.fold_in(key, i))
+        return layer_fn(pi, x)
+
+    if with_extras:
+
+        def fn(p, x, key=None):
+            ext = jnp.zeros((2,), jnp.float32)
+            for i in range(layers_per_stage):
+                x, e = call(p, x, key, i)
+                ext = ext + e
+            return x, ext
+
+        if not with_rng:
+            return lambda p, x: fn(p, x, None)
+        return fn
 
     if with_rng:
+        return lambda p, x, key: _chain_plain(call, layers_per_stage, p, x, key)
+    return lambda p, x: _chain_plain(call, layers_per_stage, p, x, None)
 
-        def fn(p, x, key):
-            for i in range(layers_per_stage):
-                x = layer_fn(
-                    jax.tree.map(lambda t, _i=i: t[_i], p),
-                    x,
-                    jax.random.fold_in(key, i),
-                )
-            return x
 
-    else:
-
-        def fn(p, x):
-            for i in range(layers_per_stage):
-                x = layer_fn(jax.tree.map(lambda t, _i=i: t[_i], p), x)
-            return x
-
-    return fn
+def _chain_plain(call, layers_per_stage, p, x, key):
+    for i in range(layers_per_stage):
+        x = call(p, x, key, i)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -458,8 +525,23 @@ def is_pipelined_params(params: Any) -> bool:
     ``{"rest": ..., "stages": ...}`` (see
     :func:`create_pipelined_train_state`) rather than a flax module tree
     — the discriminator serving/eval loaders use to accept checkpoints
-    from ``tchvp video --mesh pipe=N`` runs transparently."""
-    return isinstance(params, dict) and set(params.keys()) == {"rest", "stages"}
+    from ``tchvp video --mesh pipe=N`` runs transparently.
+
+    Beyond the key set, the ``stages`` subtree must actually look like a
+    stacked stage tree (a ``norm`` entry whose leaves carry the leading
+    stage dim) — a flax model that coincidentally names two top-level
+    modules ``rest``/``stages`` must NOT be mangled by
+    :func:`merge_pipelined_params` (round-4 advisor)."""
+    if not (isinstance(params, dict) and set(params.keys()) == {"rest", "stages"}):
+        return False
+    stages = params["stages"]
+    if not (isinstance(stages, dict) and "norm" in stages):
+        return False
+    # Stacked per-layer LayerNorm scale: (P, d) or (P, k, d) — >= 2-D.
+    leaves = jax.tree.leaves(stages["norm"])
+    return bool(leaves) and all(
+        getattr(l, "ndim", np.ndim(l)) >= 2 for l in leaves
+    )
 
 
 def merge_pipelined_params(params: Any) -> Any:
@@ -497,11 +579,30 @@ def _stage_leaf_spec(x: Any, axis: str) -> P:
     return P(axis, *([None] * (ndim - 1))) if ndim else P()
 
 
-def pipeline_state_shardings(state: Any, mesh: Mesh, axis: str = "pipe") -> Any:
+def pipeline_state_shardings(
+    state: Any,
+    mesh: Mesh,
+    axis: str = "pipe",
+    fsdp_axis: Optional[str] = None,
+) -> Any:
     """NamedShardings for a pipelined-layout TrainState: every leaf whose
     tree path passes through a ``"stages"`` key (the stacked stage params
     AND their optimizer moments, which mirror the param structure) shards
-    its leading (stage) dim over ``axis``; everything else replicates."""
+    its leading (stage) dim over ``axis``.
+
+    ``fsdp_axis`` (pp x ZeRO composition, round-4 verdict #1): non-stage
+    leaves — the flagship's CNN encoder/decoder params and their Adam
+    moments, previously replicated on every dp x pp device — shard over
+    that (data) axis via :func:`tchvp_tpu.parallel.fsdp.fsdp_leaf_spec`
+    (largest divisible dim, small leaves replicate). Without it,
+    everything outside the stage stack replicates."""
+    from tchvp_tpu.parallel.fsdp import fsdp_leaf_spec
+
+    d_size = (
+        mesh.shape[fsdp_axis]
+        if fsdp_axis is not None and fsdp_axis in mesh.axis_names
+        else 1
+    )
 
     def is_stage_path(path) -> bool:
         for p in path:
@@ -512,16 +613,28 @@ def pipeline_state_shardings(state: Any, mesh: Mesh, axis: str = "pipe") -> Any:
     def one(path, x):
         if is_stage_path(path):
             return NamedSharding(mesh, _stage_leaf_spec(x, axis))
+        if d_size > 1 and hasattr(x, "shape"):
+            return NamedSharding(
+                mesh, fsdp_leaf_spec(tuple(x.shape), fsdp_axis, d_size)
+            )
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(one, state)
 
 
-def shard_pipeline_train_state(state: Any, mesh: Mesh, axis: str = "pipe") -> Any:
+def shard_pipeline_train_state(
+    state: Any,
+    mesh: Mesh,
+    axis: str = "pipe",
+    fsdp_axis: Optional[str] = None,
+) -> Any:
     """Place a pipelined-layout TrainState: stage params + moments sharded
-    over ``axis``, the rest replicated (the pp counterpart of
+    over ``axis``, the rest replicated — or, with ``fsdp_axis``, ZeRO-
+    sharded over the data axis (the pp counterpart of
     :func:`tchvp_tpu.parallel.fsdp.shard_train_state`)."""
-    return jax.device_put(state, pipeline_state_shardings(state, mesh, axis))
+    return jax.device_put(
+        state, pipeline_state_shardings(state, mesh, axis, fsdp_axis)
+    )
 
 
 def constrain_stage_grads(grads: Any, mesh: Mesh, axis: str = "pipe") -> Any:
@@ -549,10 +662,17 @@ def create_pipelined_train_state(
     *,
     mesh: Mesh,
     axis: str = "pipe",
+    fsdp_axis: Optional[str] = None,
 ):
     """Init the flagship model and build a TrainState in the PIPELINED
     param layout, stage leaves placed sharded over ``axis`` BEFORE
     ``tx.init`` runs so the optimizer moments inherit the stage sharding.
+
+    ``fsdp_axis``: additionally ZeRO-shard the non-stage (``rest``) params
+    + moments over that data axis (see :func:`pipeline_state_shardings`)
+    — pair with ``fsdp_axis=`` on
+    :func:`tchvp_tpu.train.steps.make_pipelined_video_train_step` so the
+    ``rest`` grads reduce-scatter.
 
     The resulting state trains only through
     :func:`tchvp_tpu.train.steps.make_pipelined_video_train_step`; use
@@ -568,19 +688,21 @@ def create_pipelined_train_state(
             f"'{axis}' axis: num_layers must be a multiple of the stage "
             f"count"
         )
-    if tcfg.num_experts >= 2:
-        # MoE SERVING pipelines fine (transformer_layer_fn's routed
-        # branch), but TRAINING a routed model needs the load-balance
-        # aux loss, which is a whole-batch statistic of each layer's
-        # router probabilities: inside the GPipe body only per-
-        # microbatch slices exist (mean-of-microbatch-aux != full-batch
-        # aux — the expert fractions f_e and mean probs p_e do not
-        # commute with the batch split), and the layer inputs it needs
-        # are never materialized outside the schedule. Routed training
-        # belongs to ep (ops/moe.py), where the aux is sown exactly.
+    if tcfg.num_experts >= 2 and tcfg.ep_axis is not None:
+        # Routed-MoE TRAINING pipelines with the standard PER-MICROBATCH
+        # aux estimator (round-4 verdict #3): each stage computes its
+        # layers' load-balance aux on the microbatch it holds and
+        # pipeline_apply accumulates the masked sum — the reported aux
+        # is the MEAN of per-microbatch estimates, the Switch/GShard
+        # practice, NOT the whole-batch statistic the ep path sows
+        # exactly (f_e and p_e do not commute with the batch split; the
+        # deviation is documented on make_pipelined_video_train_step).
+        # ep INSIDE a pipeline stage stays unsupported (nested
+        # shard_map): expert weights are stage-local.
         raise ValueError(
-            "pipelined training supports the dense-FFN temporal form "
-            "only; use expert parallelism for MoE models"
+            "pp x ep inside a stage is unsupported: use ep_axis=None "
+            "for pipelined MoE training (experts live stage-local; the "
+            "aux is the per-microbatch estimator)"
         )
     if tcfg.seq_axis is not None:
         raise ValueError(
@@ -603,7 +725,7 @@ def create_pipelined_train_state(
     state = state.replace(
         opt_state=_dealias_opt_state(state.params, state.opt_state)
     )
-    return shard_pipeline_train_state(state, mesh, axis)
+    return shard_pipeline_train_state(state, mesh, axis, fsdp_axis)
 
 
 def pipelined_video_infer(

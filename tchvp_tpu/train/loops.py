@@ -573,6 +573,68 @@ class TransferFlow(_FlowBase):
         return np.asarray(pred)
 
 
+def _overlay_opt_state(fresh, disk, conv, params_struct, stats):
+    """Overlay a DISK optimizer-state payload (untemplated orbax restore:
+    namedtuples as name-keyed dicts, tuples as lists) onto a FRESH
+    live-layout optimizer state, converting param-shaped subtrees through
+    ``conv`` (the same layout transform the params took — layout-elastic
+    resume, round-4 verdict #4).
+
+    Walks the FRESH (typed) tree: any node whose pytree structure equals
+    the live param tree's converts through ``conv`` + ``_retype``
+    (Adam/Lion/SGD moments, EMA mirrors, last_finite snapshots);
+    scalars/counters copy through leaf-wise (LR-schedule continuity);
+    anything that fails to map keeps its fresh value and counts in
+    ``stats['reset']`` — never a silent crash, never a silent full
+    reset."""
+    if disk is None:
+        return fresh
+
+    tu = jax.tree_util
+    if tu.tree_structure(fresh) == params_struct and tu.tree_leaves(fresh):
+        try:
+            out = ckpt._retype(fresh, conv(disk))
+            stats["converted"] += 1
+            return out
+        except Exception:
+            stats["reset"] += 1
+            return fresh
+    fields = getattr(fresh, "_fields", None)
+    if fields is not None:  # optax namedtuple state
+        if not isinstance(disk, dict):
+            stats["reset"] += 1
+            return fresh
+        return type(fresh)(**{
+            f: _overlay_opt_state(
+                getattr(fresh, f), disk.get(f), conv, params_struct, stats
+            )
+            for f in fields
+        })
+    if isinstance(fresh, dict):
+        if not isinstance(disk, dict):
+            stats["reset"] += 1
+            return fresh
+        return type(fresh)(
+            (k, _overlay_opt_state(v, disk.get(k), conv, params_struct, stats))
+            for k, v in fresh.items()
+        )
+    if isinstance(fresh, (list, tuple)):
+        if not isinstance(disk, (list, tuple)) or len(disk) != len(fresh):
+            stats["reset"] += 1
+            return fresh
+        items = [
+            _overlay_opt_state(f, d, conv, params_struct, stats)
+            for f, d in zip(fresh, disk)
+        ]
+        return type(fresh)(items) if not isinstance(fresh, tuple) else tuple(items)
+    # Leaf: counters/scalars — shape/dtype must agree to copy through.
+    try:
+        return ckpt._retype(fresh, disk)
+    except Exception:
+        stats["reset"] += 1
+        return fresh
+
+
 class VideoFlow(_FlowBase):
     """Clip-denoising training for the video pipeline (recovered
     AE_256_32K L226-330: gaussian input noise, MixedLoss(0.3, 0.7),
@@ -596,6 +658,7 @@ class VideoFlow(_FlowBase):
         sp_axis: Optional[str] = None,
         pipe_axis: Optional[str] = None,
         pipe_microbatches: Optional[int] = None,
+        pipe_batch_axis: str = "data",
         aug: AugmentConfig = AugmentConfig(),
     ):
         super().__init__(cfg, mesh)
@@ -625,26 +688,33 @@ class VideoFlow(_FlowBase):
                 raise ValueError(
                     f"pipe_axis={pipe_axis!r} needs a mesh carrying that axis"
                 )
+            if fsdp_axis is not None and fsdp_axis not in mesh.shape:
+                raise ValueError(
+                    f"fsdp_axis={fsdp_axis!r} not an axis of the mesh"
+                )
             incompatible = {
-                "fsdp_axis": fsdp_axis, "qat": qat, "seq_axis": seq_axis,
+                "qat": qat, "seq_axis": seq_axis,
                 "sp_axis": sp_axis,
-                "accum_steps>1": accum_steps > 1,
                 # Full remat maps onto the pipelined step (checkpointed
                 # stage bodies); the name-based policies target the
                 # monolithic forward's checkpoint_name tags and don't.
                 "remat_policy": remat_policy not in ("none", "full"),
-                "moe_aux_weight": cfg.moe_aux_weight,
             }
             on = [k for k, v in incompatible.items() if v]
             if on:
                 raise ValueError(
                     f"pipe_axis does not compose with {on} (pipelined "
-                    "training supports the dense flagship + optional "
-                    "data axis)"
+                    "training supports the dense or routed-MoE flagship "
+                    "+ data/fsdp axes)"
                 )
+            # dp composition: microbatch batch dims stay sharded over
+            # this axis when the mesh carries it >1 wide. Parameterized
+            # (default "data") so a library caller whose mesh names its
+            # batch axis differently keeps dp sharding (round-4 advisor).
             batch_axis = (
-                "data" if dict(zip(mesh.axis_names, mesh.devices.shape))
-                .get("data", 1) > 1 else None
+                pipe_batch_axis
+                if dict(zip(mesh.axis_names, mesh.devices.shape))
+                .get(pipe_batch_axis, 1) > 1 else None
             )
             self._train_step = self._under_mesh(
                 steps_lib.make_pipelined_video_train_step(
@@ -654,6 +724,9 @@ class VideoFlow(_FlowBase):
                     loss=cfg.loss, alpha=loss_alpha, beta=loss_beta,
                     data_range=cfg.mixed_data_range, aug=aug,
                     remat=remat or remat_policy == "full",
+                    fsdp_axis=fsdp_axis,
+                    accum_steps=accum_steps,
+                    moe_aux_weight=cfg.moe_aux_weight,
                 ))
             self._eval_step = self._under_mesh(
                 steps_lib.make_pipelined_video_eval_step(
@@ -679,7 +752,9 @@ class VideoFlow(_FlowBase):
         if self.pipe_axis and self.mesh is not None:
             from tchvp_tpu.parallel import shard_pipeline_train_state
 
-            return shard_pipeline_train_state(state, self.mesh, self.pipe_axis)
+            return shard_pipeline_train_state(
+                state, self.mesh, self.pipe_axis, fsdp_axis=self.fsdp_axis
+            )
         return super()._replicate(state)
 
     def init_state(self, clip_len: int, lr: Optional[float] = None) -> TrainState:
@@ -696,6 +771,7 @@ class VideoFlow(_FlowBase):
             self.state = create_pipelined_train_state(
                 self.model, example, tx, jax.random.PRNGKey(cfg.seed),
                 mesh=self.mesh, axis=self.pipe_axis,
+                fsdp_axis=self.fsdp_axis,
             )
             return self.state
         self.state = self._replicate(
@@ -763,12 +839,14 @@ class VideoFlow(_FlowBase):
         """Fallback for :meth:`resume` when the template restore failed:
         if the checkpoint's param layout differs from the live flow's
         (monolithic flax tree vs pipelined ``{"rest", "stages"}``, or a
-        pipelined run with a different stage grouping), convert params
-        and batch stats into the live layout — re-parallelizing an
-        existing run without retraining. Optimizer moments cannot
-        survive a layout change (their pytree mirrors the params
-        layout), so they restart fresh, loudly. If the layouts actually
-        match, the original restore error re-raises untouched."""
+        pipelined run with a different stage grouping), convert params,
+        batch stats, AND optimizer moments into the live layout —
+        re-parallelizing an existing run without retraining or a
+        moment-rewarmup spike (round-4 verdict #4: the moment pytrees
+        mirror the param layout, so the same split/stack/group/merge
+        transforms convert them; only genuinely unmappable leaves reset,
+        loudly). If the layouts actually match, the original restore
+        error re-raises untouched."""
         from tchvp_tpu.parallel import (
             group_stages,
             is_pipelined_params,
@@ -776,7 +854,13 @@ class VideoFlow(_FlowBase):
             split_video_params,
         )
 
-        raw = ckpt.restore_state(path)
+        try:
+            raw = ckpt.restore_state(path)
+        except Exception as err2:
+            # The untemplated fallback read failed too (e.g. transient
+            # I/O) — surface it WITH the original template-restore error
+            # chained, not masking it (round-4 advisor).
+            raise err2 from err
         disk_params = raw.get("params")
         disk_pp = is_pipelined_params(disk_params)
         live_pp = bool(self.pipe_axis)
@@ -788,33 +872,42 @@ class VideoFlow(_FlowBase):
         if disk_pp == live_pp and same_grouping:
             raise err  # not a layout mismatch — a genuine restore failure
 
-        merged = (
-            merge_pipelined_params(disk_params) if disk_pp else disk_params
-        )
-        if live_pp:
-            num_layers = self.model.config.temporal.num_layers
-            n = self.mesh.shape[self.pipe_axis]
-            rest, stacked = split_video_params(merged, num_layers)
-            if num_layers // n > 1:
-                stacked = group_stages(stacked, n)
-            new_params = {"rest": rest, "stages": stacked}
-        else:
-            new_params = merged
+        def conv(tree):
+            """DISK params layout -> LIVE params layout, for any tree
+            whose structure mirrors the params (the param tree itself,
+            Adam/Lion moments, EMA mirrors, last_finite snapshots)."""
+            t = merge_pipelined_params(tree) if disk_pp else tree
+            if live_pp:
+                num_layers = self.model.config.temporal.num_layers
+                n = self.mesh.shape[self.pipe_axis]
+                rest, stacked = split_video_params(t, num_layers)
+                if num_layers // n > 1:
+                    stacked = group_stages(stacked, n)
+                return {"rest": rest, "stages": stacked}
+            return t
+
         # _retype validates every leaf's shape/dtype against the live
         # state (a --layers mismatch between the runs fails here, not
         # silently); _replicate in resume() re-places the result on the
         # mesh (stage-sharded for pp).
-        converted = ckpt._retype(self.state.params, new_params)
-        # Re-init the optimizer FROM THE CONVERTED PARAMS, not from the
-        # discarded random init: Adam moments restart at zero either
-        # way, but param-snapshot states (param_ema's average,
-        # apply_if_finite's last_finite) must seed from the restored
-        # weights — an EMA seeded from random init would dominate
-        # `--ema` serving for ~1/(1-decay) steps (round-4 review
-        # finding).
+        converted = ckpt._retype(self.state.params, conv(disk_params))
+        # Optimizer state: start from a fresh init FROM THE CONVERTED
+        # PARAMS (param-snapshot states — param_ema's average,
+        # apply_if_finite's last_finite — must seed from restored
+        # weights, never random init; round-4 review finding), then
+        # overlay every disk subtree that maps: param-shaped subtrees
+        # (Adam mu/nu, Lion/SGD momentum, EMA mirrors) go through the
+        # SAME layout conversion as the params, scalars (step counts —
+        # LR-schedule continuity) copy through.
         from tchvp_tpu.train.state import _dealias_opt_state
 
-        new_opt = _dealias_opt_state(converted, self.state.tx.init(converted))
+        fresh_opt = self.state.tx.init(converted)
+        stats = {"converted": 0, "reset": 0}
+        new_opt = _overlay_opt_state(
+            fresh_opt, raw.get("opt_state"), conv,
+            jax.tree_util.tree_structure(converted), stats,
+        )
+        new_opt = _dealias_opt_state(converted, new_opt)
         self.state = self.state.replace(params=converted, opt_state=new_opt)
         if raw.get("batch_stats") is not None and self.state.batch_stats is not None:
             self.state = self.state.replace(
@@ -825,8 +918,9 @@ class VideoFlow(_FlowBase):
         layout = lambda pp: "pipelined" if pp else "monolithic"  # noqa: E731
         print(
             f"[resume] checkpoint layout {layout(disk_pp)} -> live "
-            f"{layout(live_pp)}: params/batch_stats converted, optimizer "
-            f"moments reset (their structure mirrors the param layout)"
+            f"{layout(live_pp)}: params/batch_stats converted; optimizer "
+            f"state: {stats['converted']} param-shaped subtrees converted, "
+            f"{stats['reset']} unmappable subtrees reset"
         )
         return raw
 

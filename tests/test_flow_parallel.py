@@ -53,9 +53,10 @@ def _clip_batch(seed=0):
     return rng.integers(0, 255, (8, CLIP, IMAGE, IMAGE, 3)).astype(np.uint8)
 
 
-def _flow(model, mesh, tmp_path, tag, **kw):
+def _flow(model, mesh, tmp_path, tag, optimizer="adamw", **kw):
     tc = TrainConfig(
         model_name="video", loss="mse", lr=1e-4,
+        optimizer=optimizer,
         checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
         log_dir=str(tmp_path / f"runs_{tag}"),
         sample_dir=str(tmp_path / f"samples_{tag}"),
@@ -314,26 +315,70 @@ def test_pp_checkpoint_exports_to_artifact(tmp_path):
     ])
 
 
+def _param_shaped_subtrees(opt_state, params):
+    """All optimizer-state subtrees whose pytree structure mirrors the
+    param tree (Adam mu/nu, EMA mirrors, ...), in deterministic walk
+    order — the subtrees layout-elastic resume must CONVERT, not reset."""
+    ps = jax.tree_util.tree_structure(params)
+    found = []
+
+    def walk(node):
+        if (
+            jax.tree_util.tree_structure(node) == ps
+            and jax.tree_util.tree_leaves(node)
+        ):
+            found.append(node)
+            return
+        fields = getattr(node, "_fields", None)
+        if fields is not None:
+            for f in fields:
+                walk(getattr(node, f))
+        elif isinstance(node, dict):
+            for k in node:
+                walk(node[k])
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(opt_state)
+    return found
+
+
 def test_layout_elastic_resume(tmp_path):
     """Re-parallelize an existing run (round 4): VideoFlow.resume accepts
     a checkpoint whose param layout differs from the live flow — a
     monolithic run continues as `--mesh pipe=N` training and vice versa.
-    Params/batch_stats convert exactly; optimizer moments reset (their
-    pytree mirrors the layout); a step trains after the switch."""
-    from tchvp_tpu.parallel import merge_pipelined_params
+    Params/batch_stats convert exactly; optimizer MOMENTS convert too
+    (round-5: the same split/stack/merge transforms — bitwise-equal in
+    both directions, so a re-parallelized run continues with no Adam
+    re-warmup), and the post-switch step exactly matches the
+    uninterrupted run's next step."""
+    from tchvp_tpu.parallel import merge_pipelined_params, split_video_params
     from tchvp_tpu.train import checkpoint as ckpt
 
     mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
 
+    # SGD-momentum flows: the trace buffer is a param-shaped moment (so
+    # conversion is exercised) and updates are LINEAR in it, so the
+    # post-switch step comparison is exact at fp32 tolerance (Adam
+    # sign-normalizes near-zero grads — reassociation noise flips them
+    # to full ±lr steps; same reasoning as the pp parity test).
     # monolithic run -> checkpoint -> pipelined flow resumes it
-    mono = _flow(_model(num_layers=2), None, tmp_path, "ler")
+    mono = _flow(_model(num_layers=2), None, tmp_path, "ler", optimizer="sgd")
     _one_step(mono)
     ckpt.save_state(
         mono.cfg.checkpoint_dir, 1, mono.state.params,
         opt_state=mono.state.opt_state, batch_stats=mono.state.batch_stats,
         extra={"train_epoch": 1},
     )
-    pp = _flow(_model(num_layers=2), mesh, tmp_path, "ler", pipe_axis="pipe")
+    # Numpy snapshot of the CHECKPOINTED params: mono trains further
+    # below (and its steps donate the live buffers), but the EMA leg at
+    # the end resumes from THIS checkpoint and must compare against it.
+    params_at_ckpt = jax.tree.map(np.asarray, mono.state.params)
+    pp = _flow(
+        _model(num_layers=2), mesh, tmp_path, "ler",
+        pipe_axis="pipe", optimizer="sgd",
+    )
     start = pp.resume(CLIP)
     assert start == 1
     jax.tree.map(
@@ -344,7 +389,44 @@ def test_layout_elastic_resume(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         pp.state.batch_stats, mono.state.batch_stats,
     )
-    assert np.isfinite(_one_step(pp))  # trains after the layout switch
+
+    # Adam moments came through the SAME layout conversion, bitwise:
+    # mono's (nonzero after a step) mu/nu split+stacked == pp's restored.
+    def mono_to_pp(tree):
+        rest, stacked = split_video_params(tree, 2)
+        return {"rest": rest, "stages": stacked}
+
+    mono_moms = _param_shaped_subtrees(mono.state.opt_state, mono.state.params)
+    pp_moms = _param_shaped_subtrees(pp.state.opt_state, pp.state.params)
+    assert len(mono_moms) == len(pp_moms) >= 1  # SGD momentum trace
+    assert any(
+        float(jnp.abs(l).max()) > 0
+        for m in mono_moms
+        for l in jax.tree.leaves(m)
+    )  # the moments being compared are not trivially zero
+    for mm, pm in zip(mono_moms, pp_moms):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            mono_to_pp(mm), pm,
+        )
+
+    # No re-warmup: with moments AND step count restored, the post-switch
+    # pp step equals the uninterrupted monolithic run's next step (same
+    # rng => same noise/keys; pipeline parity is exact at dropout 0).
+    # COPY the key: both states donate their buffers in their steps —
+    # aliasing one rng buffer into both would delete it under the first
+    # step and crash the second.
+    pp.state = pp.state.replace(rng=jnp.array(mono.state.rng, copy=True))
+    _one_step(pp)
+    _one_step(mono)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        ),
+        merge_pipelined_params(pp.state.params), mono.state.params,
+    )
 
     # pipelined run -> checkpoint -> monolithic flow resumes it
     ckpt.save_state(
@@ -352,13 +434,25 @@ def test_layout_elastic_resume(tmp_path):
         opt_state=pp.state.opt_state, batch_stats=pp.state.batch_stats,
         extra={"train_epoch": 3},
     )
-    mono2 = _flow(_model(num_layers=2), None, tmp_path, "ler2")
+    mono2 = _flow(_model(num_layers=2), None, tmp_path, "ler2", optimizer="sgd")
     start = mono2.resume(CLIP)
     assert start == 3
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         mono2.state.params, merge_pipelined_params(pp.state.params),
     )
+    # Moments converted pp -> mono, bitwise.
+    pp_moms2 = _param_shaped_subtrees(pp.state.opt_state, pp.state.params)
+    mono2_moms = _param_shaped_subtrees(
+        mono2.state.opt_state, mono2.state.params
+    )
+    for pm, mm in zip(pp_moms2, mono2_moms):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            merge_pipelined_params(pm), mm,
+        )
     assert np.isfinite(_one_step(mono2))
 
     # EMA optimizer across the layout switch: the fresh opt_state must
@@ -383,20 +477,27 @@ def test_layout_elastic_resume(tmp_path):
     assert ema is not None
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
-        merge_pipelined_params(ema), mono.state.params,
+        merge_pipelined_params(ema), params_at_ckpt,
     )
 
 
 def test_videoflow_pipe_rejects_bad_compositions(tmp_path):
     mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
+    # fsdp_axis now COMPOSES with pipe (round-5 pp x ZeRO); qat and
+    # seq_axis remain rejected.
     with pytest.raises(ValueError, match="does not compose"):
         _flow(
             _model(num_layers=2), mesh, tmp_path, "ppbad",
-            pipe_axis="pipe", fsdp_axis="data",
+            pipe_axis="pipe", qat=True,
         )
     with pytest.raises(ValueError, match="needs a mesh"):
         _flow(_model(num_layers=2), None, tmp_path, "ppbad2",
               pipe_axis="pipe")
+    with pytest.raises(ValueError, match="not an axis"):
+        _flow(
+            _model(num_layers=2), mesh, tmp_path, "ppbad3",
+            pipe_axis="pipe", fsdp_axis="nonexistent",
+        )
 
 
 def test_videoflow_pipe_checkpoint_roundtrip(tmp_path):

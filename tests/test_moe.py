@@ -442,3 +442,122 @@ def test_pipelined_transformer_supports_moe(
                 num_experts=4, ep_axis="expert",
             )
         )
+
+
+def test_pipeline_extras_aux_matches_hand_computation():
+    """Routed-MoE TRAINING under pp (round-4 verdict #3): pipeline_apply
+    with extras=2 accumulates each stage's per-microbatch [aux, drop]
+    over its VALID (stage, microbatch) pairs. Pinned against a hand
+    computation: split the batch into the same M microbatches, run the
+    layer fn sequentially per chunk, sum the extras — the pipeline's
+    masked in-loop accumulation must match exactly (garbage warmup/drain
+    computations excluded), and the output must still equal
+    model.apply."""
+    from tchvp_tpu.parallel import (
+        extract_transformer_layers,
+        pipeline_apply,
+        transformer_layer_fn,
+    )
+    from tchvp_tpu.parallel.mesh import activate_mesh as _am
+
+    cfg = TransformerConfig(
+        input_dim=32, hidden_dim=24, num_layers=2, num_heads=4,
+        dropout_rate=0.0, num_experts=4, expert_capacity_factor=1.0,
+    )
+    model = TransformerEncoder(config=cfg)
+    x = _data(b=8, s=12, d=32, seed=33)
+    vs = model.init(jax.random.PRNGKey(0), x)
+    want = model.apply(vs, x, deterministic=True)
+
+    stacked = extract_transformer_layers(vs, 2)
+    fn = transformer_layer_fn(cfg, with_extras=True)
+    mesh = make_mesh(("pipe",), (2,), jax.devices()[:2])
+    m_micro = 4
+    with _am(mesh):
+        got, ext = jax.jit(
+            lambda st, t: pipeline_apply(
+                fn, st, t, mesh=mesh, microbatches=m_micro, extras=2
+            )
+        )(stacked, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    # Hand computation: sequential layers over the same microbatch split.
+    hand = np.zeros(2, np.float64)
+    xs = np.asarray(x).reshape((m_micro, x.shape[0] // m_micro) + x.shape[1:])
+    for i in range(m_micro):
+        h = jnp.asarray(xs[i])
+        for layer in range(2):
+            p_i = jax.tree.map(lambda t, _l=layer: t[_l], stacked)
+            h, e = fn(p_i, h)
+            hand += np.asarray(e, np.float64)
+    np.testing.assert_allclose(np.asarray(ext), hand, rtol=1e-5, atol=1e-6)
+    # Aux estimator: sum over layers of the per-microbatch mean, in the
+    # Switch bounds [1, E] per layer -> [2, 8] for 2 layers.
+    aux = float(ext[0]) / m_micro
+    assert 2.0 <= aux <= 8.0
+
+
+def test_pipelined_video_train_step_moe_aux():
+    """The FLAGSHIP pp train step trains a routed-MoE temporal stack:
+    moe_aux/moe_drop_frac metrics report, the router weights actually
+    move (aux grads reach them through the GPipe schedule), and the
+    stage-sharded layout carries the expert weights per stage."""
+    from tchvp_tpu.config import ResNetAEConfig, VideoModelConfig
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.parallel import create_pipelined_train_state
+    from tchvp_tpu.parallel.mesh import activate_mesh as _am
+    from tchvp_tpu.train.state import make_optimizer
+    from tchvp_tpu.train.steps import make_pipelined_video_train_step
+
+    size = 32
+    cfg = VideoModelConfig(
+        encoder=ResNetAEConfig(token_latent=True),
+        temporal=TransformerConfig(
+            input_dim=(size // 4) ** 2, hidden_dim=32, num_layers=2,
+            num_heads=4, num_experts=4, dropout_rate=0.0,
+        ),
+    )
+    model = VideoHybridNet(config=cfg)
+    mesh = make_mesh(("pipe",), (2,), jax.devices()[:2])
+    state = create_pipelined_train_state(
+        model, jnp.zeros((1, 2, size, size, 3)),
+        make_optimizer(1e-3, grad_clip_norm=1.0),
+        jax.random.PRNGKey(0), mesh=mesh, axis="pipe",
+    )
+    assert "moe" in state.params["stages"]  # experts stacked per stage
+    step = make_pipelined_video_train_step(
+        size, model, mesh, axis="pipe", loss="mse", moe_aux_weight=0.01
+    )
+    batch = np.random.default_rng(4).integers(
+        0, 255, (4, 2, size, size, 3), dtype=np.uint8
+    )
+    r_before = np.asarray(state.params["stages"]["moe"]["router"])
+    with _am(mesh):
+        with dispatch_trace.capture() as seen:
+            state2, metrics = step(state, jnp.asarray(batch))
+    assert "pipeline_shard_map" in seen and "pp_constrain" in seen, seen
+    assert "moe_aux" in metrics and "moe_drop_frac" in metrics
+    # Per-microbatch-mean estimator keeps the Switch bounds: sum over the
+    # 2 layers of a per-layer aux in [1, E].
+    assert 2.0 <= float(metrics["moe_aux"]) <= 8.0
+    assert 0.0 <= float(metrics["moe_drop_frac"]) <= 1.0
+    assert np.isfinite(float(metrics["loss"]))
+    r_after = np.asarray(state2.params["stages"]["moe"]["router"])
+    assert np.abs(r_after - r_before).max() > 0.0
+
+    # ep-in-stage stays rejected at state creation.
+    ep_cfg = VideoModelConfig(
+        encoder=ResNetAEConfig(token_latent=True),
+        temporal=TransformerConfig(
+            input_dim=(size // 4) ** 2, hidden_dim=32, num_layers=2,
+            num_heads=4, num_experts=4, ep_axis="expert",
+        ),
+    )
+    with pytest.raises(ValueError, match="pp x ep"):
+        create_pipelined_train_state(
+            VideoHybridNet(config=ep_cfg), jnp.zeros((1, 2, size, size, 3)),
+            make_optimizer(1e-3), jax.random.PRNGKey(0),
+            mesh=mesh, axis="pipe",
+        )

