@@ -567,9 +567,11 @@ def test_cli_video_validates_pipe_axis(tmp_path):
             "--checkpoint-dir", str(tmp_path / "c")]
     with pytest.raises(SystemExit, match="multiple of pipe"):
         cli.main(base + ["--mesh", "data=2,pipe=4", "--layers", "2"])
+    # --fsdp COMPOSES with pipe since round 5 (pp x ZeRO) — --qat is the
+    # rejected flag now.
     with pytest.raises(SystemExit, match="does not compose"):
         cli.main(base + ["--mesh", "data=4,pipe=2", "--layers", "2",
-                         "--fsdp"])
+                         "--qat"])
     with pytest.raises(SystemExit, match="composes with data"):
         cli.main(base + ["--mesh", "seq=2,pipe=4", "--layers", "4",
                          "--window", "2"])
