@@ -542,14 +542,21 @@ def test_cli_video_pipe_end_to_end(tmp_path):
 
     with dispatch_trace.capture() as seen:
         cli.main([
-            "video", "--synthetic", "1", "--batch-size", "4",
+            # batch 8: each accum chunk (8/2 = 4) must still split over
+            # data=4 (pick_microbatches feasibility).
+            "video", "--synthetic", "1", "--batch-size", "8",
             "--image-size", str(IMAGE), "--clip-len", str(CLIP),
             "--mesh", "data=4,pipe=2", "--layers", "2",
+            # Round-5 compositions through the SAME production surface:
+            # ZeRO-sharded rest params/moments, gradient accumulation,
+            # routed-MoE temporal stack (per-microbatch aux estimator).
+            "--fsdp", "--accum-steps", "2", "--num-experts", "2",
             "--epochs", "1", "--save-every", "1",
             "--checkpoint-dir", str(tmp_path / "ck"),
         ])
     assert "pipeline_shard_map" in seen, sorted(seen)
     assert "pp_constrain" in seen
+    assert "fsdp_constrain" in seen, sorted(seen)
     import os
 
     assert any(

@@ -1301,6 +1301,63 @@ def test_pipelined_train_step_accum_matches_monolithic_accum():
     assert flow.pipe_axis == "pipe"
 
 
+def test_pipelined_train_step_full_composition():
+    """Everything pp composes with, in ONE step (round 5): dp x pipe
+    mesh, ZeRO-sharded rest (fsdp_axis), gradient accumulation, and a
+    routed-MoE temporal stack with the per-microbatch aux estimator.
+    Two steps run finite, every engagement marker fires, the MoE
+    metrics report, and the state layout survives the update (stage
+    leaves pipe-sharded, largest rest leaf data-sharded)."""
+    from tchvp_tpu.config import (
+        ResNetAEConfig,
+        TransformerConfig,
+        VideoModelConfig,
+    )
+    from tchvp_tpu.models import VideoHybridNet
+    from tchvp_tpu.parallel import create_pipelined_train_state
+    from tchvp_tpu.train import steps as steps_lib
+    from tchvp_tpu.train.state import make_optimizer
+
+    cfg = VideoModelConfig(
+        encoder=ResNetAEConfig(token_latent=True),
+        temporal=TransformerConfig(
+            input_dim=64, hidden_dim=32, num_layers=2, num_heads=4,
+            num_experts=2, dropout_rate=0.0,
+        ),
+    )
+    model = VideoHybridNet(config=cfg)
+    mesh = make_mesh(("data", "pipe"), (2, 2), jax.devices()[:4])
+    state = create_pipelined_train_state(
+        model, jnp.zeros((1, 2, 32, 32, 3)),
+        make_optimizer(1e-3, grad_clip_norm=1.0),
+        jax.random.PRNGKey(0), mesh=mesh, axis="pipe", fsdp_axis="data",
+    )
+    step = steps_lib.make_pipelined_video_train_step(
+        32, model, mesh, axis="pipe", batch_axis="data", loss="mse",
+        fsdp_axis="data", accum_steps=2, moe_aux_weight=0.01,
+    )
+    batch = jnp.asarray(
+        np.random.default_rng(17)
+        .integers(0, 255, (8, 2, 32, 32, 3))
+        .astype(np.uint8)
+    )
+    with activate_mesh(mesh):
+        with dispatch_trace.capture() as seen:
+            state, m = step(state, batch)
+        state, m2 = step(state, batch)
+    for marker in ("pipeline_shard_map", "pp_constrain", "fsdp_constrain"):
+        assert marker in seen, seen
+    for metrics in (m, m2):
+        assert np.isfinite(float(metrics["loss"]))
+        assert 2.0 <= float(metrics["moe_aux"]) <= 4.0
+        assert 0.0 <= float(metrics["moe_drop_frac"]) <= 1.0
+    assert float(m["loss"]) != float(m2["loss"])  # actually training
+    stage_leaf = jax.tree.leaves(state.params["stages"])[0]
+    assert stage_leaf.sharding.spec[0] == "pipe"
+    rest_leaf = max(jax.tree.leaves(state.params["rest"]), key=lambda l: l.size)
+    assert "data" in tuple(rest_leaf.sharding.spec), rest_leaf.sharding
+
+
 def test_pipeline_rejects_bad_stage_configs():
     """Guards: stage count must equal the pipe axis size (a mismatch
     would silently drop layers), and a seq-parallel stage config is an

@@ -480,6 +480,7 @@ def test_cli_stream_url_client(tmp_path, capsys):
         srv.shutdown()
 
 
+@pytest.mark.slow  # ~2 min: compiles the pipelined program at 2 buckets
 def test_live_pipelined_serving_matches_infer_path():
     """`tchvp serve --mesh data=2,pipe=2` (round-4 verdict #5): the LIVE
     pipelined server's output must BITWISE match the one-shot
