@@ -968,7 +968,11 @@ def cmd_shards(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from tchvp_tpu.parallel.plan import abstract_train_state, plan_state
+    from tchvp_tpu.parallel.plan import (
+        abstract_pipelined_train_state,
+        abstract_train_state,
+        plan_state,
+    )
     from tchvp_tpu.train.state import make_optimizer
 
     axes = _parse_mesh_axes(args.mesh) or {"data": 1}
@@ -979,7 +983,21 @@ def cmd_shards(args) -> None:
             (1, args.clip_len) + example.shape[2:], example.dtype
         )
     tx = make_optimizer(args.lr, ema_decay=args.ema_decay)
-    state = abstract_train_state(model, example, tx)
+    # pipe= plans the PIPELINED layout (round-5 pp x ZeRO): stage
+    # params/moments over "pipe", the CNN "rest" over data with --fsdp.
+    pipe_axis = "pipe" if axes.get("pipe", 1) > 1 else None
+    if pipe_axis:
+        if args.model != "hybrid":
+            raise SystemExit("shards: --mesh pipe=N plans --model hybrid "
+                             "(the temporal transformer is what pipelines)")
+        if args.layers % axes["pipe"]:
+            raise SystemExit(f"shards: --layers {args.layers} must be a "
+                             f"multiple of pipe={axes['pipe']}")
+        state = abstract_pipelined_train_state(
+            model, example, tx, axes["pipe"]
+        )
+    else:
+        state = abstract_train_state(model, example, tx)
 
     batch_shape = (args.batch_size,) + example.shape[1:]
     batch_example = jax.ShapeDtypeStruct(batch_shape, jnp.float32)
@@ -992,6 +1010,7 @@ def cmd_shards(args) -> None:
         num_experts=getattr(args, "num_experts", 0),
         batch_axis="data",
         batch_example={"clip" if is_clip else "image": batch_example},
+        pipe_axis=pipe_axis,
     )
     print(plan.table(top=args.top, hbm_gb=args.hbm_gb))
 

@@ -127,9 +127,20 @@ def _leaf_spec(
     ep_axis: Optional[str],
     num_experts: int,
     min_elems: int,
+    pipe_axis: Optional[str] = None,
 ) -> Tuple[Tuple[Optional[str], ...], str]:
     """(spec, origin) for one state leaf — the runtime's own rules."""
     name = path.rsplit("/", 1)[-1]
+    if (
+        pipe_axis
+        and axes.get(pipe_axis, 1) > 1
+        and "stages" in path.split("/")
+        and shape
+    ):
+        # parallel/pipeline.py::pipeline_state_shardings: every leaf
+        # under a "stages" key shards its leading (stage) dim over the
+        # pipe axis — params AND their optimizer moments.
+        return (pipe_axis,) + (None,) * (len(shape) - 1), "pipe"
     if (
         ep_axis
         and axes.get(ep_axis, 1) > 1
@@ -183,6 +194,7 @@ def plan_state(
     batch_axis: Optional[str] = None,
     batch_example: Any = None,
     min_elems: int = MIN_SHARD_ELEMS,
+    pipe_axis: Optional[str] = None,
 ) -> ShardingPlan:
     """Plan placement for a (possibly abstract) TrainState.
 
@@ -191,6 +203,12 @@ def plan_state(
     :func:`abstract_train_state`. ``axes`` maps mesh axis name → size.
     Gradients are planned from the param shapes with the SAME specs
     ``parallel/fsdp.py::constrain_gradients`` applies inside the step.
+
+    ``pipe_axis``: the state is in the PIPELINED layout
+    (:func:`abstract_pipelined_train_state` — ``{"rest", "stages"}``);
+    stage leaves plan with their leading dim over the pipe axis exactly
+    as ``pipeline_state_shardings`` places them, and ``fsdp_axis``
+    composes on the non-stage leaves (pp x ZeRO).
     """
 
     rows: List[LeafPlan] = []
@@ -203,7 +221,8 @@ def plan_state(
             dtype = getattr(leaf, "dtype", None)
             itemsize = getattr(dtype, "itemsize", 4)
             spec, origin = _leaf_spec(
-                path, shape, axes, fsdp_axis, ep_axis, num_experts, min_elems
+                path, shape, axes, fsdp_axis, ep_axis, num_experts,
+                min_elems, pipe_axis,
             )
             size = int(math.prod(shape)) * itemsize if shape else itemsize
             rows.append(
@@ -264,6 +283,15 @@ def plan_state(
             f"{num_experts} experts resident {num_experts // axes[ep_axis]}"
             "/device, one psum combines MoE layer outputs"
         )
+    if pipe_axis and axes.get(pipe_axis, 1) > 1:
+        notes.append(
+            f"pipeline-parallel over '{pipe_axis}'({axes[pipe_axis]}): "
+            "stage params + moments live stage-local; activations hop "
+            "one ppermute per GPipe tick; 'rest' (CNN) leaves "
+            + ("ZeRO-shard over the data axis (pp x fsdp)"
+               if fsdp_axis and axes.get(fsdp_axis, 1) > 1
+               else "replicate (pass --fsdp to ZeRO-shard them)")
+        )
     return ShardingPlan(axes=dict(axes), rows=rows, notes=notes)
 
 
@@ -276,5 +304,39 @@ def abstract_train_state(model, example: Any, tx, init_kwargs=None):
 
     def build(rng):
         return create_train_state(model, example, tx, rng, init_kwargs)
+
+    return jax.eval_shape(build, jax.random.PRNGKey(0))
+
+
+def abstract_pipelined_train_state(model, example: Any, tx, n_stages: int):
+    """Abstract TrainState in the PIPELINED param layout
+    (``{"rest", "stages"}`` — the same split/stack/group transforms
+    ``create_pipelined_train_state`` applies, minus device placement),
+    so ``tchvp shards --mesh data=K,pipe=N`` plans a pp(-x-ZeRO) run
+    without touching a chip."""
+    from tchvp_tpu.parallel.pipeline import group_stages, split_video_params
+    from tchvp_tpu.train.state import TrainState
+
+    tcfg = model.config.temporal
+    if tcfg.num_layers % n_stages:
+        raise ValueError(
+            f"{tcfg.num_layers} temporal layers over {n_stages} stages: "
+            f"num_layers must be a multiple of the stage count"
+        )
+
+    def build(rng):
+        variables = model.init(rng, example)
+        rest, stacked = split_video_params(
+            variables["params"], tcfg.num_layers
+        )
+        if tcfg.num_layers // n_stages > 1:
+            stacked = group_stages(stacked, n_stages)
+        return TrainState.create(
+            apply_fn=model.apply,
+            params={"rest": rest, "stages": stacked},
+            tx=tx,
+            batch_stats=variables.get("batch_stats"),
+            rng=rng,
+        )
 
     return jax.eval_shape(build, jax.random.PRNGKey(0))

@@ -176,3 +176,82 @@ def test_cli_shards_rejects_bad_mesh():
 
     with pytest.raises(SystemExit):
         main(["shards", "--model", "hybrid", "--mesh", "data:8"])
+
+
+def test_plan_specs_match_live_pipelined_placement():
+    """pp x ZeRO planning (round 5): with `pipe_axis` the plan's specs
+    must equal the LIVE `create_pipelined_train_state(fsdp_axis=...)`
+    placement leaf-by-leaf — stage params/moments over "pipe", large
+    rest (CNN) leaves over "data", small leaves replicated."""
+    from tchvp_tpu.parallel import create_pipelined_train_state
+    from tchvp_tpu.parallel.plan import abstract_pipelined_train_state
+
+    cfg = VideoModelConfig(
+        temporal=TransformerConfig(
+            input_dim=(IMAGE // 4) ** 2, hidden_dim=32, num_layers=2,
+            num_heads=4, dropout_rate=0.0,
+        )
+    )
+    model = VideoHybridNet(config=cfg)
+    example = jnp.zeros((1, 2, IMAGE, IMAGE, 3))
+    tx = make_optimizer(1e-3)
+    mesh = make_mesh(("data", "pipe"), (4, 2))
+    live = create_pipelined_train_state(
+        model, example, tx, jax.random.PRNGKey(0),
+        mesh=mesh, axis="pipe", fsdp_axis="data",
+    )
+
+    abstract = abstract_pipelined_train_state(model, example, tx, 2)
+    plan = plan_state(
+        abstract, {"data": 4, "pipe": 2},
+        fsdp_axis="data", pipe_axis="pipe",
+    )
+
+    n_pipe = n_fsdp = 0
+    for section, live_tree in (
+        ("params", live.params),
+        ("opt_state", live.opt_state),
+    ):
+        live_leaves = _flat_with_paths(live_tree)
+        rows = {r.path: r for r in plan.section(section)}
+        assert set(rows) == set(live_leaves), (
+            f"{section}: plan/live leaf paths diverge"
+        )
+        for path, leaf in live_leaves.items():
+            live_spec = tuple(leaf.sharding.spec)
+            live_spec = live_spec + (None,) * (leaf.ndim - len(live_spec))
+            assert rows[path].spec == live_spec, (
+                f"{section}:{path}: plan {rows[path].spec} != live {live_spec}"
+            )
+            if rows[path].origin == "pipe":
+                n_pipe += 1
+            elif rows[path].origin == "fsdp":
+                n_fsdp += 1
+    assert n_pipe > 0 and n_fsdp > 0, (n_pipe, n_fsdp)
+
+    # Planner rejects indivisible stage counts like the runtime.
+    with pytest.raises(ValueError, match="multiple of the stage count"):
+        abstract_pipelined_train_state(model, example, tx, 3)
+
+
+def test_cli_shards_pipe_smoke():
+    """`tchvp shards --mesh data=4,pipe=2` prints a pipelined-layout
+    plan with the pp note and stage rows over 'pipe'."""
+    from tchvp_tpu import cli
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main([
+            "shards", "--model", "hybrid", "--mesh", "data=4,pipe=2",
+            "--layers", "2", "--image-size", str(IMAGE),
+            "--clip-len", "2", "--fsdp",
+        ])
+    out = buf.getvalue()
+    assert "pipeline-parallel over 'pipe'(2)" in out
+    assert "ZeRO-shard over the data axis" in out
+    assert "stages/" in out and "P(pipe" in out
+    with pytest.raises(SystemExit, match="multiple of pipe"):
+        cli.main([
+            "shards", "--model", "hybrid", "--mesh", "data=4,pipe=2",
+            "--layers", "3", "--image-size", str(IMAGE), "--clip-len", "2",
+        ])
